@@ -1,0 +1,283 @@
+"""Bytes/string codecs: plain, dictionary, RLE, FSST-style, RLE+sub hybrid.
+
+Value domain: a null-free sequence of byte strings, represented as
+``(lengths: np.int64 array, data: bytes)`` — the flattened Arrow layout.
+Strings enter as their UTF-8 bytes (Spark strings are UTF-8; the round trip
+is byte-identical). Interface::
+
+    encode(lengths, data) -> (payload: bytes, meta: dict)
+    decode(payload, meta, n) -> (lengths, data)
+
+The reference collapses arrays to JSON strings and writes snappy Parquet
+(core/parquet.go:466-478, :254-270); here every codec is a reversible
+lightweight scheme picked per column-chunk by the selector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import bitpack, intcodecs
+from .framing import pack_sections, unpack_sections
+
+_I64 = np.int64
+_U64 = np.uint64
+
+
+# --- arrow bridge ---------------------------------------------------------
+
+def parts_to_arrow(lengths: np.ndarray, data: bytes) -> pa.Array:
+    """(lengths, data) -> null-free large_binary array (zero-copy-ish)."""
+    offsets = np.empty(lengths.size + 1, dtype=_I64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        lengths.size,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
+
+
+def arrow_to_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """Null-free binary-ish array -> (lengths, data)."""
+    arr = arr.cast(pa.large_binary())
+    # offset-aware read: the offsets buffer holds absolute positions into the
+    # data buffer, valid for sliced arrays too
+    offsets = np.frombuffer(arr.buffers()[1], dtype=_I64, count=len(arr) + 1, offset=arr.offset * 8)
+    data_buf = arr.buffers()[2]
+    data = data_buf.to_pybytes()[offsets[0] : offsets[-1]] if data_buf is not None else b""
+    lengths = np.diff(offsets).astype(_I64)
+    return lengths, data
+
+
+def _encode_lengths(lengths: np.ndarray):
+    return intcodecs.forbp_encode(lengths)
+
+
+def _decode_lengths(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    return intcodecs.forbp_decode(payload, meta, n)
+
+
+# --- plain ----------------------------------------------------------------
+
+def plain_encode(lengths: np.ndarray, data: bytes):
+    lp, lm = _encode_lengths(lengths)
+    return pack_sections([lp, data]), {"lens": lm}
+
+
+def plain_decode(payload: bytes, meta: dict, n: int):
+    lp, data = unpack_sections(payload)
+    return _decode_lengths(lp, meta["lens"], n), data
+
+
+# --- dictionary -----------------------------------------------------------
+
+def dict_encode(lengths: np.ndarray, data: bytes):
+    """Sorted-unique dictionary + bit-packed codes (Arrow-vectorized)."""
+    arr = parts_to_arrow(lengths, data)
+    enc = pc.dictionary_encode(arr)
+    dictionary, codes = enc.dictionary, np.asarray(enc.indices, dtype=np.intp)
+    sort_idx = np.asarray(pc.sort_indices(dictionary), dtype=np.intp)
+    rank = np.empty(sort_idx.size, dtype=np.intp)
+    rank[sort_idx] = np.arange(sort_idx.size)
+    codes = rank[codes]
+    dict_sorted = dictionary.take(pa.array(sort_idx))
+    d_lens, d_data = arrow_to_parts(dict_sorted)
+    dict_payload, dict_meta = plain_encode(d_lens, d_data)
+    width = bitpack.bit_width(codes.astype(_U64))
+    sections = [dict_payload, bitpack.pack(codes.astype(_U64), width)]
+    return pack_sections(sections), {"ndv": int(sort_idx.size), "width": width, "dict": dict_meta}
+
+
+def dict_decode(payload: bytes, meta: dict, n: int):
+    dict_payload, code_payload = unpack_sections(payload)
+    ndv = int(meta["ndv"])
+    d_lens, d_data = plain_decode(dict_payload, meta["dict"], ndv)
+    codes = bitpack.unpack(code_payload, int(meta["width"]), n).astype(np.intp)
+    dictionary = parts_to_arrow(d_lens, d_data)
+    out = dictionary.take(pa.array(codes))
+    return arrow_to_parts(out)
+
+
+# --- run-length -----------------------------------------------------------
+
+def _runs_bytes(lengths: np.ndarray, data: bytes):
+    """Run starts for adjacent-equal byte values (Arrow-vectorized)."""
+    n = lengths.size
+    if n == 0:
+        return np.zeros(0, dtype=_I64), np.zeros(0, dtype=_I64)
+    arr = parts_to_arrow(lengths, data)
+    neq = np.ones(n, dtype=bool)
+    if n > 1:
+        eq = pc.equal(arr.slice(1), arr.slice(0, n - 1))
+        neq[1:] = ~np.asarray(eq, dtype=bool)
+    starts = np.flatnonzero(neq)
+    run_lens = np.diff(np.append(starts, n)).astype(_I64)
+    return starts.astype(_I64), run_lens
+
+
+def rle_encode(lengths: np.ndarray, data: bytes, sub: str = "plain"):
+    starts, run_lens = _runs_bytes(lengths, data)
+    arr = parts_to_arrow(lengths, data)
+    run_vals = arr.take(pa.array(starts)) if starts.size else arr.slice(0, 0)
+    v_lens, v_data = arrow_to_parts(run_vals)
+    sub_enc, _ = BYTES_CODECS[sub]
+    val_payload, val_meta = sub_enc(v_lens, v_data)
+    len_u = run_lens.astype(_U64) - _U64(1)
+    len_width = bitpack.bit_width(len_u)
+    sections = [val_payload, bitpack.pack(len_u, len_width)]
+    meta = {"n_runs": int(starts.size), "len_width": len_width, "sub": sub, "vals": val_meta}
+    return pack_sections(sections), meta
+
+
+def rle_decode(payload: bytes, meta: dict, n: int):
+    val_payload, len_payload = unpack_sections(payload)
+    n_runs = int(meta["n_runs"])
+    _, sub_dec = BYTES_CODECS[meta.get("sub", "plain")]
+    v_lens, v_data = sub_dec(val_payload, meta["vals"], n_runs)
+    run_lens = bitpack.unpack(len_payload, int(meta["len_width"]), n_runs).astype(_I64) + 1
+    run_vals = parts_to_arrow(v_lens, v_data)
+    idx = np.repeat(np.arange(n_runs, dtype=np.intp), run_lens)
+    out = run_vals.take(pa.array(idx))
+    return arrow_to_parts(out)
+
+
+def hybrid_encode(lengths: np.ndarray, data: bytes):
+    """RLE over values with an FSST-compressed run-value store.
+
+    Targets repetitive binary html runs (BASELINE.json north_star)."""
+    return rle_encode(lengths, data, sub="fsst")
+
+
+def hybrid_decode(payload: bytes, meta: dict, n: int):
+    return rle_decode(payload, meta, n)
+
+
+# --- FSST-style symbol-table compression -----------------------------------
+#
+# A from-scratch, deterministic, escape-based symbol-table scheme inspired by
+# FSST (Boncz, Neumann, Leis: "FSST: Fast Random Access String Compression",
+# VLDB 2020): frequent substrings (2..8 bytes) of the corpus are replaced by
+# single code bytes. Code bytes are drawn from the *least frequent* byte
+# values of this chunk; original occurrences of code-space bytes are escaped
+# first, so every replacement pass is exactly invertible (see
+# tests/test_codecs.py round-trip properties). All heavy passes are C-speed
+# (numpy histogram, bytes.replace).
+
+_MAX_SYMS = 60
+_SAMPLE = 1 << 15
+_SYM_LENGTHS = (8, 6, 4, 3, 2)
+
+
+def _byte_histogram(data: bytes) -> np.ndarray:
+    if not data:
+        return np.zeros(256, dtype=_I64)
+    return np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256).astype(_I64)
+
+
+def _choose_code_space(hist: np.ndarray, k: int) -> list[int]:
+    """k+1 least-frequent byte values (escape first), stable order."""
+    order = np.lexsort((np.arange(256), hist))
+    return [int(b) for b in order[: k + 1]]
+
+
+def _escape(data: bytes, escape: int, code_space: list[int], g: dict[int, int]) -> bytes:
+    # escape byte first, then the rest — introduced escape prefixes must not
+    # be re-escaped (mirror of _unescape ordering)
+    e = bytes([escape])
+    data = data.replace(e, e + bytes([g[escape]]))
+    for c in code_space:
+        if c == escape:
+            continue
+        data = data.replace(bytes([c]), e + bytes([g[c]]))
+    return data
+
+
+def _unescape(data: bytes, escape: int, code_space: list[int], g: dict[int, int]) -> bytes:
+    e = bytes([escape])
+    for c in code_space:
+        if c == escape:
+            continue
+        data = data.replace(e + bytes([g[c]]), bytes([c]))
+    return data.replace(e + bytes([g[escape]]), e)
+
+
+def _escape_map(code_space: list[int]) -> dict[int, int]:
+    in_space = set(code_space)
+    free = [b for b in range(256) if b not in in_space]
+    return {c: free[i] for i, c in enumerate(code_space)}
+
+
+def _pick_symbols(sample: bytes, max_syms: int) -> list[bytes]:
+    from collections import Counter
+
+    chosen: list[bytes] = []
+    for L in _SYM_LENGTHS:
+        if len(sample) < L:
+            continue
+        counts = Counter(sample[i : i + L] for i in range(len(sample) - L + 1))
+        # gain = occurrences * saved bytes; require real benefit
+        gains = [(-cnt * (L - 1), s) for s, cnt in counts.items() if cnt * (L - 1) >= 16]
+        gains.sort()
+        chosen.extend(s for _, s in gains[: max_syms // len(_SYM_LENGTHS) + 8])
+    chosen.sort(key=lambda s: (-(len(s) - 1), s))
+    # dedup preserving order, drop symbols that are substrings of an earlier pick
+    out: list[bytes] = []
+    for s in chosen:
+        if len(out) >= max_syms:
+            break
+        if s not in out:
+            out.append(s)
+    return out
+
+
+def fsst_encode(lengths: np.ndarray, data: bytes):
+    lp, lm = _encode_lengths(lengths)
+    if not data:
+        return pack_sections([lp, b"", b"", b""]), {"lens": lm, "n_syms": 0, "space": []}
+    hist = _byte_histogram(data)
+    code_space = _choose_code_space(hist, _MAX_SYMS)
+    escape = code_space[0]
+    g = _escape_map(code_space)
+    escaped = _escape(data, escape, code_space, g)
+    sample = escaped[: _SAMPLE]
+    symbols = _pick_symbols(sample, _MAX_SYMS)
+    blob = escaped
+    used: list[bytes] = []
+    for i, sym in enumerate(symbols):
+        if i >= len(code_space) - 1:
+            break
+        code = bytes([code_space[1 + len(used)]])
+        replaced = blob.replace(sym, code)
+        if len(replaced) < len(blob):
+            blob = replaced
+            used.append(sym)
+    sections = [lp, bytes(code_space), pack_sections(used), blob]
+    meta = {"lens": lm, "n_syms": len(used)}
+    return pack_sections(sections), meta
+
+
+def fsst_decode(payload: bytes, meta: dict, n: int):
+    lp, space_b, syms_payload, blob = unpack_sections(payload)
+    lengths = _decode_lengths(lp, meta["lens"], n)
+    if not space_b:
+        return lengths, blob
+    code_space = list(space_b)
+    escape = code_space[0]
+    g = _escape_map(code_space)
+    symbols = unpack_sections(syms_payload) if int(meta.get("n_syms", 0)) else []
+    for i in range(len(symbols) - 1, -1, -1):
+        blob = blob.replace(bytes([code_space[1 + i]]), symbols[i])
+    data = _unescape(blob, escape, code_space, g)
+    return lengths, data
+
+
+BYTES_CODECS = {
+    "plain": (plain_encode, plain_decode),
+    "dict": (dict_encode, dict_decode),
+    "rle": (rle_encode, rle_decode),
+    "fsst": (fsst_encode, fsst_decode),
+    "hybrid": (hybrid_encode, hybrid_decode),
+}

@@ -1,0 +1,146 @@
+"""Chunk-level encode/decode: Arrow arrays in, self-describing cells out.
+
+Bridges a ``pyarrow.Array`` (possibly with nulls, of any supported logical
+type) to the null-free int64 / bytes codec domains:
+
+- int64 / int32 / int16 / int8 / bool / date32 / timestamp[*] -> int64 domain
+- float64 / float32 -> int64 domain via raw-bit view (NaN payloads preserved)
+- string / large_string / binary / large_binary -> bytes domain
+
+Nulls are stripped before codec encode and re-inserted on decode from a
+framing-level validity bitmap — bit-identical round trip including
+interleaved/leading/trailing/all-null patterns (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from . import bytescodecs, intcodecs
+from .framing import pack_sections, pack_validity, unpack_sections, unpack_validity
+
+_I64 = np.int64
+
+_INT_NP = {"int64": _I64, "int32": np.int32, "int16": np.int16, "int8": np.int8}
+_BYTES_TYPES = {"string", "large_string", "binary", "large_binary"}
+_TS_RE = re.compile(r"^timestamp\[(\w+)(?:, tz=(.+))?\]$")
+
+
+def parse_type(type_str: str) -> pa.DataType:
+    if type_str in _BYTES_TYPES or type_str in _INT_NP or type_str in ("bool", "double", "float"):
+        return pa.type_for_alias(type_str)
+    if type_str == "date32[day]":
+        return pa.date32()
+    m = _TS_RE.match(type_str)
+    if m:
+        return pa.timestamp(m.group(1), tz=m.group(2))
+    raise TypeError(f"unsupported chunk type: {type_str}")
+
+
+def is_bytes_type(t: pa.DataType) -> bool:
+    return str(t) in _BYTES_TYPES
+
+
+def supported_type(t: pa.DataType) -> bool:
+    try:
+        parse_type(str(t))
+        return True
+    except TypeError:
+        return False
+
+
+def codec_names(t: pa.DataType) -> list[str]:
+    if is_bytes_type(t):
+        return list(bytescodecs.BYTES_CODECS)
+    return list(intcodecs.INT_CODECS)
+
+
+def _to_int64(arr: pa.Array) -> np.ndarray:
+    """Null-free array -> int64 values (bit-exact for floats/timestamps)."""
+    s = str(arr.type)
+    if s.startswith("timestamp"):
+        # epoch int64 in the column's own unit; unit+tz restored from meta
+        return np.asarray(arr.cast(pa.int64()), dtype=_I64)
+    if s == "double":
+        return np.asarray(arr, dtype=np.float64).view(_I64).copy()
+    if s == "float":
+        f32 = np.asarray(arr, dtype=np.float32)
+        return f32.view(np.int32).astype(_I64)
+    if s == "date32[day]":
+        return np.asarray(arr.cast(pa.int32()), dtype=_I64)
+    return np.asarray(arr.cast(pa.int64()), dtype=_I64)
+
+
+def _from_int64(values: np.ndarray, t: pa.DataType) -> pa.Array:
+    """int64 values -> null-free array of logical type ``t`` (bit-exact)."""
+    s = str(t)
+    if s.startswith("timestamp"):
+        return pa.array(values, type=pa.int64()).cast(pa.timestamp(t.unit, tz=t.tz))
+    if s == "double":
+        return pa.array(values.view(np.float64), type=pa.float64())
+    if s == "float":
+        return pa.array(values.astype(np.int32).view(np.float32), type=pa.float32())
+    if s == "bool":
+        return pa.array(values.astype(np.bool_), type=pa.bool_())
+    if s == "date32[day]":
+        return pa.array(values.astype(np.int32), type=pa.int32()).cast(pa.date32())
+    return pa.array(values.astype(_INT_NP[s]), type=t)
+
+
+def encode_array(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
+    """Encode one Arrow array chunk with ``codec``; output is self-contained."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    null_count = arr.null_count
+    validity = b""
+    if null_count:
+        mask = np.asarray(arr.is_valid(), dtype=bool)
+        validity = pack_validity(mask)
+    type_str = str(arr.type)
+    valid = arr.drop_null() if null_count else arr
+    if is_bytes_type(arr.type):
+        lengths, data = bytescodecs.arrow_to_parts(valid)
+        enc, _ = bytescodecs.BYTES_CODECS[codec]
+        body, m = enc(lengths, data)
+        bytes_in = int(lengths.sum()) + 8 * n
+    else:
+        values = _to_int64(valid)
+        enc, _ = intcodecs.INT_CODECS[codec]
+        body, m = enc(values)
+        bytes_in = 8 * n
+    payload = pack_sections([validity, body])
+    meta = {"codec": codec, "type": type_str, "nulls": int(null_count), "m": m,
+            "bytes_in": bytes_in}
+    return payload, meta
+
+
+def _spread_nulls(valid_arr: pa.Array, mask: np.ndarray) -> pa.Array:
+    """Re-insert nulls: take() with a null-masked index array propagates nulls."""
+    idx = np.cumsum(mask, dtype=_I64) - 1
+    take_idx = pa.array(idx, type=pa.int64(), mask=~mask)
+    return valid_arr.take(take_idx)
+
+
+def decode_array(payload: bytes, meta: dict, n: int) -> pa.Array:
+    """Inverse of :func:`encode_array` — bit-identical."""
+    validity, body = unpack_sections(payload)
+    null_count = int(meta["nulls"])
+    mask = unpack_validity(validity, n) if null_count else None
+    n_valid = n - null_count
+    t = parse_type(meta["type"])
+    if is_bytes_type(t):
+        _, dec = bytescodecs.BYTES_CODECS[meta["codec"]]
+        lengths, data = dec(body, meta["m"], n_valid)
+        valid_arr = bytescodecs.parts_to_arrow(lengths, data).cast(
+            pa.large_string() if t in (pa.string(), pa.large_string()) else pa.large_binary()
+        )
+        out = _spread_nulls(valid_arr, mask) if mask is not None else valid_arr
+        return out.cast(t)
+    _, dec = intcodecs.INT_CODECS[meta["codec"]]
+    values = dec(body, meta["m"], n_valid)
+    valid_arr = _from_int64(values, t)
+    return _spread_nulls(valid_arr, mask) if mask is not None else valid_arr

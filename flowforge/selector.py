@@ -1,0 +1,145 @@
+"""Stats-driven codec auto-selection per column-chunk.
+
+Per BASELINE.json north_star: "a stats-driven codec auto-selector
+(cardinality, run-length, byte-histogram sampling per partition) choosing the
+winner per column-chunk". Strategy:
+
+1. compute cheap vectorized stats (n, ndv, run fraction, sortedness, byte
+   entropy of a sample);
+2. shortlist candidate codecs from the stats;
+3. trial-encode cheap candidates on the full chunk and expensive ones (the
+   FSST family) on a bounded sample, extrapolating;
+4. keep the smallest actual encoding.
+
+The chosen codec is recorded in the chunk meta, so decode is entirely
+self-describing — mirrors how the reference records schema-by-reflection at
+write time (core/parquet.go:282-344) but per-chunk instead of per-file.
+
+The ``plain`` codec is always a candidate: total size can never regress above
+raw + O(meta) bytes (SURVEY §7.3 monotonicity requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import bytescodecs, chunk, intcodecs
+
+_SAMPLE_BYTES = 1 << 16
+_FSST_TRY_THRESHOLD = 0.95  # try full FSST only if sample ratio beats best by this
+
+
+def _entropy(data: bytes) -> float:
+    if not data:
+        return 0.0
+    hist = np.bincount(np.frombuffer(data[:_SAMPLE_BYTES], dtype=np.uint8), minlength=256)
+    p = hist[hist > 0] / hist.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def int_stats(values: np.ndarray) -> dict:
+    n = values.size
+    if n == 0:
+        return {"n": 0, "ndv": 0, "run_frac": 0.0, "sorted_frac": 1.0}
+    neq = values[1:] != values[:-1]
+    runs = 1 + int(neq.sum())
+    asc = int((values[1:] >= values[:-1]).sum())
+    sample = values[:4096]
+    ndv = int(np.unique(sample).size)
+    return {"n": n, "ndv": ndv, "run_frac": runs / n,
+            "sorted_frac": (asc + 1) / n}
+
+
+def bytes_stats(arr: pa.Array) -> dict:
+    n = len(arr)
+    if n == 0:
+        return {"n": 0, "ndv": 0, "run_frac": 0.0, "entropy": 0.0, "data_bytes": 0}
+    sample = arr.slice(0, min(n, 4096))
+    ndv = int(pc.count_distinct(sample).as_py())
+    neq = 1
+    if n > 1:
+        eq = pc.equal(arr.slice(1), arr.slice(0, n - 1))
+        neq = 1 + int(pc.sum(pc.invert(eq)).as_py() or 0)
+    lengths, data = bytescodecs.arrow_to_parts(sample.cast(pa.large_binary()))
+    return {"n": n, "ndv": ndv, "run_frac": neq / n,
+            "entropy": _entropy(data), "data_bytes": int(lengths.sum())}
+
+
+def _candidates_int(stats: dict) -> list[str]:
+    cands = ["forbp"]
+    if stats["sorted_frac"] > 0.9:
+        cands.append("deltazz")
+    if stats["run_frac"] < 0.5:
+        cands.append("rle")
+    if stats["ndv"] <= max(1, stats["n"] // 8) or stats["ndv"] < 4096:
+        cands.append("dict")
+    cands.append("plain")
+    return cands
+
+
+def _candidates_bytes(stats: dict) -> list[str]:
+    cands = []
+    if stats["ndv"] <= max(1, min(stats["n"], 4096) // 4):
+        cands.append("dict")
+    if stats["run_frac"] < 0.5:
+        cands.append("rle")
+    cands.append("plain")
+    return cands
+
+
+def _fsst_sample_ratio(arr: pa.Array) -> float:
+    """Compression ratio of FSST on a bounded prefix sample."""
+    lengths, data = bytescodecs.arrow_to_parts(arr.cast(pa.large_binary()))
+    if not data:
+        return 1.0
+    cut = np.searchsorted(np.cumsum(lengths), _SAMPLE_BYTES, side="right") + 1
+    cut = min(int(cut), lengths.size)
+    s_lens = lengths[:cut]
+    s_data = data[: int(s_lens.sum())]
+    payload, _ = bytescodecs.fsst_encode(s_lens, s_data)
+    raw = len(s_data) + 8 * cut
+    return len(payload) / max(1, raw)
+
+
+def encode_best(arr: pa.Array) -> tuple[bytes, dict]:
+    """Encode one Arrow array with the best codec; returns (payload, meta).
+
+    meta carries the winning codec name plus the stats that drove the choice.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = arr.drop_null() if arr.null_count else arr
+    if chunk.is_bytes_type(arr.type):
+        stats = bytes_stats(valid)
+        cands = _candidates_bytes(stats)
+        best = None
+        for name in cands:
+            payload, meta = chunk.encode_array(arr, name)
+            if best is None or len(payload) < len(best[0]):
+                best = (payload, meta)
+        # FSST family is expensive: gate on a bounded sample trial
+        if stats["data_bytes"] > 0 and stats["entropy"] < 7.6:
+            sample_ratio = _fsst_sample_ratio(valid)
+            best_ratio = len(best[0]) / meta_raw_bytes(best[1])
+            if sample_ratio < best_ratio * _FSST_TRY_THRESHOLD:
+                fsst_name = "hybrid" if stats["run_frac"] < 0.5 else "fsst"
+                payload, meta = chunk.encode_array(arr, fsst_name)
+                if len(payload) < len(best[0]):
+                    best = (payload, meta)
+    else:
+        values = chunk._to_int64(valid)
+        stats = int_stats(values)
+        best = None
+        for name in _candidates_int(stats):
+            payload, meta = chunk.encode_array(arr, name)
+            if best is None or len(payload) < len(best[0]):
+                best = (payload, meta)
+    payload, meta = best
+    meta["stats"] = {k: round(v, 4) if isinstance(v, float) else v for k, v in stats.items()}
+    return payload, meta
+
+
+def meta_raw_bytes(meta: dict) -> int:
+    return int(meta.get("bytes_in", 0)) or 1

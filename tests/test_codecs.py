@@ -1,0 +1,198 @@
+"""Property + fixture tests for codec kernels (FIXTURES.md §2).
+
+The carry-over invariant from the reference's raw_log oracle
+(test/test_parquet_validation.go:374-474): the stored artifact must reproduce
+the source — here made exact: decode(encode(col)) == col bit-identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flowforge import selector
+from flowforge.codecs import bitpack, bytescodecs, chunk, intcodecs
+
+I64 = np.iinfo(np.int64)
+
+
+def bit_equal(a: pa.Array, b: pa.Array) -> bool:
+    if a.type != b.type or len(a) != len(b):
+        return False
+    if not np.array_equal(np.asarray(a.is_valid()), np.asarray(b.is_valid())):
+        return False
+    av, bv = a.drop_null(), b.drop_null()
+    if pa.types.is_floating(a.type):
+        f, w = (np.float64, np.int64) if a.type == pa.float64() else (np.float32, np.int32)
+        return np.array_equal(np.asarray(av, dtype=f).view(w), np.asarray(bv, dtype=f).view(w))
+    return av.equals(bv)
+
+
+# --- bitpack ---------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=300), st.data())
+def test_bitpack_roundtrip(vals, data):
+    arr = np.array(vals, dtype=np.uint64)
+    width = bitpack.bit_width(arr)
+    assert width == (0 if not vals else max(int(v).bit_length() for v in vals))
+    w = data.draw(st.integers(width, 64))
+    out = bitpack.unpack(bitpack.pack(arr, w), w, arr.size)
+    assert np.array_equal(out, arr)
+
+
+@given(st.lists(st.integers(I64.min, I64.max), max_size=200))
+def test_zigzag_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert np.array_equal(bitpack.zigzag_decode(bitpack.zigzag_encode(arr)), arr)
+
+
+# --- int codecs ------------------------------------------------------------
+
+INT_FIXTURES = [
+    np.array([], dtype=np.int64),
+    np.array([0], dtype=np.int64),
+    np.array([I64.min, I64.max, 0, -1], dtype=np.int64),
+    np.full(257, 42, dtype=np.int64),
+    np.arange(1000, dtype=np.int64),
+    np.arange(1000, dtype=np.int64)[::-1].copy(),
+    np.tile(np.array([3, 3, 7], dtype=np.int64), 100),
+    np.array([I64.min, I64.max] * 50, dtype=np.int64),  # max-range frame
+    np.array([0, 1] * 128, dtype=np.int64),  # worst-case RLE
+]
+
+
+@pytest.mark.parametrize("name", list(intcodecs.INT_CODECS))
+@pytest.mark.parametrize("arr", INT_FIXTURES, ids=range(len(INT_FIXTURES)))
+def test_int_fixtures(name, arr):
+    enc, dec = intcodecs.INT_CODECS[name]
+    payload, meta = enc(arr)
+    assert np.array_equal(dec(payload, meta, arr.size), arr)
+
+
+@pytest.mark.parametrize("name", list(intcodecs.INT_CODECS))
+@given(vals=st.lists(st.integers(I64.min, I64.max), max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_int_property(name, vals):
+    arr = np.array(vals, dtype=np.int64)
+    enc, dec = intcodecs.INT_CODECS[name]
+    payload, meta = enc(arr)
+    assert np.array_equal(dec(payload, meta, arr.size), arr)
+
+
+# --- bytes codecs ----------------------------------------------------------
+
+def _parts(vals: list[bytes]):
+    return np.array([len(v) for v in vals], dtype=np.int64), b"".join(vals)
+
+
+BYTES_FIXTURES = [
+    [],
+    [b""],
+    [b"", b"", b""],
+    [b"x"],
+    [b"x" * 70000, b"y"],  # 64KB+ value
+    [b"aaa"] * 50 + [b"bbb"] * 30 + [b""] * 5,
+    [bytes([i % 256]) for i in range(512)],
+    [b"\xff\xfe\x00\x01" * 16] * 10,  # non-UTF8
+    [bytes(range(256))],  # every byte value present (escape stress)
+    [f"prefix/common/{i % 9}/suffix".encode() for i in range(300)],
+]
+
+
+@pytest.mark.parametrize("name", list(bytescodecs.BYTES_CODECS))
+@pytest.mark.parametrize("vals", BYTES_FIXTURES, ids=range(len(BYTES_FIXTURES)))
+def test_bytes_fixtures(name, vals):
+    lengths, data = _parts(vals)
+    enc, dec = bytescodecs.BYTES_CODECS[name]
+    payload, meta = enc(lengths, data)
+    out_lens, out_data = dec(payload, meta, lengths.size)
+    assert np.array_equal(out_lens, lengths)
+    assert out_data == data
+
+
+@pytest.mark.parametrize("name", list(bytescodecs.BYTES_CODECS))
+@given(vals=st.lists(st.binary(max_size=80), max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_bytes_property(name, vals):
+    lengths, data = _parts(vals)
+    enc, dec = bytescodecs.BYTES_CODECS[name]
+    payload, meta = enc(lengths, data)
+    out_lens, out_data = dec(payload, meta, lengths.size)
+    assert np.array_equal(out_lens, lengths)
+    assert out_data == data
+
+
+def test_fsst_deterministic():
+    vals = [f"the quick brown fox {i % 7} jumps".encode() for i in range(1000)]
+    lengths, data = _parts(vals)
+    p1, m1 = bytescodecs.fsst_encode(lengths, data)
+    p2, m2 = bytescodecs.fsst_encode(lengths, data)
+    assert p1 == p2 and m1 == m2
+
+
+def test_fsst_compresses_text():
+    vals = [f"the quick brown fox {i % 7} jumps over the lazy dog".encode() for i in range(2000)]
+    lengths, data = _parts(vals)
+    payload, _ = bytescodecs.fsst_encode(lengths, data)
+    assert len(payload) < 0.5 * (len(data) + 8 * lengths.size)
+
+
+# --- chunk layer (types + nulls) --------------------------------------------
+
+CHUNK_ARRAYS = [
+    pa.array(np.arange(500) * 10**6 + 17, type=pa.int64()).cast(pa.timestamp("us")),
+    pa.array(np.arange(50), type=pa.int64()).cast(pa.timestamp("us", tz="UTC")),
+    pa.array([1, None, 3, None, 5], type=pa.int64()),
+    pa.array([1.5, float("nan"), -0.0, None, 2.0], type=pa.float64()),
+    pa.array(np.array([1.5, 2.25, np.nan], dtype=np.float32), type=pa.float32()),
+    pa.array(["abc", None, "", "abc", "xyz"], type=pa.string()),
+    pa.array([b"\xff\xfe", None, b"", b"\x00" * 100, None], type=pa.binary()),
+    pa.array([None, None, None], type=pa.string()),  # all-null
+    pa.array([None, "a", "b"], type=pa.string()),  # leading null
+    pa.array(["a", "b", None], type=pa.string()),  # trailing null
+    pa.array([True, False, None, True]),
+    pa.array([1, -2, None], type=pa.int32()),
+    pa.array([1, 2, None], type=pa.int32()).cast(pa.date32()),
+    pa.array([], type=pa.string()),
+    pa.array(["a" * 1000, "b"], type=pa.large_string()),
+]
+
+
+@pytest.mark.parametrize("arr", CHUNK_ARRAYS, ids=range(len(CHUNK_ARRAYS)))
+def test_chunk_roundtrip_all_codecs(arr):
+    for name in chunk.codec_names(arr.type):
+        payload, meta = chunk.encode_array(arr, name)
+        out = chunk.decode_array(payload, meta, len(arr))
+        assert bit_equal(out, arr), name
+
+
+@pytest.mark.parametrize("arr", CHUNK_ARRAYS, ids=range(len(CHUNK_ARRAYS)))
+def test_selector_roundtrip(arr):
+    payload, meta = selector.encode_best(arr)
+    out = chunk.decode_array(payload, meta, len(arr))
+    assert bit_equal(out, arr), meta["codec"]
+
+
+def test_selector_picks_sensibly():
+    # low cardinality, shuffled -> dict; sorted (long runs) -> rle wins
+    vals = ["en"] * 550 + ["de"] * 100 + ["fr"] * 80 + ["zh"] * 70
+    _, meta = selector.encode_best(pa.array(vals))
+    assert meta["codec"] == "rle"
+    shuffled = list(vals)
+    np.random.default_rng(0).shuffle(shuffled)
+    _, meta = selector.encode_best(pa.array(shuffled))
+    assert meta["codec"] == "dict"
+    # near-sorted timestamps -> deltazz or forbp, small payload
+    ts = pa.array((np.arange(10000) * 10**6 + np.random.default_rng(1).integers(-3 * 10**8, 3 * 10**8, 10000)).astype(np.int64)).cast(pa.timestamp("us"))
+    payload, meta = selector.encode_best(ts)
+    assert meta["codec"] in ("deltazz", "forbp")
+    assert len(payload) < 0.7 * 8 * 10000
+    # incompressible random bytes -> plain (never regress above raw)
+    rng = np.random.default_rng(2)
+    blobs = pa.array([rng.bytes(100) for _ in range(300)], type=pa.binary())
+    payload, meta = selector.encode_best(blobs)
+    raw = 300 * 108
+    assert len(payload) <= raw * 1.05
