@@ -166,15 +166,24 @@ def hybrid_decode(payload: bytes, meta: dict, n: int):
 # tests/test_codecs.py round-trip properties). All heavy passes are C-speed
 # (numpy histogram, bytes.replace).
 
-_MAX_SYMS = 60
-_SAMPLE = 1 << 15
+_MAX_SYMS = 48
+_SAMPLE = 1 << 16
+_HIST_SAMPLE = 1 << 20
 _SYM_LENGTHS = (8, 6, 4, 3, 2)
 
 
 def _byte_histogram(data: bytes) -> np.ndarray:
+    """Byte histogram on a bounded sample.
+
+    Sampling is safe: code-space bytes that do appear in unseen data are
+    escaped anyway — a rare-byte miss only costs 2 bytes per occurrence,
+    never correctness.
+    """
     if not data:
         return np.zeros(256, dtype=_I64)
-    return np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256).astype(_I64)
+    return np.bincount(
+        np.frombuffer(data[:_HIST_SAMPLE], dtype=np.uint8), minlength=256
+    ).astype(_I64)
 
 
 def _choose_code_space(hist: np.ndarray, k: int) -> list[int]:
@@ -210,26 +219,57 @@ def _escape_map(code_space: list[int]) -> dict[int, int]:
     return {c: free[i] for i, c in enumerate(code_space)}
 
 
-def _pick_symbols(sample: bytes, max_syms: int) -> list[bytes]:
-    from collections import Counter
+def _window_counts(sample: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct L-byte windows + counts, via u64 packing (fully vectorized)."""
+    n = sample.size - L + 1
+    if n <= 0:
+        return np.zeros(0, dtype=_U64), np.zeros(0, dtype=_I64)
+    padded = np.concatenate([sample, np.zeros(8, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n]
+    packed = win.copy().view(_U64).ravel()  # little-endian 8-byte load
+    if L < 8:
+        packed = packed & _U64((1 << (8 * L)) - 1)
+    uniq, counts = np.unique(packed, return_counts=True)
+    return uniq, counts.astype(_I64)
 
-    chosen: list[bytes] = []
+
+def _pick_symbols(sample: bytes, max_syms: int, codes: list[int]) -> list[bytes]:
+    """Greedy symbol selection with overlap-aware simulation on the sample.
+
+    Candidate n-grams are ranked by standalone gain, then accepted only if
+    they still pay on the sample *after* earlier replacements — overlapping
+    candidates (periodic text) die off naturally, as in FSST's iterative
+    symbol-table generations.
+    """
+    sarr = np.frombuffer(sample, dtype=np.uint8)
+    cands: list[tuple[int, bytes]] = []  # (-gain, symbol)
     for L in _SYM_LENGTHS:
-        if len(sample) < L:
+        uniq, counts = _window_counts(sarr, L)
+        gains = counts * (L - 1)
+        keep = gains >= 16
+        if not keep.any():
             continue
-        counts = Counter(sample[i : i + L] for i in range(len(sample) - L + 1))
-        # gain = occurrences * saved bytes; require real benefit
-        gains = [(-cnt * (L - 1), s) for s, cnt in counts.items() if cnt * (L - 1) >= 16]
-        gains.sort()
-        chosen.extend(s for _, s in gains[: max_syms // len(_SYM_LENGTHS) + 8])
-    chosen.sort(key=lambda s: (-(len(s) - 1), s))
-    # dedup preserving order, drop symbols that are substrings of an earlier pick
+        order = np.argsort(gains[keep], kind="stable")[::-1][: max_syms * 3]
+        u, g = uniq[keep][order], gains[keep][order]
+        raw = u.astype("<u8").tobytes()
+        for i in range(u.size):
+            cands.append((-int(g[i]), raw[i * 8 : i * 8 + L]))
+    cands.sort()
+    sim = sample
     out: list[bytes] = []
-    for s in chosen:
+    seen = set()
+    min_gain = max(8, len(sample) >> 10)
+    for _, s in cands:
         if len(out) >= max_syms:
             break
-        if s not in out:
-            out.append(s)
+        if s in seen:
+            continue
+        seen.add(s)
+        cnt = sim.count(s)
+        if cnt * (len(s) - 1) < min_gain:
+            continue
+        sim = sim.replace(s, bytes([codes[len(out)]]))
+        out.append(s)
     return out
 
 
@@ -243,19 +283,12 @@ def fsst_encode(lengths: np.ndarray, data: bytes):
     g = _escape_map(code_space)
     escaped = _escape(data, escape, code_space, g)
     sample = escaped[: _SAMPLE]
-    symbols = _pick_symbols(sample, _MAX_SYMS)
+    symbols = _pick_symbols(sample, _MAX_SYMS, code_space[1:])
     blob = escaped
-    used: list[bytes] = []
     for i, sym in enumerate(symbols):
-        if i >= len(code_space) - 1:
-            break
-        code = bytes([code_space[1 + len(used)]])
-        replaced = blob.replace(sym, code)
-        if len(replaced) < len(blob):
-            blob = replaced
-            used.append(sym)
-    sections = [lp, bytes(code_space), pack_sections(used), blob]
-    meta = {"lens": lm, "n_syms": len(used)}
+        blob = blob.replace(sym, bytes([code_space[1 + i]]))
+    sections = [lp, bytes(code_space), pack_sections(symbols), blob]
+    meta = {"lens": lm, "n_syms": len(symbols)}
     return pack_sections(sections), meta
 
 

@@ -1,0 +1,304 @@
+"""The Spark encode/decode job — the heart of the engine.
+
+Encode plan (one DataFrame expression; SURVEY §3 restatement of the
+reference's pipeline stages 3-8, main.go:150-313):
+
+    scan -> salted repartition by pmod(xxhash64(url), S)         [explicit]
+         -> sortWithinPartitions(bucket, url)                     [run locality]
+         -> mapInArrow(encode kernel)                             [vectorized]
+         -> tiny metrics rows back to the driver / metrics table
+
+The kernel slices each bucket into row chunks, picks a codec per
+column-chunk via the stats selector, writes one Parquet chunk file per
+(column, bucket) with atomic rename, then commits the bucket to the
+manifest with lineage + size/throughput metrics. Buckets are idempotent and
+deterministic, so task retries, speculative duplicates, and resumed runs all
+converge to the same bytes.
+
+Scale notes (100 TB / 1000 executors):
+- the only shuffle is the single explicit repartition on the salt; the
+  xxhash64(url) salt is uniform even under Zipf host skew, so no straggler
+  buckets; AQE stays enabled for everything else;
+- the kernel streams contiguous bucket groups out of its partition iterator
+  (never materializes the whole task input);
+- chunk files are hive-partitioned by column -> single-column decodes
+  partition-prune at the file level;
+- the metrics action moves only O(buckets x columns) tiny rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import selector
+from .catalog import Manifest
+from .codecs import chunk as chunklib
+
+BUCKET_COL = "__ff_bucket"
+DEFAULT_CHUNK_ROWS = 65_536
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("bucket", T.LongType(), False),
+    T.StructField("column", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("n_chunks", T.LongType(), False),
+    T.StructField("bytes_in", T.LongType(), False),
+    T.StructField("bytes_out", T.LongType(), False),
+    T.StructField("wall_ms", T.DoubleType(), False),
+    T.StructField("codecs", T.StringType(), False),
+])
+
+_METRICS_ARROW = pa.schema([
+    pa.field("bucket", pa.int64(), False),
+    pa.field("column", pa.string(), False),
+    pa.field("n_rows", pa.int64(), False),
+    pa.field("n_chunks", pa.int64(), False),
+    pa.field("bytes_in", pa.int64(), False),
+    pa.field("bytes_out", pa.int64(), False),
+    pa.field("wall_ms", pa.float64(), False),
+    pa.field("codecs", pa.string(), False),
+])
+
+_CHUNK_FILE_SCHEMA = pa.schema([
+    pa.field("chunk_seq", pa.int64(), False),
+    pa.field("n_rows", pa.int64(), False),
+    pa.field("codec", pa.string(), False),
+    pa.field("meta", pa.string(), False),
+    pa.field("payload", pa.large_binary(), False),
+])
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+
+def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int) -> list[dict]:
+    """Encode one bucket: chunk files per column + manifest commit."""
+    manifest = Manifest(out_dir)
+    columns = tbl.column_names
+    n = tbl.num_rows
+    n_chunks = max(1, -(-n // chunk_rows))
+    per_col: dict[str, dict] = {
+        c: {"rows": [], "bytes_in": 0, "bytes_out": 0, "codecs": set(), "wall_ms": 0.0}
+        for c in columns
+    }
+    for seq in range(n_chunks):
+        lo = seq * chunk_rows
+        sl = tbl.slice(lo, min(chunk_rows, n - lo))
+        for c in columns:
+            arr = sl.column(c).combine_chunks()
+            t0 = time.perf_counter()
+            payload, meta = selector.encode_best(arr)
+            dt = (time.perf_counter() - t0) * 1000
+            st = per_col[c]
+            st["rows"].append({
+                "chunk_seq": seq, "n_rows": len(arr), "codec": meta["codec"],
+                "meta": json.dumps(meta), "payload": payload,
+            })
+            st["bytes_in"] += int(meta["bytes_in"])
+            st["bytes_out"] += len(payload)
+            st["codecs"].add(meta["codec"])
+            st["wall_ms"] += dt
+
+    metrics = []
+    commit_cols = {}
+    for c in columns:
+        st = per_col[c]
+        rows = st["rows"]
+        col_tbl = pa.Table.from_pylist(rows, schema=_CHUNK_FILE_SCHEMA)
+        final = manifest.chunk_path(c, bucket)
+        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        # payloads are already codec-compressed; container stays uncompressed
+        pq.write_table(col_tbl, tmp, compression="none")
+        Manifest.atomic_rename(tmp, final)
+        codecs = ",".join(sorted(st["codecs"]))
+        metrics.append({
+            "bucket": bucket, "column": c, "n_rows": n, "n_chunks": n_chunks,
+            "bytes_in": st["bytes_in"], "bytes_out": st["bytes_out"],
+            "wall_ms": st["wall_ms"], "codecs": codecs,
+        })
+        commit_cols[c] = {"bytes_in": st["bytes_in"], "bytes_out": st["bytes_out"],
+                          "codecs": codecs, "wall_ms": round(st["wall_ms"], 3)}
+    manifest.commit_bucket(bucket, {
+        "bucket": bucket, "n_rows": n, "n_chunks": n_chunks,
+        "columns": commit_cols, "committed_at": time.time(),
+    })
+    return metrics
+
+
+def _make_encode_kernel(out_dir: str, chunk_rows: int):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur_bucket: int | None = None
+        acc: list[pa.RecordBatch] = []
+        metrics: list[dict] = []
+
+        def flush():
+            if cur_bucket is None or not acc:
+                return
+            tbl = pa.Table.from_batches(acc)
+            tbl = tbl.drop_columns([BUCKET_COL])
+            metrics.extend(_encode_bucket(out_dir, cur_bucket, tbl, chunk_rows))
+
+        for batch in batches:
+            buckets = batch.column(BUCKET_COL).to_numpy()
+            # contiguous groups (input sorted by bucket within partition)
+            change = np.flatnonzero(np.diff(buckets)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(buckets)]))
+            for s, e in zip(starts, ends):
+                b = int(buckets[s])
+                if b != cur_bucket:
+                    flush()
+                    acc, cur_bucket = [], b
+                acc.append(batch.slice(int(s), int(e - s)))
+        flush()
+        if metrics:
+            yield pa.RecordBatch.from_pylist(metrics, schema=_METRICS_ARROW)
+
+    return kernel
+
+
+def encode_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    buckets: int | None = None,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    salt_col: str = "url",
+    resume: bool = True,
+) -> DataFrame:
+    """Encode ``df`` into the chunk store at ``out_dir``; returns metrics.
+
+    The returned DataFrame is lazy — calling an action on it runs the job.
+    ``resume=True`` skips buckets already committed in the manifest
+    (interrupted runs continue from the last committed checkpoint).
+    """
+    if buckets is None:
+        buckets = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    manifest = Manifest(out_dir)
+    manifest.write_table_meta({
+        "columns": df.columns,
+        "spark_schema": df.schema.jsonValue(),
+        "buckets": buckets,
+        "chunk_rows": chunk_rows,
+        "salt_col": salt_col,
+    })
+    committed = manifest.committed_buckets() if resume else set()
+    todo = [b for b in range(buckets) if b not in committed]
+    if not todo:
+        return spark.createDataFrame([], METRICS_SCHEMA)
+
+    salted = df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)))
+    if len(todo) < buckets:
+        salted = salted.filter(F.col(BUCKET_COL).isin(todo))
+    planned = (
+        salted.repartition(len(todo), F.col(BUCKET_COL))
+        .sortWithinPartitions(BUCKET_COL, salt_col)
+    )
+    return planned.mapInArrow(_make_encode_kernel(out_dir, chunk_rows), METRICS_SCHEMA)
+
+
+def run_encode(spark: SparkSession, df: DataFrame, out_dir: str, **kw) -> list:
+    """Eager convenience: run the encode job, return collected metric rows."""
+    return encode_table(spark, df, out_dir, **kw).collect()
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+def _make_decode_kernel(out_dir: str, columns: list[str]):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        manifest = Manifest(out_dir)
+        for batch in batches:
+            for bucket in batch.column("bucket").to_pylist():
+                col_chunks: dict[str, list[pa.Array]] = {}
+                n_chunks = None
+                for c in columns:
+                    t = pq.read_table(manifest.chunk_path(c, bucket))
+                    t = t.sort_by("chunk_seq")
+                    seqs = t.column("chunk_seq").to_pylist()
+                    n_rows = t.column("n_rows").to_pylist()
+                    metas = t.column("meta").to_pylist()
+                    payloads = t.column("payload").to_pylist()
+                    arrs = [
+                        chunklib.decode_array(p, json.loads(m), nr)
+                        for p, m, nr in zip(payloads, metas, n_rows)
+                    ]
+                    col_chunks[c] = arrs
+                    n_chunks = len(seqs)
+                for i in range(n_chunks or 0):
+                    yield pa.RecordBatch.from_arrays(
+                        [col_chunks[c][i] for c in columns], names=columns
+                    )
+
+    return kernel
+
+
+def decode_table(
+    spark: SparkSession, out_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Reconstruct the source table (bit-identical) from the chunk store.
+
+    Chunk boundaries are aligned across columns within a bucket, so rows are
+    zipped back without any join. Row order is not preserved (the encode
+    shuffle already reordered rows); comparisons must be order-insensitive
+    (SURVEY §7.3).
+    """
+    manifest = Manifest(out_dir)
+    meta = manifest.read_table_meta()
+    all_columns = meta["columns"]
+    columns = columns or all_columns
+    unknown = [c for c in columns if c not in all_columns]
+    if unknown:
+        raise ValueError(f"unknown columns {unknown}; store has {all_columns}")
+    spark_schema = T.StructType.fromJson(meta["spark_schema"])
+    out_schema = T.StructType([f for f in spark_schema.fields if f.name in columns])
+    committed = sorted(manifest.committed_buckets())
+    buckets_df = spark.createDataFrame(
+        [(b,) for b in committed], T.StructType([T.StructField("bucket", T.LongType(), False)])
+    ).repartition(max(1, len(committed)))
+    return buckets_df.mapInArrow(_make_decode_kernel(out_dir, list(columns)), out_schema)
+
+
+# --------------------------------------------------------------------------
+# metrics / lineage / reporting
+# --------------------------------------------------------------------------
+
+def metrics_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-(bucket, column) lineage + size/throughput metrics as a DataFrame."""
+    rows = []
+    for rec in Manifest(out_dir).read_commits():
+        for c, st in rec["columns"].items():
+            rows.append((rec["bucket"], c, rec["n_rows"], rec["n_chunks"],
+                         st["bytes_in"], st["bytes_out"], st["wall_ms"], st["codecs"]))
+    return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
+def compression_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Aggregate compression ratios per column (groupBy + agg, map-side combine)."""
+    m = metrics_table(spark, out_dir)
+    return (
+        m.groupBy("column")
+        .agg(
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.sum("n_rows").alias("n_rows"),
+            F.concat_ws(",", F.array_distinct(F.flatten(F.collect_list(F.split("codecs", ","))))).alias("codecs"),
+        )
+        .withColumn("ratio", F.round(F.col("bytes_out") / F.col("bytes_in"), 4))
+        .orderBy("column")
+    )

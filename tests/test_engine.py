@@ -1,0 +1,132 @@
+"""End-to-end engine tests: encode -> decode bit-identical, resume, metrics.
+
+Mirrors the reference's validation strategy (SURVEY §5): its
+test_parquet_validation.go re-reads every output file and field-compares
+against the embedded raw_log oracle; here the oracle is the source table
+itself and the comparison is exact (exceptAll both directions + per-url
+text equality), made order-insensitive because the encode shuffle reorders
+rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flowforge import datagen, engine
+from flowforge.catalog import Manifest
+
+ROWS = 4_000
+
+
+@pytest.fixture(scope="module")
+def src_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    path = datagen.write_webpages(str(d), ROWS)
+    return spark.read.parquet(path)
+
+
+def test_roundtrip_bit_identical(spark, src_df, tmpdir_clean):
+    out = os.path.join(tmpdir_clean, "enc")
+    metrics = engine.run_encode(spark, src_df, out, buckets=8)
+    assert len(metrics) == 8 * 5  # (bucket, column) rows
+    decoded = engine.decode_table(spark, out)
+    assert decoded.count() == ROWS
+    assert decoded.exceptAll(src_df).count() == 0
+    assert src_df.exceptAll(decoded).count() == 0
+
+
+def test_per_url_text_byte_identical(spark, src_df, tmpdir_clean):
+    """input_hint invariant: byte-identical extracted text per url."""
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=8)
+    decoded = engine.decode_table(spark, out, columns=["url", "text"])
+    joined = src_df.select("url", F.col("text").alias("src_text")).join(
+        decoded.withColumnRenamed("text", "dec_text"), "url", "inner"
+    )
+    assert joined.count() == ROWS  # url is unique -> join is 1:1
+    mismatches = joined.filter(
+        F.md5(F.col("src_text")) != F.md5(F.col("dec_text"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_resume_skips_committed_buckets(spark, src_df, tmpdir_clean):
+    """Interrupted run: pre-commit half the buckets, re-run, verify the
+    committed half is untouched (same file mtimes+bytes) and the final
+    decode matches the source exactly."""
+    out = os.path.join(tmpdir_clean, "enc")
+    # first run, full
+    engine.run_encode(spark, src_df, out, buckets=8)
+    man = Manifest(out)
+    assert man.committed_buckets() == set(range(8))
+
+    # simulate interruption: drop commits + chunk files for buckets 4..7
+    for b in range(4, 8):
+        os.remove(os.path.join(man.dir, f"commit-{b}.json"))
+        for f in glob.glob(os.path.join(out, "chunks", "column=*", f"bucket-{b:06d}.parquet")):
+            os.remove(f)
+    kept_files = sorted(glob.glob(os.path.join(out, "chunks", "column=*", "*.parquet")))
+    kept_stat = {f: (os.path.getmtime(f), os.path.getsize(f)) for f in kept_files}
+
+    # resumed run: must only encode buckets 4..7
+    metrics = engine.run_encode(spark, src_df, out, buckets=8)
+    assert {r["bucket"] for r in metrics} == {4, 5, 6, 7}
+    assert man.committed_buckets() == set(range(8))
+    for f, st in kept_stat.items():
+        assert (os.path.getmtime(f), os.path.getsize(f)) == st, f"re-encoded {f}"
+
+    decoded = engine.decode_table(spark, out)
+    assert decoded.exceptAll(src_df).count() == 0
+    assert src_df.exceptAll(decoded).count() == 0
+
+
+def test_noop_when_fully_committed(spark, src_df, tmpdir_clean):
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=4)
+    metrics = engine.run_encode(spark, src_df, out, buckets=4)
+    assert metrics == []
+
+
+def test_metrics_and_lineage(spark, src_df, tmpdir_clean):
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=4)
+    m = engine.metrics_table(spark, out)
+    assert m.count() == 4 * 5
+    rep = engine.compression_report(spark, out).collect()
+    by_col = {r["column"]: r for r in rep}
+    assert set(by_col) == {"url", "warc_ts", "html", "text", "lang"}
+    # selector expectations on this data shape (FIXTURES.md §1)
+    assert "dict" in by_col["lang"]["codecs"]
+    assert by_col["lang"]["ratio"] < 0.1
+    assert by_col["warc_ts"]["ratio"] < 0.8
+    for r in rep:
+        assert r["bytes_out"] > 0 and r["bytes_in"] > 0
+    # lineage records carry per-column wall_ms for throughput accounting
+    rec = Manifest(out).read_commits()[0]
+    assert rec["columns"]["text"]["wall_ms"] >= 0
+
+
+def test_decode_column_pruning(spark, src_df, tmpdir_clean):
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=4)
+    lang_only = engine.decode_table(spark, out, columns=["lang"])
+    assert lang_only.columns == ["lang"]
+    counts = {r["lang"]: r["cnt"] for r in lang_only.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    src_counts = {r["lang"]: r["cnt"] for r in src_df.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == src_counts
+
+
+def test_salting_defuses_host_skew(spark, src_df, tmpdir_clean):
+    """Zipf(1.2) hosts -> heavy host skew, but xxhash64(url) salting must
+    spread rows near-uniformly across buckets."""
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=8)
+    rows = [json.loads(open(f).read())["n_rows"] for f in glob.glob(os.path.join(out, "_manifest", "commit-*.json"))]
+    assert len(rows) == 8
+    mean = sum(rows) / len(rows)
+    assert max(rows) < 1.35 * mean, rows
