@@ -168,22 +168,22 @@ def hybrid_decode(payload: bytes, meta: dict, n: int):
 
 _MAX_SYMS = 48
 _SAMPLE = 1 << 16
-_HIST_SAMPLE = 1 << 20
 _SYM_LENGTHS = (8, 6, 4, 3, 2)
 
 
 def _byte_histogram(data: bytes) -> np.ndarray:
-    """Byte histogram on a bounded sample.
+    """Exact byte histogram (one vectorized pass, ~GB/s).
 
-    Sampling is safe: code-space bytes that do appear in unseen data are
-    escaped anyway — a rare-byte miss only costs 2 bytes per occurrence,
-    never correctness.
+    Exactness matters: a code-space byte with count 0 needs NO escape pass
+    over the blob, which eliminates most of the escape traffic — code bytes
+    are picked as the least frequent, so nearly all are absent entirely.
     """
     if not data:
         return np.zeros(256, dtype=_I64)
-    return np.bincount(
-        np.frombuffer(data[:_HIST_SAMPLE], dtype=np.uint8), minlength=256
-    ).astype(_I64)
+    # NB: bincount on uint8 input hits a ~100x slow path in this numpy
+    # build; casting to int64 first is the fast path (measured)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    return np.bincount(arr, minlength=256).astype(_I64)
 
 
 def _choose_code_space(hist: np.ndarray, k: int) -> list[int]:
@@ -192,25 +192,30 @@ def _choose_code_space(hist: np.ndarray, k: int) -> list[int]:
     return [int(b) for b in order[: k + 1]]
 
 
-def _escape(data: bytes, escape: int, code_space: list[int], g: dict[int, int]) -> bytes:
+def _escape(data: bytes, escape: int, present: list[int], g: dict[int, int]) -> bytes:
     # escape byte first, then the rest — introduced escape prefixes must not
-    # be re-escaped (mirror of _unescape ordering)
+    # be re-escaped (mirror of _unescape ordering). `present` holds only the
+    # code-space bytes that actually occur (exact histogram) — absent bytes
+    # need no pass over the blob.
     e = bytes([escape])
-    data = data.replace(e, e + bytes([g[escape]]))
-    for c in code_space:
+    if escape in present:
+        data = data.replace(e, e + bytes([g[escape]]))
+    for c in present:
         if c == escape:
             continue
         data = data.replace(bytes([c]), e + bytes([g[c]]))
     return data
 
 
-def _unescape(data: bytes, escape: int, code_space: list[int], g: dict[int, int]) -> bytes:
+def _unescape(data: bytes, escape: int, present: list[int], g: dict[int, int]) -> bytes:
     e = bytes([escape])
-    for c in code_space:
+    for c in present:
         if c == escape:
             continue
         data = data.replace(e + bytes([g[c]]), bytes([c]))
-    return data.replace(e + bytes([g[escape]]), e)
+    if escape in present:
+        data = data.replace(e + bytes([g[escape]]), e)
+    return data
 
 
 def _escape_map(code_space: list[int]) -> dict[int, int]:
@@ -273,38 +278,74 @@ def _pick_symbols(sample: bytes, max_syms: int, codes: list[int]) -> list[bytes]
     return out
 
 
-def fsst_encode(lengths: np.ndarray, data: bytes):
-    lp, lm = _encode_lengths(lengths)
-    if not data:
-        return pack_sections([lp, b"", b"", b""]), {"lens": lm, "n_syms": 0, "space": []}
+def _fsst_round_encode(data: bytes) -> tuple[bytes, bytes, bytes, list[bytes]]:
+    """One symbol-table round: (blob, code_space_bytes, present_bytes, symbols)."""
     hist = _byte_histogram(data)
     code_space = _choose_code_space(hist, _MAX_SYMS)
     escape = code_space[0]
     g = _escape_map(code_space)
-    escaped = _escape(data, escape, code_space, g)
+    present = [c for c in code_space if hist[c] > 0]
+    escaped = _escape(data, escape, present, g)
     sample = escaped[: _SAMPLE]
     symbols = _pick_symbols(sample, _MAX_SYMS, code_space[1:])
     blob = escaped
     for i, sym in enumerate(symbols):
         blob = blob.replace(sym, bytes([code_space[1 + i]]))
-    sections = [lp, bytes(code_space), pack_sections(symbols), blob]
-    meta = {"lens": lm, "n_syms": len(symbols)}
+    return blob, bytes(code_space), bytes(present), symbols
+
+
+def _fsst_round_decode(blob: bytes, space_b: bytes, present_b: bytes,
+                       symbols: list[bytes]) -> bytes:
+    code_space = list(space_b)
+    escape = code_space[0]
+    g = _escape_map(code_space)
+    for i in range(len(symbols) - 1, -1, -1):
+        blob = blob.replace(bytes([code_space[1 + i]]), symbols[i])
+    return _unescape(blob, escape, list(present_b), g)
+
+
+_FSST_MAX_ROUNDS = 4
+
+
+def fsst_encode(lengths: np.ndarray, data: bytes):
+    """Recursive FSST-style encoding: repeat symbol-table rounds while each
+    round still shrinks the blob meaningfully. Round k's codes become
+    ordinary bytes for round k+1, so effective symbol length compounds
+    (Re-Pair-like) — this is what catches the long repeats that single-round
+    8-byte symbols cannot."""
+    lp, lm = _encode_lengths(lengths)
+    rounds: list[tuple[bytes, bytes, list[bytes]]] = []
+    blob = data
+    while data and len(rounds) < _FSST_MAX_ROUNDS:
+        new_blob, space_b, present_b, symbols = _fsst_round_encode(blob)
+        table_cost = len(space_b) + sum(len(s) + 8 for s in symbols) + 16
+        # first round must pay >3%; later rounds must pay >10% — each extra
+        # round is a full memory pass, so marginal gains aren't worth the
+        # bandwidth at scale
+        threshold = 0.97 if not rounds else 0.90
+        if not symbols or len(new_blob) + table_cost >= len(blob) * threshold:
+            break
+        rounds.append((space_b, present_b, symbols))
+        blob = new_blob
+    sections = [lp]
+    for space_b, present_b, symbols in rounds:
+        sections.extend([space_b, present_b, pack_sections(symbols)])
+    sections.append(blob)
+    meta = {"lens": lm, "rounds": len(rounds)}
     return pack_sections(sections), meta
 
 
 def fsst_decode(payload: bytes, meta: dict, n: int):
-    lp, space_b, syms_payload, blob = unpack_sections(payload)
-    lengths = _decode_lengths(lp, meta["lens"], n)
-    if not space_b:
-        return lengths, blob
-    code_space = list(space_b)
-    escape = code_space[0]
-    g = _escape_map(code_space)
-    symbols = unpack_sections(syms_payload) if int(meta.get("n_syms", 0)) else []
-    for i in range(len(symbols) - 1, -1, -1):
-        blob = blob.replace(bytes([code_space[1 + i]]), symbols[i])
-    data = _unescape(blob, escape, code_space, g)
-    return lengths, data
+    sections = unpack_sections(payload)
+    lengths = _decode_lengths(sections[0], meta["lens"], n)
+    n_rounds = int(meta.get("rounds", 0))
+    blob = sections[-1]
+    for r in range(n_rounds - 1, -1, -1):
+        space_b = sections[1 + 3 * r]
+        present_b = sections[2 + 3 * r]
+        symbols = unpack_sections(sections[3 + 3 * r])
+        blob = _fsst_round_decode(blob, space_b, present_b, symbols)
+    return lengths, blob
 
 
 BYTES_CODECS = {

@@ -124,10 +124,14 @@ def make_webpages(rows: int, seed: int = SEED) -> pa.Table:
                      "text": text, "lang": lang})
 
 
-def write_webpages(path: str, rows: int, seed: int = SEED) -> str:
+def write_webpages(path: str, rows: int, seed: int = SEED,
+                   row_group_size: int = 8192) -> str:
+    """Small row groups keep the direct-mode planner's task granularity fine
+    (real 100 TB inputs have many files/row groups; one synthetic file
+    needs the same property)."""
     os.makedirs(path, exist_ok=True)
     out = os.path.join(path, "webpages.parquet")
-    pq.write_table(make_webpages(rows, seed), out)
+    pq.write_table(make_webpages(rows, seed), out, row_group_size=row_group_size)
     return out
 
 

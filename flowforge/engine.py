@@ -180,7 +180,13 @@ def encode_table(
     salt_col: str = "url",
     resume: bool = True,
 ) -> DataFrame:
-    """Encode ``df`` into the chunk store at ``out_dir``; returns metrics.
+    """Encode ``df`` into the chunk store at ``out_dir`` (salted mode).
+
+    Salted mode shuffles once on pmod(xxhash64(salt_col), S): rows land in
+    deterministic url-hash buckets regardless of input layout — use when the
+    chunk layout must be keyed (bucketed joins on url, re-clustering a
+    skewed upstream). For raw encode of already-stored tables prefer
+    :func:`encode_path` (direct mode, zero shuffle).
 
     The returned DataFrame is lazy — calling an action on it runs the job.
     ``resume=True`` skips buckets already committed in the manifest
@@ -214,6 +220,126 @@ def encode_table(
 def run_encode(spark: SparkSession, df: DataFrame, out_dir: str, **kw) -> list:
     """Eager convenience: run the encode job, return collected metric rows."""
     return encode_table(spark, df, out_dir, **kw).collect()
+
+
+# --------------------------------------------------------------------------
+# direct (no-shuffle) encode: plan buckets from parquet row-group metadata
+# --------------------------------------------------------------------------
+
+def plan_direct(src: str | list[str], target_rows: int) -> list[dict]:
+    """Deterministic bucket plan from parquet footers: each bucket is a run
+    of contiguous row groups of one file totaling >= target_rows.
+
+    This is how a 100 TB encode actually runs: no shuffle — every task scans
+    its own splits (Iceberg/parquet scan-task analog) and encodes locally.
+    Skew is defused by byte-balanced row groups instead of a salt; the plan
+    depends only on the input footers, so resume is exact.
+    """
+    import glob as globmod
+
+    if isinstance(src, str):
+        files = sorted(globmod.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
+    else:
+        files = sorted(src)
+    plan: list[dict] = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        rgs: list[int] = []
+        rows = 0
+        for i in range(md.num_row_groups):
+            rgs.append(i)
+            rows += md.row_group(i).num_rows
+            if rows >= target_rows:
+                plan.append({"bucket": len(plan), "file": path,
+                             "row_groups": rgs, "n_rows": rows})
+                rgs, rows = [], 0
+        if rgs:
+            plan.append({"bucket": len(plan), "file": path,
+                         "row_groups": rgs, "n_rows": rows})
+    return plan
+
+
+def _make_direct_kernel(out_dir: str, chunk_rows: int, sort_col: str | None,
+                        columns: list[str] | None):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        metrics: list[dict] = []
+        for batch in batches:
+            for row in batch.to_pylist():
+                pf = pq.ParquetFile(row["file"])
+                tbl = pf.read_row_groups(list(row["row_groups"]), columns=columns)
+                if sort_col:
+                    tbl = tbl.sort_by(sort_col)
+                metrics.extend(
+                    _encode_bucket(out_dir, int(row["bucket"]), tbl, chunk_rows)
+                )
+        if metrics:
+            yield pa.RecordBatch.from_pylist(metrics, schema=_METRICS_ARROW)
+
+    return kernel
+
+
+def encode_path(
+    spark: SparkSession,
+    src: str | list[str],
+    out_dir: str,
+    *,
+    target_rows: int | None = None,
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    sort_col: str | None = None,
+    columns: list[str] | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Direct (no-shuffle) encode of parquet file(s) into the chunk store.
+
+    Each task reads its planned row groups straight from the source and
+    encodes them locally — the data never crosses an exchange. At 1000
+    executors this is a pure scan+encode map job; wall time scales with
+    executors until the source storage saturates. Bucket content is already
+    deterministic (fixed row-group ranges of a fixed file), so no sort is
+    needed for resume; natural order usually compresses better too
+    (near-sorted timestamps -> delta codec, adjacent repetitive html ->
+    runs). Pass ``sort_col`` to re-cluster inside a bucket when the source
+    order is adversarial.
+    """
+    if target_rows is None:
+        par = int(spark.sparkContext.defaultParallelism)
+        probe = plan_direct(src, 1)  # finest-grain plan to learn total rows
+        total = sum(p["n_rows"] for p in probe)
+        target_rows = max(DEFAULT_CHUNK_ROWS // 8, total // max(1, par * 2))
+    plan = plan_direct(src, target_rows)
+    if not plan:
+        raise ValueError(f"no parquet row groups found under {src!r}")
+    manifest = Manifest(out_dir)
+    sample_df = spark.read.parquet(plan[0]["file"])
+    use_cols = columns or sample_df.columns
+    manifest.write_table_meta({
+        "columns": use_cols,
+        "spark_schema": sample_df.select(*use_cols).schema.jsonValue(),
+        "buckets": len(plan),
+        "chunk_rows": chunk_rows,
+        "mode": "direct",
+        "sort_col": sort_col,
+    })
+    committed = manifest.committed_buckets() if resume else set()
+    todo = [p for p in plan if p["bucket"] not in committed]
+    if not todo:
+        return spark.createDataFrame([], METRICS_SCHEMA)
+    plan_schema = T.StructType([
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("file", T.StringType(), False),
+        T.StructField("row_groups", T.ArrayType(T.IntegerType()), False),
+    ])
+    plan_df = spark.createDataFrame(
+        [(p["bucket"], p["file"], p["row_groups"]) for p in todo], plan_schema
+    ).repartition(len(todo))
+    return plan_df.mapInArrow(
+        _make_direct_kernel(out_dir, chunk_rows, sort_col, columns), METRICS_SCHEMA
+    )
+
+
+def run_encode_path(spark: SparkSession, src: str | list[str], out_dir: str, **kw) -> list:
+    """Eager convenience for :func:`encode_path`."""
+    return encode_path(spark, src, out_dir, **kw).collect()
 
 
 # --------------------------------------------------------------------------

@@ -67,13 +67,17 @@ def bytes_stats(arr: pa.Array) -> dict:
             "entropy": _entropy(data), "data_bytes": int(lengths.sum())}
 
 
+def _ndv_ratio(stats: dict) -> float:
+    # ndv is measured on a <=4096-row sample; compare against the sample size
+    sample_n = max(1, min(stats["n"], 4096))
+    return stats["ndv"] / sample_n
+
+
 def _candidates_int(stats: dict) -> list[str]:
-    cands = ["forbp"]
-    if stats["sorted_frac"] > 0.9:
-        cands.append("deltazz")
+    cands = ["forbp", "deltazz"]  # both cheap; deltazz wins on small deltas
     if stats["run_frac"] < 0.5:
         cands.append("rle")
-    if stats["ndv"] <= max(1, stats["n"] // 8) or stats["ndv"] < 4096:
+    if _ndv_ratio(stats) < 0.5:
         cands.append("dict")
     cands.append("plain")
     return cands
@@ -81,7 +85,7 @@ def _candidates_int(stats: dict) -> list[str]:
 
 def _candidates_bytes(stats: dict) -> list[str]:
     cands = []
-    if stats["ndv"] <= max(1, min(stats["n"], 4096) // 4):
+    if _ndv_ratio(stats) < 0.5:
         cands.append("dict")
     if stats["run_frac"] < 0.5:
         cands.append("rle")

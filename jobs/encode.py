@@ -25,22 +25,34 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", choices=["direct", "salted"], default="direct",
+                    help="direct: no-shuffle scan-task encode (default); "
+                         "salted: one shuffle onto url-hash buckets")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--chunk-rows", type=int, default=engine.DEFAULT_CHUNK_ROWS)
     ap.add_argument("--salt-col", default="url")
+    ap.add_argument("--sort-col", default=None,
+                    help="direct mode: optional per-bucket re-cluster column")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("flowforge-encode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    df = spark.read.parquet(args.input)
 
     t0 = time.time()
-    metrics = engine.run_encode(
-        spark, df, args.out,
-        buckets=args.buckets, chunk_rows=args.chunk_rows,
-        salt_col=args.salt_col, resume=not args.no_resume,
-    )
+    if args.mode == "direct":
+        metrics = engine.run_encode_path(
+            spark, args.input, args.out,
+            chunk_rows=args.chunk_rows, sort_col=args.sort_col or None,
+            resume=not args.no_resume,
+        )
+    else:
+        df = spark.read.parquet(args.input)
+        metrics = engine.run_encode(
+            spark, df, args.out,
+            buckets=args.buckets, chunk_rows=args.chunk_rows,
+            salt_col=args.salt_col, resume=not args.no_resume,
+        )
     wall = time.time() - t0
 
     rep = engine.compression_report(spark, args.out)

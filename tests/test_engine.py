@@ -130,3 +130,46 @@ def test_salting_defuses_host_skew(spark, src_df, tmpdir_clean):
     assert len(rows) == 8
     mean = sum(rows) / len(rows)
     assert max(rows) < 1.35 * mean, rows
+
+
+def test_direct_mode_roundtrip_and_resume(spark, tmpdir_clean, tmp_path_factory):
+    """No-shuffle scan-task encode: plan from row-group metadata, encode,
+    decode bit-identical; resume re-encodes only missing buckets."""
+    import glob as globmod
+
+    d = tmp_path_factory.mktemp("direct_src")
+    src = datagen.write_webpages(str(d), ROWS, row_group_size=512)
+    out = os.path.join(tmpdir_clean, "enc_direct")
+    df = spark.read.parquet(src)
+
+    metrics = engine.run_encode_path(spark, src, out, target_rows=512)
+    buckets = {r["bucket"] for r in metrics}
+    assert len(buckets) == ROWS // 512 + (1 if ROWS % 512 else 0)
+
+    decoded = engine.decode_table(spark, out)
+    assert decoded.exceptAll(df).count() == 0
+    assert df.exceptAll(decoded).count() == 0
+
+    # interrupt: remove two commits + their chunk files
+    man = Manifest(out)
+    victims = sorted(buckets)[:2]
+    for b in victims:
+        os.remove(os.path.join(man.dir, f"commit-{b}.json"))
+        for f in globmod.glob(os.path.join(out, "chunks", "column=*", f"bucket-{b:06d}.parquet")):
+            os.remove(f)
+    m2 = engine.run_encode_path(spark, src, out, target_rows=512)
+    assert {r["bucket"] for r in m2} == set(victims)
+    decoded2 = engine.decode_table(spark, out)
+    assert decoded2.exceptAll(df).count() == 0
+
+    # fully committed -> noop
+    assert engine.run_encode_path(spark, src, out, target_rows=512) == []
+
+
+def test_direct_plan_deterministic(tmp_path_factory):
+    d = tmp_path_factory.mktemp("plan_src")
+    src = datagen.write_webpages(str(d), 2000, row_group_size=256)
+    p1 = engine.plan_direct(src, 512)
+    p2 = engine.plan_direct(src, 512)
+    assert p1 == p2
+    assert sum(p["n_rows"] for p in p1) == 2000
