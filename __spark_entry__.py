@@ -44,15 +44,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # engine round-trip (lossless encode->decode proven vs source oracle)
         "roundtrip_doc_text_md5": Q.q_roundtrip_doc_text_md5,
         "roundtrip_doc_lang_counts": Q.q_roundtrip_doc_lang_counts,
         "roundtrip_events_fingerprint": Q.q_roundtrip_events_fingerprint,
+        # reference-parity normalize/enrich (SURVEY §2 P1-P4, E1-E5, F1, R1)
         "normalize_promote": Q.q_normalize_promote,
         "enrich_time_parts": Q.q_enrich_time_parts,
         "enrich_network": Q.q_enrich_network,
         "enrich_service": Q.q_enrich_service,
         "filter_known_types": Q.q_filter_known_types,
         "route_buckets": Q.q_route_buckets,
+        # training-data pipeline: text analysis
+        "token_counts": Q.q_token_counts,
+        "text_quality": Q.q_text_quality,
+        "lang_id": Q.q_lang_id,
+        "doc_fingerprint": Q.q_doc_fingerprint,        # rows-only
+        # training-data pipeline: deduplication
+        "dedup_exact": Q.q_dedup_exact,
+        "ngram_jaccard": Q.q_ngram_jaccard,
+        "minhash_lsh": Q.q_minhash_lsh,                # rows-only
+        "simhash_near_dups": Q.q_simhash_near_dups,    # rows-only
+        # training-data pipeline: similarity search
+        "ann_cosine_scores": Q.q_ann_cosine_scores,
+        "cosine_dup_pairs": Q.q_cosine_dup_pairs,
+        "ann_lsh_topk": Q.q_ann_lsh_topk,              # rows-only
+        # multimodal plumbing
+        "multimodal_features": Q.q_multimodal_features,  # rows-only
     }
 
 
@@ -123,4 +141,108 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT user_id) AS BIGINT) AS users "
             "FROM events GROUP BY event_id % 8"
         ),
+        "token_counts": (
+            r"SELECT doc_id, "
+            r"CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            r"ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS tokens, "
+            r"CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens "
+            r"FROM documents"
+        ),
+        "text_quality": _text_quality_oracle(),
+        "lang_id": _lang_id_oracle(),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS dups FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_jaccard": _ngram_jaccard_oracle(),
+        # cosine oracles use an explicit double fold (list_transform+list_sum)
+        # mirroring Spark's sequential aggregate — DuckDB's builtin
+        # list_cosine_similarity accumulates in float32 (1e-7 drift, flips
+        # floor boundaries); the explicit form agrees to 6e-17 (verified)
+        "ann_cosine_scores": (
+            f"SELECT vec_id, CAST(floor({_cos_sql('embedding', _query_vec_sql())} * 1e5) AS BIGINT) "
+            f"AS cos_m FROM embeddings"
+        ),
+        "cosine_dup_pairs": (
+            f"WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"{_cos_sql('a.embedding', 'b.embedding')} AS c "
+            f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 500 AND b.vec_id < 500) "
+            f"SELECT id_a, id_b, CAST(floor(c * 1e5) AS BIGINT) AS cos_m "
+            f"FROM p WHERE floor(c * 1e5) >= 35000"
+        ),
     }
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """Cosine in explicit double arithmetic (matches Spark's fold order)."""
+    def dot(x, y):
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> CAST(({x})[i] AS DOUBLE) * CAST(({y})[i] AS DOUBLE)))")
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def _query_vec_sql() -> str:
+    return "[" + ", ".join(f"{v}" for v in Q._query_vector(Q.QUERY_VEC_DIM)) + "]"
+
+
+def _text_quality_oracle() -> str:
+    tokens = (
+        r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+        r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+    )
+    punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    pr = f"({punct} / greatest(length(text), 1))"
+    mean_word = f"(length(text) / greatest({tokens}, 1))"
+    len_ok = "CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END"
+    word_ok = f"CASE WHEN {mean_word} >= 3 AND {mean_word} <= 12 THEN 1.0 ELSE 0.0 END"
+    punct_ok = f"CASE WHEN {pr} < 0.1 THEN 1.0 ELSE 0.0 END"
+    return (
+        f"SELECT doc_id, CAST(floor({pr} * 1e6) AS BIGINT) AS punct_ratio_m, "
+        f"CAST(floor((({len_ok}) + ({word_ok}) + ({punct_ok})) / 3.0 * 1e6) AS BIGINT) AS quality_m "
+        f"FROM documents"
+    )
+
+
+def _lang_id_oracle() -> str:
+    from flowforge.functions.textops import LANG_NGRAMS
+
+    score_exprs = {
+        lang: " + ".join(f"len(regexp_extract_all(text, '{g}'))" for g in grams)
+        for lang, grams in LANG_NGRAMS.items()
+    }
+    scores_sql = ", ".join(f"({e}) AS s_{lang}" for lang, e in score_exprs.items())
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_NGRAMS) + ")"
+    # tie-break mirrors Spark greatest(struct(score, lang)): lex-largest lang
+    chain = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in sorted(LANG_NGRAMS, reverse=True)
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {scores_sql} FROM documents), "
+        f"mm AS (SELECT doc_id, {m} AS m, * FROM s) "
+        f"SELECT doc_id, CASE WHEN m > 0 THEN (CASE {chain} END) ELSE 'other' END AS lang_pred "
+        f"FROM mm"
+    )
+
+
+def _ngram_jaccard_oracle(n: int = 2, threshold: float = 0.05) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM documents WHERE doc_id < 500
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(words) - {n - 1}, 1) + 1),
+                       i -> words[i] || ' ' || words[i + 1])) AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS common
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(floor(common / (n_a + n_b - common) * 1e6) AS BIGINT) AS jaccard_m
+FROM pairs
+WHERE floor(common / (n_a + n_b - common) * 1e6) >= {threshold} * 1e6
+"""

@@ -47,6 +47,9 @@ from .codecs import chunk as chunklib
 
 BUCKET_COL = "__ff_bucket"
 DEFAULT_CHUNK_ROWS = 65_536
+# bump whenever any codec's payload layout changes — decode refuses a store
+# written by a different format instead of failing deep inside a kernel
+FORMAT_VERSION = 2
 
 METRICS_SCHEMA = T.StructType([
     T.StructField("bucket", T.LongType(), False),
@@ -196,6 +199,7 @@ def encode_table(
         buckets = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
     manifest = Manifest(out_dir)
     manifest.write_table_meta({
+        "format": FORMAT_VERSION,
         "columns": df.columns,
         "spark_schema": df.schema.jsonValue(),
         "buckets": buckets,
@@ -313,6 +317,7 @@ def encode_path(
     sample_df = spark.read.parquet(plan[0]["file"])
     use_cols = columns or sample_df.columns
     manifest.write_table_meta({
+        "format": FORMAT_VERSION,
         "columns": use_cols,
         "spark_schema": sample_df.select(*use_cols).schema.jsonValue(),
         "buckets": len(plan),
@@ -386,6 +391,12 @@ def decode_table(
     """
     manifest = Manifest(out_dir)
     meta = manifest.read_table_meta()
+    fmt = int(meta.get("format", 1))
+    if fmt != FORMAT_VERSION:
+        raise ValueError(
+            f"chunk store at {out_dir} has format v{fmt}; this build reads "
+            f"v{FORMAT_VERSION} — re-encode the store"
+        )
     all_columns = meta["columns"]
     columns = columns or all_columns
     unknown = [c for c in columns if c not in all_columns]

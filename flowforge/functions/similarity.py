@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>), Spark-first.
+
+- brute-force cosine top-k: the exactness baseline — F.zip_with/aggregate
+  dot products, JVM-side; a single pass + top-k (no all-pairs when one
+  side is a literal query vector).
+- cosine self-join pairs: near-dup detection over embeddings.
+- LSH (random hyperplanes): the scale path — sign-bit signature ->
+  bucket equi-join; only intra-bucket candidates get exact scoring.
+
+At 10^12 rows the LSH variant is the only viable plan (bucket join =
+shuffle on key); brute force stays as the oracle for recall tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                query: list[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector. One scan,
+    partial top-k per partition (Spark's sort+limit is a TakeOrdered)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                 threshold: float) -> DataFrame:
+    """All pairs with cosine >= threshold (exact; quadratic — oracle use)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    c = cosine(F.col("va"), F.col("vb"))
+    # raw double — callers quantize; pre-rounding here would double-round
+    return pairs.select("id_a", "id_b", c.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+
+
+def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 11):
+    """Sign-bit LSH signature: one int64 of hyperplane signs (vectorized
+    matmul per Arrow batch)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf(T.LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes) > 0
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        sig = (signs.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+        return pd.Series(sig.view(np.int64))
+
+    return signature
+
+
+def ann_lsh_topk(df: DataFrame, vec_col: str, id_col: str,
+                 query: list[float], k: int = 10, n_planes: int = 12,
+                 max_hamming: int = 2) -> DataFrame:
+    """Approximate NN: restrict exact scoring to vectors whose hyperplane
+    signature is within a Hamming ball of the query's signature.
+
+    At scale the signature is a stored/bucketed column: the filter prunes
+    the scan (predicate pushdown on signature bucket), then exact cosine
+    ranks the survivors."""
+    dim = len(query)
+    sig_udf = make_hyperplane_udf(dim, n_planes)
+    rng = np.random.default_rng(11)
+    planes = rng.standard_normal((dim, n_planes))
+    qsig = int(((np.asarray(query) @ planes) > 0).astype(np.uint64)
+               @ (np.uint64(1) << np.arange(n_planes, dtype=np.uint64)))
+    with_sig = df.select(F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("sig"))
+    cand = with_sig.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    )
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -161,3 +161,121 @@ def q_route_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"), F.countDistinct("user_id").alias("users"))
     )
+
+
+# --- training-data pipeline family ---------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import textops
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("tokens"),
+        textops.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import textops
+    d = _table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.floor(textops.punct_ratio(F.col("text")) * 1e6).alias("punct_ratio_m"),
+        F.floor(textops.quality_score(F.col("text")) * 1e6).alias("quality_m"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import textops
+    d = _table(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints (rows-only: custom hash, no SQL analog)."""
+    from .functions import textops
+    d = _table(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import dedup
+    d = _table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "text", "doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped to doc_id<500: the synthetic corpus has a tiny vocabulary, so
+    every shingle is hot and the self-join is quadratic at sf>=0.1; the cap
+    keeps the contract query bounded while exercising the full operator
+    (the oracle applies the identical cap)."""
+    from .functions import dedup
+    d = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.05)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (rows-only: seeded permutations, no SQL analog)."""
+    from .functions import dedup
+    d = _table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d, "doc_id", "text", num_hashes=32, bands=16, shingle_n=2)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    from .functions import dedup
+    d = _table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=8)
+
+
+QUERY_VEC_DIM = 64  # embeddings table dim (verified in testdata)
+
+
+def _query_vector(dim: int) -> list[float]:
+    import numpy as np
+    rng = np.random.default_rng(123)
+    v = rng.standard_normal(dim)
+    return [float(f"{x:.6f}") for x in v]  # literal-stable
+
+
+def q_ann_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine of every vector vs a fixed literal query (floored)."""
+    from .functions import similarity
+    e = _table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(v) for v in _query_vector(QUERY_VEC_DIM)])
+    return e.select(
+        "vec_id",
+        F.floor(similarity.cosine(F.col("embedding"), q) * 1e5).alias("cos_m"),
+    )
+
+
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.35 over a self-join."""
+    from .functions import similarity
+    e = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    pairs = similarity.cosine_pairs(e, "embedding", "vec_id", threshold=-2.0)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cos") * 1e5).alias("cos_m")
+    ).filter(F.col("cos_m") >= 35000)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (rows-only: seeded hyperplanes)."""
+    from .functions import similarity
+    e = _table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        e, "embedding", "vec_id", _query_vector(QUERY_VEC_DIM), k=10,
+        n_planes=12, max_hamming=4,
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature-extraction plumbing (rows-only: synthetic media)."""
+    from .functions import multimodal
+    media = multimodal.synth_media(spark, 96)
+    feats = multimodal.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(F.count("*").alias("cnt"), F.sum("n_bytes").alias("total_bytes"))
+        .orderBy("kind")
+    )

@@ -1,0 +1,144 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flowforge.functions import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (3, "completely different content about spark engines"),
+        (4, "spark engines process completely different content"),   # shares words
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept and 1 not in kept  # min-id winner
+    assert {2, 3, 4, 5} <= kept
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_m"] for r in pairs.collect()}
+    assert got[(0, 1)] == 1_000_000  # identical -> jaccard 1
+    assert (0, 2) in got and got[(0, 2)] >= 300_000  # near dup
+    assert (3, 4) not in got or got[(3, 4)] < 1_000_000
+
+
+def test_minhash_lsh_recall(spark, docs):
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id", "text",
+                                        num_hashes=32, bands=16, shingle_n=2)
+    got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (0, 1) in got  # identical docs always collide
+    assert (0, 2) in got  # high-jaccard pair collides with 16 bands of 2
+
+
+def test_minhash_deterministic(spark, docs):
+    mh = dedup.make_minhash_udf(16, 2)
+    a = docs.select(mh(F.col("text")).alias("s")).collect()
+    b = docs.select(mh(F.col("text")).alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=16)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0  # identical -> same simhash
+    if (0, 2) in got:
+        assert got[(0, 2)] <= 16
+
+
+def test_cosine_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.cosine_topk(df, "embedding", "vec_id", [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert abs(top[0]["cos"] - 1.0) < 1e-12
+
+    pairs = similarity.cosine_pairs(df, "embedding", "vec_id", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_ann_lsh_matches_bruteforce_top1(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = rows[17][1]  # exact member -> cosine 1 with itself
+    exact = similarity.cosine_topk(df, "embedding", "vec_id", query, k=1).collect()
+    approx = similarity.ann_lsh_topk(df, "embedding", "vec_id", query, k=1,
+                                     n_planes=12, max_hamming=2).collect()
+    assert exact[0]["vec_id"] == 17
+    assert approx[0]["vec_id"] == 17  # own bucket always within hamming 0
+
+
+def test_textops_expressions(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog."), (1, ""), (2, "  a  b  ")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("tok"),
+        textops.stopword_ratio(F.col("text")).alias("sw"),
+        textops.punct_ratio(F.col("text")).alias("pr"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["tok"] == 5
+    assert by_id[1]["tok"] == 0
+    assert by_id[2]["tok"] == 2
+    assert abs(by_id[0]["sw"] - 3 / 5) < 1e-12  # the, and, the
+    assert by_id[0]["pr"] > 0
+
+
+def test_lang_id_on_characteristic_text(spark):
+    df = spark.createDataFrame(
+        [(0, "der die und sch ich"), (1, "the running tion er an"), (2, "xxxxx")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", textops.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "de"
+    assert out[1] == "en"
+    assert out[2] == "other"
+
+
+def test_fingerprint_order_sensitive_and_stable():
+    a = textops._fingerprint_bytes(b"hello world")
+    b = textops._fingerprint_bytes(b"world hello")
+    assert a != b
+    assert a == textops._fingerprint_bytes(b"hello world")
+    assert textops._fingerprint_bytes(b"") == 0
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 16
+        total = sum(r["feature"])
+        assert r["n_bytes"] == 0 or abs(total - 1.0) < 1e-5  # normalized histogram
+    plan = multimodal.frame_sample_plan(media, every_ms=5000)
+    assert plan.filter(F.col("frame_ms") % 5000 != 0).count() == 0
+    # stub decode raises cleanly
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        multimodal.extract_features(media, real_decode=True).collect()
