@@ -55,6 +55,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_service": Q.q_enrich_service,
         "filter_known_types": Q.q_filter_known_types,
         "route_buckets": Q.q_route_buckets,
+        # relational operators (SURVEY §2.2 categories, DuckDB-oracled)
+        "window_running": Q.q_window_running,
+        "topk_users": Q.q_topk_users,
+        "rollup_lang_source": Q.q_rollup_lang_source,
+        "join_orders_by_nation": Q.q_join_orders_by_nation,
+        "anti_customers_no_orders": Q.q_anti_customers_no_orders,
+        "semi_parts_shipped": Q.q_semi_parts_shipped,
+        "range_join_late_lines": Q.q_range_join_late_lines,
+        "except_doc_slices": Q.q_except_doc_slices,
         # training-data pipeline: text analysis
         "token_counts": Q.q_token_counts,
         "text_quality": Q.q_text_quality,
@@ -140,6 +149,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS users "
             "FROM events GROUP BY event_id % 8"
+        ),
+        "window_running": (
+            "SELECT event_id, "
+            "CAST(row_number() OVER w AS INT) AS seq, "
+            "lag(event_id) OVER w AS prev_event_id, "
+            "sum(CAST(floor(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value_c "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "topk_users": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c "
+            "FROM events GROUP BY user_id "
+            "ORDER BY cnt DESC, sum_value_c DESC, user_id ASC LIMIT 20"
+        ),
+        "rollup_lang_source": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "join_orders_by_nation": (
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS orders, "
+            "CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price_fl "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "anti_customers_no_orders": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS no_order_customers "
+            "FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+            "GROUP BY c_mktsegment"
+        ),
+        "semi_parts_shipped": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS shipped_parts "
+            "FROM part p WHERE EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey) "
+            "GROUP BY p_brand"
+        ),
+        "range_join_late_lines": (
+            "SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, "
+            "CAST(count(*) AS BIGINT) AS late_lines, "
+            "CAST(sum(floor(l_extendedprice)) AS BIGINT) AS sum_price_fl "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE date_diff('day', o_orderdate, l_shipdate) BETWEEN 60 AND 120 "
+            "GROUP BY strftime(l_shipdate, '%Y-%m')"
+        ),
+        "except_doc_slices": (
+            "SELECT lang, source FROM documents WHERE doc_id % 2 = 0 "
+            "EXCEPT ALL "
+            "SELECT lang, source FROM documents WHERE lang = 'en'"
         ),
         "token_counts": (
             r"SELECT doc_id, "

@@ -182,6 +182,8 @@ def encode_table(
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     salt_col: str = "url",
     resume: bool = True,
+    bucket_offset: int = 0,
+    write_meta: bool = True,
 ) -> DataFrame:
     """Encode ``df`` into the chunk store at ``out_dir`` (salted mode).
 
@@ -194,24 +196,33 @@ def encode_table(
     The returned DataFrame is lazy — calling an action on it runs the job.
     ``resume=True`` skips buckets already committed in the manifest
     (interrupted runs continue from the last committed checkpoint).
+
+    ``bucket_offset`` shifts the bucket-id namespace (streaming micro-batches
+    map batch_id -> disjoint id ranges, flowforge.streaming); ``write_meta``
+    is disabled for incremental appends after the first batch.
     """
     if buckets is None:
         buckets = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
     manifest = Manifest(out_dir)
-    manifest.write_table_meta({
-        "format": FORMAT_VERSION,
-        "columns": df.columns,
-        "spark_schema": df.schema.jsonValue(),
-        "buckets": buckets,
-        "chunk_rows": chunk_rows,
-        "salt_col": salt_col,
-    })
+    if write_meta:
+        manifest.write_table_meta({
+            "format": FORMAT_VERSION,
+            "columns": df.columns,
+            "spark_schema": df.schema.jsonValue(),
+            "buckets": buckets,
+            "chunk_rows": chunk_rows,
+            "salt_col": salt_col,
+        })
     committed = manifest.committed_buckets() if resume else set()
-    todo = [b for b in range(buckets) if b not in committed]
+    todo = [b for b in range(bucket_offset, bucket_offset + buckets)
+            if b not in committed]
     if not todo:
         return spark.createDataFrame([], METRICS_SCHEMA)
 
-    salted = df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)))
+    salted = df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)) + F.lit(bucket_offset),
+    )
     if len(todo) < buckets:
         salted = salted.filter(F.col(BUCKET_COL).isin(todo))
     planned = (

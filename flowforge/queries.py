@@ -279,3 +279,115 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.sum("n_bytes").alias("total_bytes"))
         .orderBy("kind")
     )
+
+
+# --- relational operator family (SURVEY §2.2 categories) ----------------------
+# The reference implements none of these (it is an ETL pipeline, SURVEY §2.2);
+# the engine exposes them as first-class DataFrame operators with DuckDB
+# oracles so the category coverage is evidenced, not just claimed.
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: row_number + lag (as-of previous event) + running
+    sum per user, ordered by event time (tie-broken by event_id)."""
+    from pyspark.sql import Window
+
+    e = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.sum(F.floor(F.col("value") * 100)).over(running).alias("run_value_c"),
+    )
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit/top-k: 20 busiest users, fully tie-broken (deterministic
+    row SET, so the order-insensitive driver compare is stable)."""
+    e = _table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_c"),
+        )
+        .orderBy(F.desc("cnt"), F.desc("sum_value_c"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+def q_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(lang, source) with subtotal + grand-total rows."""
+    d = _table(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim joins: orders -> customer -> nation, aggregated.
+
+    customer/nation are broadcast (small dims; the E4 port->service map
+    scaled up, SURVEY §2.2) so the fact table never shuffles for the join."""
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    n = _table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("orders"),
+            F.sum(F.floor("o_totalprice")).alias("sum_price_fl"),
+        )
+    )
+
+
+def q_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders, counted per market segment."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("no_order_customers"))
+    )
+
+
+def q_semi_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (the F1 rules-lookup filter as a real join): parts that
+    appear in lineitem, counted per brand."""
+    p = _table(spark, sf_dir, "part")
+    l = _table(spark, sf_dir, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("shipped_parts"))
+    )
+
+
+def q_range_join_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-predicate join: lineitems shipped 60..120 days after
+    their order date, per month of ship date."""
+    l = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60)
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 120)
+    )
+    return (
+        j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("late_lines"),
+            F.sum(F.floor("l_extendedprice")).alias("sum_price_fl"),
+        )
+    )
+
+
+def q_except_doc_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: multiset EXCEPT ALL between two document slices."""
+    d = _table(spark, sf_dir, "documents")
+    a = d.filter(F.pmod("doc_id", F.lit(2)) == 0).select("lang", "source")
+    b = d.filter(F.col("lang") == "en").select("lang", "source")
+    return a.exceptAll(b)

@@ -1,0 +1,99 @@
+"""Structured Streaming ingestion into the chunk store.
+
+The reference is a streaming pipeline: a Kafka consumer whose auto-committed
+offsets are the resume point, feeding buffered per-type Parquet writers
+(core/kafka.go:62-140, core/parquet.go:110-197). The Spark-idiomatic
+restatement is ``readStream -> foreachBatch(encode)``:
+
+- the stream source replaces the Kafka consumer (file source here — no Kafka
+  jar is bundled in this sandbox; on a cluster, swap
+  ``spark.readStream.format("kafka")`` + ``from_json`` in, nothing else
+  changes);
+- the streaming checkpoint replaces consumer-group offsets;
+- each micro-batch encodes into its own disjoint bucket-id range
+  (``batch_id * buckets_per_batch + salt``), so the chunk store accretes
+  exactly like the reference's flush-numbered parquet files
+  (core/parquet.go:229-232) but idempotently: if a batch is replayed after a
+  crash, every already-committed bucket is skipped by the manifest resume
+  protocol — foreachBatch's at-least-once becomes exactly-once without any
+  extra bookkeeping;
+- the triple flush trigger (size/count/interval, core/parquet.go:110-154)
+  maps to the trigger policy: ``availableNow`` drains a backlog batch-style,
+  ``processingTime`` gives the interval behavior; per-batch row caps come
+  from the source (``maxFilesPerTrigger``).
+
+Scale note: at 10^12 docs the stream is the tail of the table — the bulk is
+encoded by the batch job (engine.encode_path); this path keeps the store
+current as new WARC drops land, with the same store layout, the same codecs,
+and the same lineage records.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from . import engine
+
+DEFAULT_BUCKETS_PER_BATCH = 8
+
+
+def stream_encode(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    *,
+    buckets_per_batch: int = DEFAULT_BUCKETS_PER_BATCH,
+    chunk_rows: int = engine.DEFAULT_CHUNK_ROWS,
+    salt_col: str = "url",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuously encode parquet files landing in ``source_dir``.
+
+    Returns the started :class:`StreamingQuery`; with ``available_now`` the
+    caller typically ``awaitTermination()``s to drain the current backlog.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    meta_written = {"done": False}
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.run_encode(
+            spark,
+            batch_df,
+            out_dir,
+            buckets=buckets_per_batch,
+            chunk_rows=chunk_rows,
+            salt_col=salt_col,
+            resume=True,  # replayed batches skip committed buckets
+            bucket_offset=int(batch_id) * buckets_per_batch,
+            write_meta=not meta_written["done"],
+        )
+        meta_written["done"] = True
+
+    writer = stream.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint or os.path.join(out_dir, "_stream_checkpoint"),
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def drain(spark: SparkSession, source_dir: str, out_dir: str, **kw) -> None:
+    """One-shot: encode everything currently in ``source_dir`` and stop."""
+    q = stream_encode(spark, source_dir, out_dir, available_now=True, **kw)
+    q.awaitTermination()

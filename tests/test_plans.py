@@ -1,0 +1,102 @@
+"""Physical-plan shape assertions — the 100 TB claims, tested.
+
+Each test pins a property the engine's scale story depends on (SURVEY §4):
+small dims broadcast (no fact shuffle), filters reach the parquet scan,
+scans prune to the referenced columns, and the encode plan contains exactly
+the one explicit exchange (salted mode) or none (direct mode). A regression
+here is invisible at sf0.01 but catastrophic at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from flowforge import queries as Q  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _formatted(df) -> str:
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _formatted(Q.q_join_orders_by_nation(spark, SF_DIR))
+    # formatted mode lists each node twice (tree + detail) — count detail rows
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the fact table must not shuffle for the join itself
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(Q.q_filter_known_types(spark, SF_DIR))
+    assert "PushedFilters: [In(event_type" in plan, plan
+
+
+def test_column_pruning(spark):
+    plan = _formatted(Q.q_token_counts(spark, SF_DIR))
+    # ReadSchema must carry only the referenced columns
+    lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert lines, plan
+    assert "doc_id" in lines[0] and "text" in lines[0], lines
+    assert "n_chars" not in lines[0] and "source" not in lines[0], lines
+
+
+def test_partial_aggregation(spark):
+    """groupBy compiles to partial (map-side) + final HashAggregate."""
+    plan = _executed(Q.q_route_buckets(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_covers_expressions(spark):
+    plan = _executed(Q.q_enrich_network(spark, SF_DIR))
+    assert "*(1)" in plan, plan  # '*' prefix = inside a WholeStageCodegen stage
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+
+
+def test_salted_encode_has_exactly_one_exchange(spark, tmpdir_clean):
+    from flowforge import engine
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lazy = engine.encode_table(spark, df, tmpdir_clean, salt_col="doc_id", buckets=8)
+    plan = _formatted(lazy)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, plan
+
+
+def test_direct_encode_has_no_data_exchange(spark, tmpdir_clean):
+    from flowforge import engine
+
+    lazy = engine.encode_path(
+        spark, f"{SF_DIR}/documents.parquet", tmpdir_clean, target_rows=10_000
+    )
+    plan = _formatted(lazy)
+    # the only exchange allowed is the roundrobin spread of the tiny plan
+    # rows; the table bytes themselves never cross an exchange
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_semi_and_anti_are_joins_not_products(spark):
+    for q in (Q.q_semi_parts_shipped, Q.q_anti_customers_no_orders):
+        plan = _formatted(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "Join" in plan, plan
+
+
+@pytest.mark.parametrize("qname", ["q_window_running", "q_topk_users"])
+def test_window_and_topk_single_pass(spark, qname):
+    plan = _formatted(getattr(Q, qname)(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
