@@ -48,7 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_doc_text_md5": Q.q_roundtrip_doc_text_md5,
         "roundtrip_doc_lang_counts": Q.q_roundtrip_doc_lang_counts,
         "roundtrip_events_fingerprint": Q.q_roundtrip_events_fingerprint,
-        # reference-parity normalize/enrich (SURVEY §2 P1-P4, E1-E5, F1, R1)
+        # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
+        "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
         "enrich_time_parts": Q.q_enrich_time_parts,
         "enrich_network": Q.q_enrich_network,
@@ -80,6 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": Q.q_ann_lsh_topk,              # rows-only
         # multimodal plumbing
         "multimodal_features": Q.q_multimodal_features,  # rows-only
+        # reference sink/metrics analogs (SURVEY §2 K5, M1)
+        "kafka_output_shape": Q.q_kafka_output_shape,    # rows-only
+        "metrics_lineage": Q.q_metrics_lineage,          # rows-only
     }
 
 
@@ -108,6 +112,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_ms(ts) AS ts_ms, "
             "CAST(floor(value * 100) AS BIGINT) AS value_c, "
             "md5(event_type || '|' || props) AS row_md5 FROM events"
+        ),
+        "json_parse_demux": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k, "
+            "COALESCE(CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END, "
+            "'_path') AS log_type FROM events"
         ),
         "normalize_promote": (
             "SELECT event_id AS flow_id, epoch_ms(ts) AS event_time, "

@@ -64,7 +64,10 @@ def _corpus(lang: str, rng: np.random.Generator, words: int = 60_000) -> str:
     return " ".join(vocab[idx])
 
 
-def make_webpages(rows: int, seed: int = SEED) -> pa.Table:
+def make_webpages(rows: int, seed: int = SEED, id_offset: int = 0) -> pa.Table:
+    """``id_offset`` shifts the row-id space (url ``?id=`` suffix and the
+    timestamp ramp) so independently generated drops — e.g. streaming
+    appends — have disjoint urls, like successive WARC segments."""
     rng = np.random.default_rng(seed)
 
     # --- lang ---
@@ -80,9 +83,9 @@ def make_webpages(rows: int, seed: int = SEED) -> pa.Table:
     tok = np.array(_PATH_TOKENS)
     seg_idx = rng.integers(0, len(tok), size=(rows, 4))
     n_segs = rng.integers(1, 5, size=rows)
-    row_ids = np.arange(rows)
+    row_ids = np.arange(rows) + id_offset
     urls = [
-        f"https://host{h}.example.com/" + "/".join(tok[seg_idx[i, : n_segs[i]]]) + f"?id={i}"
+        f"https://host{h}.example.com/" + "/".join(tok[seg_idx[i, : n_segs[i]]]) + f"?id={i + id_offset}"
         for i, h in enumerate(host_idx)
     ]
     url = pa.array(urls, type=pa.string())
@@ -125,13 +128,14 @@ def make_webpages(rows: int, seed: int = SEED) -> pa.Table:
 
 
 def write_webpages(path: str, rows: int, seed: int = SEED,
-                   row_group_size: int = 8192) -> str:
+                   row_group_size: int = 8192, id_offset: int = 0) -> str:
     """Small row groups keep the direct-mode planner's task granularity fine
     (real 100 TB inputs have many files/row groups; one synthetic file
     needs the same property)."""
     os.makedirs(path, exist_ok=True)
     out = os.path.join(path, "webpages.parquet")
-    pq.write_table(make_webpages(rows, seed), out, row_group_size=row_group_size)
+    pq.write_table(make_webpages(rows, seed, id_offset=id_offset), out,
+                   row_group_size=row_group_size)
     return out
 
 

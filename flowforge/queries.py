@@ -391,3 +391,66 @@ def q_except_doc_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.filter(F.pmod("doc_id", F.lit(2)) == 0).select("lang", "source")
     b = d.filter(F.col("lang") == "en").select("lang", "source")
     return a.exceptAll(b)
+
+
+def q_kafka_output_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 analog (rows-only): the reference's 3-layer Kafka JSON output
+    (source, log_type, raw/normalized/enriched, core/kafka_producer.go:15-96)
+    re-expressed as to_json(struct(...)) with key = log_type — the exact
+    shape a `.write.format("kafka")` sink would send."""
+    e = _table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    payload = F.to_json(
+        F.struct(
+            F.lit("flowforge").alias("source"),
+            F.col("event_type").alias("log_type"),
+            F.struct(F.col("props").alias("raw_log")).alias("raw"),
+            F.struct(
+                F.col("event_id").alias("flow_id"), ms.alias("event_time")
+            ).alias("normalized"),
+            F.struct(
+                F.year(F.col("ts")).alias("event_year"),
+                F.dayofweek(F.col("ts")).alias("event_weekday_spark"),
+            ).alias("enriched"),
+        )
+    )
+    return e.select(
+        F.col("event_type").alias("key"),
+        F.md5(payload).alias("value_md5"),
+        F.length(payload).alias("value_len"),
+    )
+
+
+def q_metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 analog (rows-only): per-codec lineage/throughput report aggregated
+    from the chunk store's manifest (the reference's health metrics,
+    main.go:355-419, persisted instead of logged)."""
+    out = _store_path(sf_dir, "documents")
+    df = _table(spark, sf_dir, "documents")
+    engine.run_encode(spark, df, out, salt_col="doc_id")
+    m = engine.metrics_table(spark, out)
+    return (
+        m.groupBy("codecs")
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.count("*").alias("chunk_groups"),
+        )
+        .orderBy("codecs")
+    )
+
+
+def q_json_parse_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON payload parse + log-type detection cascade
+    (core/kafka.go:79-124 parity: flat field, else fallback source)."""
+    e = _table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    flat = F.when(F.pmod("event_id", F.lit(11)) == 0, F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.coalesce(flat, F.lit("_path")).alias("log_type"),
+    )

@@ -17,9 +17,13 @@ sys.path.insert(0, "/root/repo")
 from flowforge import datagen, engine, streaming  # noqa: E402
 
 
-def _write_file(src_dir: str, name: str, rows: int, seed: int) -> None:
+def _write_file(src_dir: str, name: str, rows: int, seed: int,
+                id_offset: int = 0) -> None:
     os.makedirs(src_dir, exist_ok=True)
-    pq.write_table(datagen.make_webpages(rows, seed=seed), os.path.join(src_dir, name))
+    pq.write_table(
+        datagen.make_webpages(rows, seed=seed, id_offset=id_offset),
+        os.path.join(src_dir, name),
+    )
 
 
 def _decoded_urls(spark, out):
@@ -30,7 +34,7 @@ def test_stream_drain_then_incremental(spark, tmpdir_clean):
     src = os.path.join(tmpdir_clean, "src")
     out = os.path.join(tmpdir_clean, "store")
     _write_file(src, "a.parquet", 400, seed=1)
-    _write_file(src, "b.parquet", 300, seed=2)
+    _write_file(src, "b.parquet", 300, seed=2, id_offset=400)
 
     streaming.drain(spark, src, out, buckets_per_batch=4)
 
@@ -47,7 +51,7 @@ def test_stream_drain_then_incremental(spark, tmpdir_clean):
     assert len(Manifest(out).committed_buckets()) == n_commits_1
 
     # a late-arriving file is picked up incrementally, store stays consistent
-    _write_file(src, "c.parquet", 200, seed=3)
+    _write_file(src, "c.parquet", 200, seed=3, id_offset=700)
     streaming.drain(spark, src, out, buckets_per_batch=4)
     expect = {r["url"] for r in spark.read.parquet(src).select("url").collect()}
     assert _decoded_urls(spark, out) == expect
