@@ -61,8 +61,19 @@ def _store_path(sf_dir: str, table: str) -> str:
 
 def decoded(spark: SparkSession, sf_dir: str, table: str, salt_col: str) -> DataFrame:
     """Encode the testdata table into a cached chunk store (resume makes
-    repeat calls a no-op) and return the decoded DataFrame."""
+    repeat calls a no-op) and return the decoded DataFrame.
+
+    A cached store written by an older codec format (or torn by a crash) is
+    wiped and re-encoded instead of failing the query."""
+    import shutil
+
     out = _store_path(sf_dir, table)
+    try:
+        meta = engine.Manifest(out).read_table_meta()
+        if int(meta.get("format", 0)) != engine.FORMAT_VERSION:
+            raise ValueError("stale format")
+    except (OSError, ValueError, KeyError):
+        shutil.rmtree(out, ignore_errors=True)
     df = _table(spark, sf_dir, table)
     engine.run_encode(spark, df, out, salt_col=salt_col)
     return engine.decode_table(spark, out)

@@ -117,21 +117,33 @@ def encode_best(arr: pa.Array) -> tuple[bytes, dict]:
     valid = arr.drop_null() if arr.null_count else arr
     if chunk.is_bytes_type(arr.type):
         stats = bytes_stats(valid)
-        cands = _candidates_bytes(stats)
+        cands = [c for c in _candidates_bytes(stats) if c != "plain"]
         best = None
         for name in cands:
             payload, meta = chunk.encode_array(arr, name)
             if best is None or len(payload) < len(best[0]):
                 best = (payload, meta)
+        # plain is judged analytically first — materializing it copies the
+        # whole blob, which on large text chunks costs real wall time just
+        # to lose to FSST; it is only encoded if it can actually win
+        n_rows = len(arr)
+        data_len = int(pc.sum(pc.binary_length(valid)).as_py() or 0)
+        raw = data_len + 8 * n_rows
+        plain_gate = data_len + 2 * n_rows + 32   # realistic size estimate
+        plain_floor = data_len + 16               # provable lower bound
         # FSST family is expensive: gate on a bounded sample trial
         if stats["data_bytes"] > 0 and stats["entropy"] < 7.6:
             sample_ratio = _fsst_sample_ratio(valid)
-            best_ratio = len(best[0]) / meta_raw_bytes(best[1])
-            if sample_ratio < best_ratio * _FSST_TRY_THRESHOLD:
+            bench = min(len(best[0]) if best else plain_gate, plain_gate)
+            if sample_ratio < (bench / max(1, raw)) * _FSST_TRY_THRESHOLD:
                 fsst_name = "hybrid" if stats["run_frac"] < 0.5 else "fsst"
                 payload, meta = chunk.encode_array(arr, fsst_name)
-                if len(payload) < len(best[0]):
+                if best is None or len(payload) < len(best[0]):
                     best = (payload, meta)
+        if best is None or plain_floor < len(best[0]):
+            payload, meta = chunk.encode_array(arr, "plain")
+            if best is None or len(payload) < len(best[0]):
+                best = (payload, meta)
     else:
         values = chunk._to_int64(valid)
         stats = int_stats(values)
