@@ -61,22 +61,31 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles -> self equi-join on shingle (shuffle
     on shingle hash; hot shingles are the skew risk — AQE skew-join splits
-    them) -> count common shingles per pair -> jaccard = c/(a+b-c)."""
+    them) -> count common shingles per pair -> jaccard = c/(a+b-c).
+
+    ⚠ Catalyst pitfall (measured 10x): do NOT put ``size(shingles(...))``
+    next to ``explode(shingles(...))`` in one select — CollapseProject
+    inlines the non-generator expression into the Generate's output
+    projection and re-evaluates the whole transform+array_distinct once per
+    EXPLODED row. Shingle counts are instead recovered from the exploded
+    rows themselves (the array is distinct per doc, so count(*) per doc ==
+    size of the array) and joined back — broadcast-sized at any scale where
+    the pair aggregation itself is feasible."""
     sh = df.select(
         F.col(id_col).alias("doc"),
-        F.size(shingles(F.col(text_col), n)).alias("n_sh"),
         F.explode(shingles(F.col(text_col), n)).alias("sh"),
     )
+    counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("common"))
+        .join(counts.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(counts.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     # floor-scaled int avoids HALF_UP-vs-bankers rounding drift vs oracles
