@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -106,37 +107,97 @@ def _minhash_params(num_hashes: int, seed: int = 7):
     return a, b
 
 
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+# blocks sized so every temp (padded byte matrix, int32 index matrix, the
+# per-permutation product vector) stays cache-resident — large flat temps
+# lose badly to page-fault cost on slow-fault hosts
+_GRAM_BLOCK = 1 << 16
+
+
+def _fnv1a_batch(grams: list[bytes]) -> np.ndarray:
+    """FNV-1a over every gram at once: padded uint8 matrix, one vectorized
+    xor-multiply per byte position (no per-byte or per-gram Python)."""
+    g_arr = pa.array(grams, type=pa.binary())
+    offsets = np.frombuffer(g_arr.buffers()[1], dtype=np.int32, count=len(grams) + 1)
+    flat = np.frombuffer(g_arr.buffers()[2], dtype=np.uint8, count=int(offsets[-1]))
+    lengths = np.diff(offsets)
+    out = np.empty(len(grams), dtype=np.uint64)
+    for lo in range(0, len(grams), _GRAM_BLOCK):
+        hi = min(lo + _GRAM_BLOCK, len(grams))
+        lens = lengths[lo:hi]
+        lmax = int(lens.max()) if lens.size else 0
+        idx = offsets[lo:hi, None].astype(np.int32) + np.arange(lmax, dtype=np.int32)[None, :]
+        np.minimum(idx, np.int32(flat.size - 1), out=idx)
+        mat = flat[idx]                      # (block, lmax) padded bytes
+        h = np.full(hi - lo, _FNV_BASIS, dtype=np.uint64)
+        for k in range(lmax):
+            valid = lens > k
+            h = np.where(valid, (h ^ mat[:, k]) * _FNV_PRIME, h)
+        out[lo:hi] = h
+    return out
+
+
+def _doc_groups(starts: np.ndarray, total: int, max_grams: int = _GRAM_BLOCK):
+    """Split docs into consecutive groups of <= max_grams grams (doc-aligned,
+    so segment reductions never cross a group boundary)."""
+    groups = []
+    g_lo = 0
+    while g_lo < starts.size:
+        g_hi = g_lo + 1
+        lo_gram = int(starts[g_lo])
+        while g_hi < starts.size and int(starts[g_hi]) - lo_gram < max_grams:
+            g_hi += 1
+        hi_gram = int(starts[g_hi]) if g_hi < starts.size else total
+        groups.append((g_lo, g_hi, lo_gram, hi_gram))
+        g_lo = g_hi
+    return groups
+
+
 def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7):
-    """Vectorized MinHash over word shingles: signature array per doc."""
+    """Batch-vectorized MinHash over word shingles.
+
+    Per Arrow batch: grams are collected per doc (string splitting), then
+    hashed for the WHOLE batch in one vectorized FNV pass, permuted one
+    hash function at a time ((a*h+b) mod Mersenne61 over all grams), and
+    reduced to per-doc minima with ``np.minimum.reduceat`` — no per-gram or
+    per-byte Python anywhere in the hot path."""
     a, b = _minhash_params(num_hashes, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
-        out = []
+        all_grams: list[bytes] = []
+        doc_starts: list[int] = []
         for t in texts:
+            doc_starts.append(len(all_grams))
             if not t:
-                out.append([0] * num_hashes)
                 continue
             words = t.lower().split()
             grams = {" ".join(words[i : i + shingle_n])
                      for i in range(max(1, len(words) - shingle_n + 1))}
-            # stable shingle hash: fnv-1a over utf8, vectorized min per perm
-            hv = np.fromiter(
-                (_fnv1a(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)
-            )
-            # (a*h + b) mod mersenne61, all perms x all shingles at once
-            prod = (a[:, None] * (hv[None, :] & _MERSENNE) + b[:, None]) % _MERSENNE
-            out.append(prod.min(axis=1).view(np.int64).tolist())
-        return pd.Series(out)
+            all_grams.extend(g.encode() for g in sorted(grams))
+        n_docs = len(texts)
+        if not all_grams:
+            return pd.Series([[0] * num_hashes] * n_docs)
+        hv = _fnv1a_batch(all_grams) & _MERSENNE
+        starts = np.asarray(doc_starts, dtype=np.int64)
+        counts = np.diff(np.append(starts, len(all_grams)))
+        nonempty = counts > 0
+        sig = np.zeros((n_docs, num_hashes), dtype=np.int64)
+        ne_starts = starts[nonempty]
+        ne_docs = np.flatnonzero(nonempty)
+        # doc-aligned cache-resident groups: the permutation product vector
+        # stays ~0.5 MB instead of one G-sized temp per hash function
+        for g_lo, g_hi, lo, hi in _doc_groups(ne_starts, len(all_grams)):
+            hv_g = hv[lo:hi]
+            local = ne_starts[g_lo:g_hi] - lo
+            rows = ne_docs[g_lo:g_hi]
+            for j in range(num_hashes):
+                prod = (a[j] * hv_g + b[j]) % _MERSENNE
+                sig[rows, j] = np.minimum.reduceat(prod, local).view(np.int64)
+        return pd.Series(sig.tolist())
 
     return minhash
-
-
-def _fnv1a(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for byte in data:
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def minhash_lsh_candidates(
@@ -177,24 +238,42 @@ def minhash_lsh_candidates(
 # --- SimHash ------------------------------------------------------------------
 
 def make_simhash_udf(shingle_n: int = 2):
+    """Batch-vectorized SimHash: all grams of the Arrow batch hashed in one
+    FNV pass, then 64 per-bit vote reductions with ``np.add.reduceat`` —
+    same pattern as MinHash, no per-gram Python. Gram multiplicity is kept
+    (repeated shingles vote repeatedly, as in the classic formulation)."""
+
     @pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
+        all_grams: list[bytes] = []
+        doc_starts: list[int] = []
+        for t in texts:
+            doc_starts.append(len(all_grams))
             if not t:
                 continue
             words = t.lower().split()
-            grams = [" ".join(words[j : j + shingle_n])
-                     for j in range(max(1, len(words) - shingle_n + 1))]
-            hv = np.fromiter((_fnv1a(g.encode()) for g in grams),
-                             dtype=np.uint64, count=len(grams))
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            sh = np.bitwise_or.reduce(
-                (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            all_grams.extend(
+                " ".join(words[j : j + shingle_n]).encode()
+                for j in range(max(1, len(words) - shingle_n + 1))
             )
-            out[i] = int(np.uint64(sh).view(np.int64))
-        return pd.Series(out)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if all_grams:
+            hv = _fnv1a_batch(all_grams)
+            starts = np.asarray(doc_starts, dtype=np.int64)
+            counts = np.diff(np.append(starts, len(all_grams)))
+            nonempty = counts > 0
+            ne_starts = starts[nonempty]
+            ne_docs = np.flatnonzero(nonempty)
+            for g_lo, g_hi, lo, hi in _doc_groups(ne_starts, len(all_grams)):
+                hv_g = hv[lo:hi]
+                local = ne_starts[g_lo:g_hi] - lo
+                sig = np.zeros(g_hi - g_lo, dtype=np.uint64)
+                for k in range(64):
+                    ones = ((hv_g >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+                    votes = np.add.reduceat(2 * ones - 1, local)
+                    sig |= (votes > 0).astype(np.uint64) << np.uint64(k)
+                out[ne_docs[g_lo:g_hi]] = sig
+        return pd.Series(out.view(np.int64))
 
     return simhash
 
