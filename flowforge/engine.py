@@ -391,7 +391,8 @@ def _make_decode_kernel(out_dir: str, columns: list[str]):
 
 
 def decode_table(
-    spark: SparkSession, out_dir: str, columns: list[str] | None = None
+    spark: SparkSession, out_dir: str, columns: list[str] | None = None,
+    *, require_complete: bool = True
 ) -> DataFrame:
     """Reconstruct the source table (bit-identical) from the chunk store.
 
@@ -399,6 +400,12 @@ def decode_table(
     zipped back without any join. Row order is not preserved (the encode
     shuffle already reordered rows); comparisons must be order-insensitive
     (SURVEY §7.3).
+
+    ``require_complete`` (default) refuses to decode a store whose planned
+    buckets are not all committed — an interrupted, never-resumed encode
+    would otherwise silently decode to a subset. Streaming stores grow
+    open-endedly and are exempt; pass ``require_complete=False`` to read a
+    partial batch store deliberately.
     """
     manifest = Manifest(out_dir)
     meta = manifest.read_table_meta()
@@ -408,6 +415,14 @@ def decode_table(
             f"chunk store at {out_dir} has format v{fmt}; this build reads "
             f"v{FORMAT_VERSION} — re-encode the store"
         )
+    if require_complete and meta.get("mode") != "streaming":
+        missing = set(range(int(meta["buckets"]))) - manifest.committed_buckets()
+        if missing:
+            raise ValueError(
+                f"chunk store at {out_dir} is incomplete: {len(missing)} of "
+                f"{meta['buckets']} buckets uncommitted (resume the encode, "
+                f"or pass require_complete=False to decode the committed part)"
+            )
     all_columns = meta["columns"]
     columns = columns or all_columns
     unknown = [c for c in columns if c not in all_columns]

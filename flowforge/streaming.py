@@ -58,13 +58,23 @@ def stream_encode(
     Returns the started :class:`StreamingQuery`; with ``available_now`` the
     caller typically ``awaitTermination()``s to drain the current backlog.
     """
-    schema = spark.read.parquet(source_dir).schema
+    src_df = spark.read.parquet(source_dir)
+    schema = src_df.schema
+    # streaming stores grow open-endedly: mark the mode so decode_table's
+    # completeness check (batch stores only) does not apply
+    engine.Manifest(out_dir).write_table_meta({
+        "format": engine.FORMAT_VERSION,
+        "columns": src_df.columns,
+        "spark_schema": schema.jsonValue(),
+        "buckets": buckets_per_batch,
+        "chunk_rows": chunk_rows,
+        "salt_col": salt_col,
+        "mode": "streaming",
+    })
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
-
-    meta_written = {"done": False}
 
     def handle_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -78,9 +88,8 @@ def stream_encode(
             salt_col=salt_col,
             resume=True,  # replayed batches skip committed buckets
             bucket_offset=int(batch_id) * buckets_per_batch,
-            write_meta=not meta_written["done"],
+            write_meta=False,
         )
-        meta_written["done"] = True
 
     writer = stream.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation",
