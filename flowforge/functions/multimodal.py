@@ -99,3 +99,43 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_ms"))
     )
+
+RESIZED_SCHEMA = ("media_id long, width int, height int, "
+                  "payload binary, resized_from string")
+
+
+def resize_images(df: DataFrame, max_w: int = 256, max_h: int = 256,
+                  real_decode: bool = False) -> DataFrame:
+    """Aspect-preserving image resize over mapInPandas batches.
+
+    The geometry (target dims from aspect-ratio math) and the Spark plumbing
+    are real; the pixel work is the stubbed step — the deterministic fake
+    payload is a byte-histogram fingerprint of the source scaled to the
+    target pixel count, so downstream size accounting behaves like a real
+    thumbnail would."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if real_decode:
+                pdf["payload"].map(_decode_image_real)
+            w = pdf["width"].fillna(max_w).astype("int64").clip(lower=1)
+            h = pdf["height"].fillna(max_h).astype("int64").clip(lower=1)
+            scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+            new_w = np.maximum(1, (w * scale)).astype("int32")
+            new_h = np.maximum(1, (h * scale)).astype("int32")
+            sizes = (new_w.to_numpy(dtype=np.int64) * new_h.to_numpy(dtype=np.int64) // 64)
+            payloads = [
+                None if p is None else
+                (_fake_feature(p, 64).tobytes() * (int(s) // 256 + 1))[: int(s)]
+                for p, s in zip(pdf["payload"], sizes)
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": new_w,
+                "height": new_h,
+                "payload": payloads,
+                "resized_from": pdf["width"].astype("string") + "x" + pdf["height"].astype("string"),
+            })
+
+    return df.mapInPandas(fn, RESIZED_SCHEMA)

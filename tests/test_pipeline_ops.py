@@ -142,3 +142,23 @@ def test_multimodal_plumbing(spark):
     # stub decode raises cleanly
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         multimodal.extract_features(media, real_decode=True).collect()
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.synth_media(spark, 30)
+    resized = multimodal.resize_images(media, max_w=128, max_h=128)
+    rows = resized.collect()
+    assert rows and all(r["width"] <= 128 and r["height"] <= 128 for r in rows)
+    # aspect ratio preserved within integer rounding
+    src = {r["media_id"]: (r["width"], r["height"])
+           for r in media.filter("kind = 'image'").collect()}
+    for r in rows:
+        w0, h0 = src[r["media_id"]]
+        if w0 and h0 and r["width"] > 8 and r["height"] > 8:
+            ratio = (r["width"] / r["height"]) / (w0 / h0)
+            assert 0.8 < ratio < 1.25, (r, w0, h0)
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_images(
+        media, max_w=128, max_h=128).collect() if r["payload"] is not None}
+    first = {r["media_id"]: bytes(r["payload"]) for r in rows if r["payload"] is not None}
+    assert first == again
