@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lang_source": Q.q_rollup_lang_source,
         "join_orders_by_nation": Q.q_join_orders_by_nation,
         "anti_customers_no_orders": Q.q_anti_customers_no_orders,
+        "suppliers_by_region": Q.q_suppliers_by_region,
         "semi_parts_shipped": Q.q_semi_parts_shipped,
         "range_join_late_lines": Q.q_range_join_late_lines,
         "except_doc_slices": Q.q_except_doc_slices,
@@ -184,6 +185,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price_fl "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "suppliers_by_region": (
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS suppliers, "
+            "CAST(floor(avg(s_acctbal) * 100) AS BIGINT) AS avg_bal_c "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name HAVING count(*) > 0"
         ),
         "anti_customers_no_orders": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS no_order_customers "

@@ -465,3 +465,21 @@ def q_json_parse_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["k"].alias("k"),
         F.coalesce(flat, F.lit("_path")).alias("log_type"),
     )
+
+
+def q_suppliers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained broadcast dim joins through the full dim hierarchy
+    (supplier -> nation -> region), with a HAVING-style post-agg filter."""
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("suppliers"),
+            F.floor(F.avg("s_acctbal") * 100).alias("avg_bal_c"),
+        )
+        .filter(F.col("suppliers") > 0)
+    )
