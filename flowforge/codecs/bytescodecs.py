@@ -74,8 +74,13 @@ def plain_decode(payload: bytes, meta: dict, n: int):
 
 # --- dictionary -----------------------------------------------------------
 
-def dict_encode(lengths: np.ndarray, data: bytes):
-    """Sorted-unique dictionary + bit-packed codes (Arrow-vectorized)."""
+def dict_encode(lengths: np.ndarray, data: bytes, sub: str = "plain"):
+    """Sorted-unique dictionary + bit-packed codes (Arrow-vectorized).
+
+    ``sub`` compresses the dictionary value store itself — ``fsst`` pays off
+    when the distinct values are individually repetitive (html template
+    runs): near-dict speed (the FSST pass only sees the small dictionary)
+    with near-FSST ratio."""
     arr = parts_to_arrow(lengths, data)
     enc = pc.dictionary_encode(arr)
     dictionary, codes = enc.dictionary, np.asarray(enc.indices, dtype=np.intp)
@@ -85,16 +90,23 @@ def dict_encode(lengths: np.ndarray, data: bytes):
     codes = rank[codes]
     dict_sorted = dictionary.take(pa.array(sort_idx))
     d_lens, d_data = arrow_to_parts(dict_sorted)
-    dict_payload, dict_meta = plain_encode(d_lens, d_data)
+    sub_enc, _ = BYTES_CODECS[sub]
+    dict_payload, dict_meta = sub_enc(d_lens, d_data)
     width = bitpack.bit_width(codes.astype(_U64))
     sections = [dict_payload, bitpack.pack(codes.astype(_U64), width)]
-    return pack_sections(sections), {"ndv": int(sort_idx.size), "width": width, "dict": dict_meta}
+    meta = {"ndv": int(sort_idx.size), "width": width, "dict": dict_meta, "sub": sub}
+    return pack_sections(sections), meta
+
+
+def dictfsst_encode(lengths: np.ndarray, data: bytes):
+    return dict_encode(lengths, data, sub="fsst")
 
 
 def dict_decode(payload: bytes, meta: dict, n: int):
     dict_payload, code_payload = unpack_sections(payload)
     ndv = int(meta["ndv"])
-    d_lens, d_data = plain_decode(dict_payload, meta["dict"], ndv)
+    _, sub_dec = BYTES_CODECS[meta.get("sub", "plain")]
+    d_lens, d_data = sub_dec(dict_payload, meta["dict"], ndv)
     codes = bitpack.unpack(code_payload, int(meta["width"]), n).astype(np.intp)
     dictionary = parts_to_arrow(d_lens, d_data)
     out = dictionary.take(pa.array(codes))
@@ -365,6 +377,7 @@ def fsst_decode(payload: bytes, meta: dict, n: int):
 BYTES_CODECS = {
     "plain": (plain_encode, plain_decode),
     "dict": (dict_encode, dict_decode),
+    "dictfsst": (dictfsst_encode, dict_decode),
     "rle": (rle_encode, rle_decode),
     "fsst": (fsst_encode, fsst_decode),
     "hybrid": (hybrid_encode, hybrid_decode),

@@ -87,6 +87,12 @@ def _candidates_bytes(stats: dict) -> list[str]:
     cands = []
     if _ndv_ratio(stats) < 0.5:
         cands.append("dict")
+        if _ndv_ratio(stats) < 0.2:
+            # dictionary is small relative to the data -> FSST'ing just the
+            # dictionary store is cheap to trial and wins big on repetitive
+            # distinct values (html template runs: measured 0.044 -> 0.0025
+            # at ~dict speed)
+            cands.append("dictfsst")
     if stats["run_frac"] < 0.5:
         cands.append("rle")
     cands.append("plain")
