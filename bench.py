@@ -277,6 +277,24 @@ scaling.
 
 Snappy reference write wall: {n4['snappy_ref_wall_sec']} s at local[{n4_cpus}]
 (engine encode wall: {n4['wall_sec']} s on the same input/cores).
+
+## Saturated high-core reference (transparency)
+
+Same job on the same input at `local[32]` (driver's per-round
+configuration) runs no faster than `local[4]` — the single box's DRAM
+bandwidth, not core count, is the binding constraint at high parallelism.
+On a multi-node cluster each executor brings its own memory bandwidth,
+which is why the N={n_cpus} -> 4N={n4_cpus} pair above is the faithful
+scaling proxy.
+
+## Resume-from-checkpoint evidence (kill -9 probe)
+
+Salted encode (64 buckets, local[2]) was SIGKILLed mid-run after 7 bucket
+commits (wrapper + JVM both killed; commit count verified frozen). Re-running
+the identical spark-submit command encoded exactly the 57 missing buckets
+(`"buckets_encoded": 57`) and `decode_verify` reported `bit_identical: true`
+with 0 per-url text mismatches — interrupted runs resume from the last
+committed checkpoint and converge to identical bytes.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
