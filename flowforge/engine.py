@@ -41,15 +41,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import selector
-from .catalog import Manifest
+from . import catalog, selector
+from .catalog import Manifest, StorePlanError
 from .codecs import chunk as chunklib
 
 BUCKET_COL = "__ff_bucket"
 DEFAULT_CHUNK_ROWS = 65_536
-# bump whenever any codec's payload layout changes — decode refuses a store
-# written by a different format instead of failing deep inside a kernel
-FORMAT_VERSION = 2
+# bump whenever any codec's payload layout or the manifest/commit protocol
+# changes — decode refuses a store written by a different format instead of
+# failing deep inside a kernel (v3: plan-stamped commits, compacted manifest)
+FORMAT_VERSION = 3
 
 METRICS_SCHEMA = T.StructType([
     T.StructField("bucket", T.LongType(), False),
@@ -86,8 +87,9 @@ _CHUNK_FILE_SCHEMA = pa.schema([
 # encode
 # --------------------------------------------------------------------------
 
-def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int) -> list[dict]:
-    """Encode one bucket: chunk files per column + manifest commit."""
+def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
+                   phash: str) -> list[dict]:
+    """Encode one bucket: chunk files per column + plan-stamped commit."""
     manifest = Manifest(out_dir)
     columns = tbl.column_names
     n = tbl.num_rows
@@ -137,11 +139,11 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int) ->
     manifest.commit_bucket(bucket, {
         "bucket": bucket, "n_rows": n, "n_chunks": n_chunks,
         "columns": commit_cols, "committed_at": time.time(),
-    })
+    }, phash)
     return metrics
 
 
-def _make_encode_kernel(out_dir: str, chunk_rows: int):
+def _make_encode_kernel(out_dir: str, chunk_rows: int, phash: str):
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cur_bucket: int | None = None
         acc: list[pa.RecordBatch] = []
@@ -152,7 +154,7 @@ def _make_encode_kernel(out_dir: str, chunk_rows: int):
                 return
             tbl = pa.Table.from_batches(acc)
             tbl = tbl.drop_columns([BUCKET_COL])
-            metrics.extend(_encode_bucket(out_dir, cur_bucket, tbl, chunk_rows))
+            metrics.extend(_encode_bucket(out_dir, cur_bucket, tbl, chunk_rows, phash))
 
         for batch in batches:
             buckets = batch.column(BUCKET_COL).to_numpy()
@@ -173,6 +175,70 @@ def _make_encode_kernel(out_dir: str, chunk_rows: int):
     return kernel
 
 
+def _require_plan_match(stored: dict, requested: dict, out_dir: str) -> None:
+    diffs = {
+        k: (stored.get(k), v)
+        for k, v in requested.items()
+        if v is not None and stored.get(k) != v
+    }
+    if diffs:
+        detail = ", ".join(f"{k}: store has {s!r}, request has {r!r}"
+                           for k, (s, r) in sorted(diffs.items()))
+        raise StorePlanError(
+            f"chunk store at {out_dir} was written under a different bucket "
+            f"plan ({detail}). Encoding it with conflicting parameters would "
+            f"mix bucket moduli and corrupt the store — resume with matching "
+            f"parameters (or leave them unset to adopt the stored plan), or "
+            f"wipe the store to re-encode."
+        )
+
+
+def _adopt_or_create_plan(
+    manifest: Manifest, existing: dict | None, plan_if_new: dict,
+    requested: dict, columns: list[str], schema_json: dict, out_dir: str,
+) -> tuple[dict, str]:
+    """Resolve the store's immutable plan: validate + adopt an existing one,
+    or write ``plan_if_new`` exactly once. Returns (plan, plan_hash).
+
+    This is the round-1 corruption fix: commit membership is meaningless
+    across plans (a bucket id under modulus 8 is NOT the same set of rows as
+    under modulus 64), so the plan of an existing store always wins and a
+    conflicting request is an error — never a silent re-partition. In
+    particular the ``defaultParallelism``-derived bucket default applies only
+    to brand-new stores; resuming on a different cluster size adopts the
+    stored plan.
+    """
+    if existing is not None:
+        fmt = int(existing.get("format", 0))
+        if fmt != FORMAT_VERSION:
+            raise StorePlanError(
+                f"chunk store at {out_dir} has format v{fmt}; this build "
+                f"writes v{FORMAT_VERSION} — wipe and re-encode"
+            )
+        plan = existing.get("plan") or {}
+        if plan.get("mode") != plan_if_new["mode"]:
+            raise StorePlanError(
+                f"chunk store at {out_dir} is a {plan.get('mode')!r}-mode "
+                f"store; requested {plan_if_new['mode']!r}-mode encode"
+            )
+        _require_plan_match(plan, requested, out_dir)
+        if list(existing.get("columns", [])) != list(columns):
+            raise StorePlanError(
+                f"chunk store at {out_dir} holds columns "
+                f"{existing.get('columns')}, encode input has {columns}"
+            )
+        return plan, existing["plan_hash"]
+    phash = catalog.plan_hash(plan_if_new)
+    manifest.write_table_meta({
+        "format": FORMAT_VERSION,
+        "columns": list(columns),
+        "spark_schema": schema_json,
+        "plan": plan_if_new,
+        "plan_hash": phash,
+    })
+    return plan_if_new, phash
+
+
 def encode_table(
     spark: SparkSession,
     df: DataFrame,
@@ -183,7 +249,7 @@ def encode_table(
     salt_col: str = "url",
     resume: bool = True,
     bucket_offset: int = 0,
-    write_meta: bool = True,
+    mode: str = "salted",
 ) -> DataFrame:
     """Encode ``df`` into the chunk store at ``out_dir`` (salted mode).
 
@@ -195,25 +261,32 @@ def encode_table(
 
     The returned DataFrame is lazy — calling an action on it runs the job.
     ``resume=True`` skips buckets already committed in the manifest
-    (interrupted runs continue from the last committed checkpoint).
+    (interrupted runs continue from the last committed checkpoint). The
+    bucket plan is bound to the store on first encode: ``buckets=None``
+    adopts an existing store's plan (new stores get ``defaultParallelism*2``),
+    and a conflicting explicit value raises :class:`StorePlanError`.
 
     ``bucket_offset`` shifts the bucket-id namespace (streaming micro-batches
-    map batch_id -> disjoint id ranges, flowforge.streaming); ``write_meta``
-    is disabled for incremental appends after the first batch.
+    map batch_id -> disjoint id ranges, flowforge.streaming — which also sets
+    ``mode="streaming"`` so the store is exempt from the decode completeness
+    check).
     """
+    manifest = Manifest(out_dir)
+    existing = manifest.try_read_table_meta()
+    if buckets is None and existing is not None:
+        buckets = int((existing.get("plan") or {}).get("buckets", 0)) or None
     if buckets is None:
         buckets = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
-    manifest = Manifest(out_dir)
-    if write_meta:
-        manifest.write_table_meta({
-            "format": FORMAT_VERSION,
-            "columns": df.columns,
-            "spark_schema": df.schema.jsonValue(),
-            "buckets": buckets,
-            "chunk_rows": chunk_rows,
-            "salt_col": salt_col,
-        })
-    committed = manifest.committed_buckets() if resume else set()
+    plan_if_new = {
+        "format": FORMAT_VERSION, "mode": mode, "buckets": buckets,
+        "chunk_rows": chunk_rows, "salt_col": salt_col,
+    }
+    _, phash = _adopt_or_create_plan(
+        manifest, existing, plan_if_new,
+        {"buckets": buckets, "chunk_rows": chunk_rows, "salt_col": salt_col},
+        df.columns, df.schema.jsonValue(), out_dir,
+    )
+    committed = manifest.committed_buckets(phash) if resume else set()
     todo = [b for b in range(bucket_offset, bucket_offset + buckets)
             if b not in committed]
     if not todo:
@@ -229,17 +302,49 @@ def encode_table(
         salted.repartition(len(todo), F.col(BUCKET_COL))
         .sortWithinPartitions(BUCKET_COL, salt_col)
     )
-    return planned.mapInArrow(_make_encode_kernel(out_dir, chunk_rows), METRICS_SCHEMA)
+    return planned.mapInArrow(_make_encode_kernel(out_dir, chunk_rows, phash),
+                              METRICS_SCHEMA)
+
+
+def _compact_store(out_dir: str) -> None:
+    manifest = Manifest(out_dir)
+    meta = manifest.try_read_table_meta()
+    if meta and "plan_hash" in meta:
+        manifest.compact(meta["plan_hash"])
 
 
 def run_encode(spark: SparkSession, df: DataFrame, out_dir: str, **kw) -> list:
-    """Eager convenience: run the encode job, return collected metric rows."""
-    return encode_table(spark, df, out_dir, **kw).collect()
+    """Eager convenience: run the encode job, return collected metric rows.
+
+    Also compacts the manifest afterwards (driver-side) so commit listings
+    stay one parquet read even at 10^6 buckets."""
+    rows = encode_table(spark, df, out_dir, **kw).collect()
+    _compact_store(out_dir)
+    return rows
 
 
 # --------------------------------------------------------------------------
 # direct (no-shuffle) encode: plan buckets from parquet row-group metadata
 # --------------------------------------------------------------------------
+
+def _list_parquet(src: str | list[str]) -> list[str]:
+    import glob as globmod
+
+    if isinstance(src, str):
+        return sorted(globmod.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
+    return sorted(src)
+
+
+def _src_fingerprint(files: list[str]) -> str:
+    """Identity of the direct-mode source: file names + sizes. A resumed
+    encode over a changed source would silently mix plans — refuse instead."""
+    import hashlib
+
+    h = hashlib.md5()
+    for f in files:
+        h.update(f"{os.path.basename(f)}:{os.path.getsize(f)};".encode())
+    return h.hexdigest()[:12]
+
 
 def plan_direct(src: str | list[str], target_rows: int) -> list[dict]:
     """Deterministic bucket plan from parquet footers: each bucket is a run
@@ -250,12 +355,7 @@ def plan_direct(src: str | list[str], target_rows: int) -> list[dict]:
     Skew is defused by byte-balanced row groups instead of a salt; the plan
     depends only on the input footers, so resume is exact.
     """
-    import glob as globmod
-
-    if isinstance(src, str):
-        files = sorted(globmod.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
-    else:
-        files = sorted(src)
+    files = _list_parquet(src)
     plan: list[dict] = []
     for path in files:
         md = pq.ParquetFile(path).metadata
@@ -275,7 +375,7 @@ def plan_direct(src: str | list[str], target_rows: int) -> list[dict]:
 
 
 def _make_direct_kernel(out_dir: str, chunk_rows: int, sort_col: str | None,
-                        columns: list[str] | None):
+                        columns: list[str] | None, phash: str):
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         metrics: list[dict] = []
         for batch in batches:
@@ -285,7 +385,7 @@ def _make_direct_kernel(out_dir: str, chunk_rows: int, sort_col: str | None,
                 if sort_col:
                     tbl = tbl.sort_by(sort_col)
                 metrics.extend(
-                    _encode_bucket(out_dir, int(row["bucket"]), tbl, chunk_rows)
+                    _encode_bucket(out_dir, int(row["bucket"]), tbl, chunk_rows, phash)
                 )
         if metrics:
             yield pa.RecordBatch.from_pylist(metrics, schema=_METRICS_ARROW)
@@ -315,28 +415,53 @@ def encode_path(
     (near-sorted timestamps -> delta codec, adjacent repetitive html ->
     runs). Pass ``sort_col`` to re-cluster inside a bucket when the source
     order is adversarial.
+
+    Like salted mode, the plan is bound to the store: a resumed encode
+    adopts the stored ``target_rows``/``sort_col`` when the parameters are
+    left at None (the parallelism-derived default applies only to NEW
+    stores), must match them when explicit, and refuses a source whose
+    file list/sizes changed since the first encode.
     """
-    if target_rows is None:
+    files = _list_parquet(src)
+    if not files:
+        raise ValueError(f"no parquet files found under {src!r}")
+    fingerprint = _src_fingerprint(files)
+    manifest = Manifest(out_dir)
+    existing = manifest.try_read_table_meta()
+    stored_plan = (existing or {}).get("plan") or {}
+    if existing is not None:
+        if stored_plan.get("src_fingerprint") != fingerprint:
+            raise StorePlanError(
+                f"chunk store at {out_dir} was encoded from a different "
+                f"source (fingerprint {stored_plan.get('src_fingerprint')} != "
+                f"{fingerprint}); resume requires the identical file set"
+            )
+        if target_rows is None:
+            target_rows = int(stored_plan["target_rows"])
+        if sort_col is None:
+            sort_col = stored_plan.get("sort_col")
+    elif target_rows is None:
         par = int(spark.sparkContext.defaultParallelism)
-        probe = plan_direct(src, 1)  # finest-grain plan to learn total rows
+        probe = plan_direct(files, 1)  # finest-grain plan to learn total rows
         total = sum(p["n_rows"] for p in probe)
         target_rows = max(DEFAULT_CHUNK_ROWS // 8, total // max(1, par * 2))
-    plan = plan_direct(src, target_rows)
+    plan = plan_direct(files, target_rows)
     if not plan:
         raise ValueError(f"no parquet row groups found under {src!r}")
-    manifest = Manifest(out_dir)
     sample_df = spark.read.parquet(plan[0]["file"])
     use_cols = columns or sample_df.columns
-    manifest.write_table_meta({
-        "format": FORMAT_VERSION,
-        "columns": use_cols,
-        "spark_schema": sample_df.select(*use_cols).schema.jsonValue(),
-        "buckets": len(plan),
-        "chunk_rows": chunk_rows,
-        "mode": "direct",
-        "sort_col": sort_col,
-    })
-    committed = manifest.committed_buckets() if resume else set()
+    plan_if_new = {
+        "format": FORMAT_VERSION, "mode": "direct", "buckets": len(plan),
+        "chunk_rows": chunk_rows, "target_rows": target_rows,
+        "sort_col": sort_col, "src_fingerprint": fingerprint,
+    }
+    _, phash = _adopt_or_create_plan(
+        manifest, existing, plan_if_new,
+        {"buckets": len(plan), "chunk_rows": chunk_rows,
+         "target_rows": target_rows, "sort_col": sort_col},
+        use_cols, sample_df.select(*use_cols).schema.jsonValue(), out_dir,
+    )
+    committed = manifest.committed_buckets(phash) if resume else set()
     todo = [p for p in plan if p["bucket"] not in committed]
     if not todo:
         return spark.createDataFrame([], METRICS_SCHEMA)
@@ -349,13 +474,16 @@ def encode_path(
         [(p["bucket"], p["file"], p["row_groups"]) for p in todo], plan_schema
     ).repartition(len(todo))
     return plan_df.mapInArrow(
-        _make_direct_kernel(out_dir, chunk_rows, sort_col, columns), METRICS_SCHEMA
+        _make_direct_kernel(out_dir, chunk_rows, sort_col, columns, phash),
+        METRICS_SCHEMA,
     )
 
 
 def run_encode_path(spark: SparkSession, src: str | list[str], out_dir: str, **kw) -> list:
-    """Eager convenience for :func:`encode_path`."""
-    return encode_path(spark, src, out_dir, **kw).collect()
+    """Eager convenience for :func:`encode_path` (compacts the manifest)."""
+    rows = encode_path(spark, src, out_dir, **kw).collect()
+    _compact_store(out_dir)
+    return rows
 
 
 # --------------------------------------------------------------------------
@@ -415,12 +543,22 @@ def decode_table(
             f"chunk store at {out_dir} has format v{fmt}; this build reads "
             f"v{FORMAT_VERSION} — re-encode the store"
         )
-    if require_complete and meta.get("mode") != "streaming":
-        missing = set(range(int(meta["buckets"]))) - manifest.committed_buckets()
+    plan = meta["plan"]
+    phash = meta["plan_hash"]
+    foreign = manifest.commit_hashes() - {phash}
+    if foreign:
+        raise StorePlanError(
+            f"chunk store at {out_dir} holds commits from foreign bucket "
+            f"plan(s) {sorted(foreign)} alongside plan {phash}; a mixed-plan "
+            f"store cannot decode consistently — wipe and re-encode"
+        )
+    committed_set = manifest.committed_buckets(phash)
+    if require_complete and plan.get("mode") != "streaming":
+        missing = set(range(int(plan["buckets"]))) - committed_set
         if missing:
             raise ValueError(
                 f"chunk store at {out_dir} is incomplete: {len(missing)} of "
-                f"{meta['buckets']} buckets uncommitted (resume the encode, "
+                f"{plan['buckets']} buckets uncommitted (resume the encode, "
                 f"or pass require_complete=False to decode the committed part)"
             )
     all_columns = meta["columns"]
@@ -430,7 +568,7 @@ def decode_table(
         raise ValueError(f"unknown columns {unknown}; store has {all_columns}")
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     out_schema = T.StructType([f for f in spark_schema.fields if f.name in columns])
-    committed = sorted(manifest.committed_buckets())
+    committed = sorted(committed_set)
     buckets_df = spark.createDataFrame(
         [(b,) for b in committed], T.StructType([T.StructField("bucket", T.LongType(), False)])
     ).repartition(max(1, len(committed)))
@@ -443,8 +581,9 @@ def decode_table(
 
 def metrics_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-(bucket, column) lineage + size/throughput metrics as a DataFrame."""
+    manifest = Manifest(out_dir)
     rows = []
-    for rec in Manifest(out_dir).read_commits():
+    for rec in manifest.read_commits(manifest.read_table_meta()["plan_hash"]):
         for c, st in rec["columns"].items():
             rows.append((rec["bucket"], c, rec["n_rows"], rec["n_chunks"],
                          st["bytes_in"], st["bytes_out"], st["wall_ms"], st["codecs"]))

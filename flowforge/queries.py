@@ -55,28 +55,49 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _store_path(sf_dir: str, table: str) -> str:
+    # format version in the tag: a binary upgrade never tries to reuse (or
+    # has to wipe) stores written by an older build's layout
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(STORE_ROOT, f"{table}_{tag}")
+    return os.path.join(STORE_ROOT, f"{table}_{tag}_v{engine.FORMAT_VERSION}")
 
 
-def decoded(spark: SparkSession, sf_dir: str, table: str, salt_col: str) -> DataFrame:
+def _ensure_store(spark: SparkSession, sf_dir: str, table: str, salt_col: str) -> str:
     """Encode the testdata table into a cached chunk store (resume makes
-    repeat calls a no-op) and return the decoded DataFrame.
+    repeat calls a no-op) and return the store path.
 
-    A cached store written by an older codec format (or torn by a crash) is
-    wiped and re-encoded instead of failing the query."""
+    Self-heal validates the FULL plan, not just the format version (the
+    round-1 hole): a cached store is wiped and re-encoded if its format is
+    stale, its plan disagrees with this request, any commit was written
+    under a foreign plan, or committed buckets fall outside the plan range —
+    never silently resumed into a mixed-plan state."""
     import shutil
 
     out = _store_path(sf_dir, table)
+    man = engine.Manifest(out)
     try:
-        meta = engine.Manifest(out).read_table_meta()
+        meta = man.read_table_meta()
         if int(meta.get("format", 0)) != engine.FORMAT_VERSION:
             raise ValueError("stale format")
+        plan = meta.get("plan") or {}
+        phash = meta["plan_hash"]
+        if plan.get("mode") != "salted" or plan.get("salt_col") != salt_col:
+            raise ValueError("plan mismatch")
+        if plan.get("chunk_rows") != engine.DEFAULT_CHUNK_ROWS:
+            raise ValueError("plan mismatch")
+        if man.commit_hashes() - {phash}:
+            raise ValueError("foreign-plan commits")
+        if not man.committed_buckets(phash) <= set(range(int(plan["buckets"]))):
+            raise ValueError("commits outside plan range")
     except (OSError, ValueError, KeyError):
         shutil.rmtree(out, ignore_errors=True)
     df = _table(spark, sf_dir, table)
     engine.run_encode(spark, df, out, salt_col=salt_col)
-    return engine.decode_table(spark, out)
+    return out
+
+
+def decoded(spark: SparkSession, sf_dir: str, table: str, salt_col: str) -> DataFrame:
+    """Round-trip entry: encode (cached) then decode the testdata table."""
+    return engine.decode_table(spark, _ensure_store(spark, sf_dir, table, salt_col))
 
 
 # --- round-trip family -------------------------------------------------------
@@ -436,9 +457,7 @@ def q_metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 analog (rows-only): per-codec lineage/throughput report aggregated
     from the chunk store's manifest (the reference's health metrics,
     main.go:355-419, persisted instead of logged)."""
-    out = _store_path(sf_dir, "documents")
-    df = _table(spark, sf_dir, "documents")
-    engine.run_encode(spark, df, out, salt_col="doc_id")
+    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
     m = engine.metrics_table(spark, out)
     return (
         m.groupBy("codecs")

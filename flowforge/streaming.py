@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from . import engine
+from .catalog import StorePlanError, plan_hash
 
 DEFAULT_BUCKETS_PER_BATCH = 8
 
@@ -45,7 +46,7 @@ def stream_encode(
     source_dir: str,
     out_dir: str,
     *,
-    buckets_per_batch: int = DEFAULT_BUCKETS_PER_BATCH,
+    buckets_per_batch: int | None = None,
     chunk_rows: int = engine.DEFAULT_CHUNK_ROWS,
     salt_col: str = "url",
     checkpoint: str | None = None,
@@ -57,20 +58,61 @@ def stream_encode(
 
     Returns the started :class:`StreamingQuery`; with ``available_now`` the
     caller typically ``awaitTermination()``s to drain the current backlog.
+
+    The per-batch bucket stride is part of the store's immutable plan:
+    batch N owns bucket ids [N*stride, (N+1)*stride), so restarting an
+    existing checkpoint with a different stride would map replayed batch ids
+    into already-committed ranges and silently drop rows. On restart the
+    stored stride is adopted (``buckets_per_batch=None``) or must match
+    exactly (:class:`~flowforge.catalog.StorePlanError` otherwise).
     """
     src_df = spark.read.parquet(source_dir)
     schema = src_df.schema
-    # streaming stores grow open-endedly: mark the mode so decode_table's
-    # completeness check (batch stores only) does not apply
-    engine.Manifest(out_dir).write_table_meta({
-        "format": engine.FORMAT_VERSION,
-        "columns": src_df.columns,
-        "spark_schema": schema.jsonValue(),
-        "buckets": buckets_per_batch,
-        "chunk_rows": chunk_rows,
-        "salt_col": salt_col,
-        "mode": "streaming",
-    })
+    manifest = engine.Manifest(out_dir)
+    existing = manifest.try_read_table_meta()
+    if existing is not None:
+        fmt = int(existing.get("format", 0))
+        if fmt != engine.FORMAT_VERSION:
+            raise StorePlanError(
+                f"streaming store at {out_dir} has format v{fmt}; this build "
+                f"writes v{engine.FORMAT_VERSION} — wipe store + checkpoint"
+            )
+        plan = existing.get("plan") or {}
+        if plan.get("mode") != "streaming":
+            raise StorePlanError(
+                f"store at {out_dir} is a {plan.get('mode')!r}-mode store, "
+                f"not a streaming store"
+            )
+        if buckets_per_batch is None:
+            buckets_per_batch = int(plan["buckets"])
+        engine._require_plan_match(
+            plan,
+            {"buckets": buckets_per_batch, "chunk_rows": chunk_rows,
+             "salt_col": salt_col},
+            out_dir,
+        )
+        if list(existing.get("columns", [])) != src_df.columns:
+            raise StorePlanError(
+                f"streaming store at {out_dir} holds columns "
+                f"{existing.get('columns')}, source has {src_df.columns}"
+            )
+    else:
+        if buckets_per_batch is None:
+            buckets_per_batch = DEFAULT_BUCKETS_PER_BATCH
+        # streaming stores grow open-endedly: the mode exempts them from
+        # decode_table's completeness check (batch stores only)
+        plan = {
+            "format": engine.FORMAT_VERSION, "mode": "streaming",
+            "buckets": buckets_per_batch, "chunk_rows": chunk_rows,
+            "salt_col": salt_col,
+        }
+        manifest.write_table_meta({
+            "format": engine.FORMAT_VERSION,
+            "columns": src_df.columns,
+            "spark_schema": schema.jsonValue(),
+            "plan": plan,
+            "plan_hash": plan_hash(plan),
+        })
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -88,7 +130,7 @@ def stream_encode(
             salt_col=salt_col,
             resume=True,  # replayed batches skip committed buckets
             bucket_offset=int(batch_id) * buckets_per_batch,
-            write_meta=False,
+            mode="streaming",
         )
 
     writer = stream.writeStream.foreachBatch(handle_batch).option(

@@ -23,6 +23,11 @@ from flowforge.catalog import Manifest
 ROWS = 4_000
 
 
+def _committed(out: str) -> set[int]:
+    man = Manifest(out)
+    return man.committed_buckets(man.read_table_meta()["plan_hash"])
+
+
 @pytest.fixture(scope="module")
 def src_df(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("src")
@@ -63,11 +68,11 @@ def test_resume_skips_committed_buckets(spark, src_df, tmpdir_clean):
     # first run, full
     engine.run_encode(spark, src_df, out, buckets=8)
     man = Manifest(out)
-    assert man.committed_buckets() == set(range(8))
+    assert _committed(out) == set(range(8))
 
     # simulate interruption: drop commits + chunk files for buckets 4..7
     for b in range(4, 8):
-        os.remove(os.path.join(man.dir, f"commit-{b}.json"))
+        man.uncommit_bucket(b)
         for f in glob.glob(os.path.join(out, "chunks", "column=*", f"bucket-{b:06d}.parquet")):
             os.remove(f)
     kept_files = sorted(glob.glob(os.path.join(out, "chunks", "column=*", "*.parquet")))
@@ -76,7 +81,7 @@ def test_resume_skips_committed_buckets(spark, src_df, tmpdir_clean):
     # resumed run: must only encode buckets 4..7
     metrics = engine.run_encode(spark, src_df, out, buckets=8)
     assert {r["bucket"] for r in metrics} == {4, 5, 6, 7}
-    assert man.committed_buckets() == set(range(8))
+    assert _committed(out) == set(range(8))
     for f, st in kept_stat.items():
         assert (os.path.getmtime(f), os.path.getsize(f)) == st, f"re-encoded {f}"
 
@@ -107,7 +112,8 @@ def test_metrics_and_lineage(spark, src_df, tmpdir_clean):
     for r in rep:
         assert r["bytes_out"] > 0 and r["bytes_in"] > 0
     # lineage records carry per-column wall_ms for throughput accounting
-    rec = Manifest(out).read_commits()[0]
+    man = Manifest(out)
+    rec = man.read_commits(man.read_table_meta()["plan_hash"])[0]
     assert rec["columns"]["text"]["wall_ms"] >= 0
 
 
@@ -126,7 +132,9 @@ def test_salting_defuses_host_skew(spark, src_df, tmpdir_clean):
     spread rows near-uniformly across buckets."""
     out = os.path.join(tmpdir_clean, "enc")
     engine.run_encode(spark, src_df, out, buckets=8)
-    rows = [json.loads(open(f).read())["n_rows"] for f in glob.glob(os.path.join(out, "_manifest", "commit-*.json"))]
+    man = Manifest(out)
+    rows = [rec["n_rows"]
+            for rec in man.read_commits(man.read_table_meta()["plan_hash"])]
     assert len(rows) == 8
     mean = sum(rows) / len(rows)
     assert max(rows) < 1.35 * mean, rows
@@ -154,7 +162,7 @@ def test_direct_mode_roundtrip_and_resume(spark, tmpdir_clean, tmp_path_factory)
     man = Manifest(out)
     victims = sorted(buckets)[:2]
     for b in victims:
-        os.remove(os.path.join(man.dir, f"commit-{b}.json"))
+        man.uncommit_bucket(b)
         for f in globmod.glob(os.path.join(out, "chunks", "column=*", f"bucket-{b:06d}.parquet")):
             os.remove(f)
     m2 = engine.run_encode_path(spark, src, out, target_rows=512)

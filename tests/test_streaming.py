@@ -43,12 +43,16 @@ def test_stream_drain_then_incremental(spark, tmpdir_clean):
 
     from flowforge.catalog import Manifest
 
-    n_commits_1 = len(Manifest(out).committed_buckets())
+    def committed():
+        man = Manifest(out)
+        return man.committed_buckets(man.read_table_meta()["plan_hash"])
+
+    n_commits_1 = len(committed())
     assert n_commits_1 >= 1
 
     # no new files -> draining again commits nothing new (checkpoint resume)
     streaming.drain(spark, src, out, buckets_per_batch=4)
-    assert len(Manifest(out).committed_buckets()) == n_commits_1
+    assert len(committed()) == n_commits_1
 
     # a late-arriving file is picked up incrementally, store stays consistent
     _write_file(src, "c.parquet", 200, seed=3, id_offset=700)
@@ -56,7 +60,7 @@ def test_stream_drain_then_incremental(spark, tmpdir_clean):
     expect = {r["url"] for r in spark.read.parquet(src).select("url").collect()}
     assert _decoded_urls(spark, out) == expect
     # later batches land in a disjoint bucket-id range
-    assert len(Manifest(out).committed_buckets()) > n_commits_1
+    assert len(committed()) > n_commits_1
 
 
 def test_stream_batches_are_bit_identical(spark, tmpdir_clean):
