@@ -164,9 +164,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, "
             "CAST(row_number() OVER w AS INT) AS seq, "
             "lag(event_id) OVER w AS prev_event_id, "
-            "sum(CAST(floor(value * 100) AS BIGINT)) OVER "
+            # outer CAST matters: DuckDB's window sum(BIGINT) returns
+            # HUGEINT, which stringifies as a float and breaks the hash
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value_c "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_value_c "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "topk_users": (
