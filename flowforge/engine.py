@@ -84,6 +84,93 @@ _CHUNK_FILE_SCHEMA = pa.schema([
 
 
 # --------------------------------------------------------------------------
+# bucket -> task assignment
+# --------------------------------------------------------------------------
+#
+# ``repartition(n, col)`` hash-partitions: with n buckets into n partitions
+# the balls-in-bins layout leaves ~1/e of tasks empty and gives the worst
+# task 2-3 buckets — a built-in straggler on the engine's only shuffle
+# (round-1 verdict). Fix: invert the partitioner. Driver-side we find, for
+# every partition index j, a long key whose Murmur3 hash lands on j, then
+# repartition on bucket->key. Exactly one bucket per task, any cluster size.
+
+_PKEY_MAP_MAX = 4096  # above this, ship the bucket->key map as a broadcast join
+_PKEY_COL = "__ff_pkey"
+
+
+def _murmur3_long(vals, seed: int = 42) -> np.ndarray:
+    """Spark's Murmur3_x86_32.hashLong (the HashPartitioning hash for a
+    single long expression, seed 42) — public algorithm, vectorized.
+    Pinned against F.hash in tests/test_plans.py."""
+    x = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    low = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    high = (x >> np.uint64(32)).astype(np.uint32)
+
+    def mix_k1(k1):
+        k1 = k1 * np.uint32(0xCC9E2D51)
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        return k1 * np.uint32(0x1B873593)
+
+    def mix_h1(h1, k1):
+        h1 = h1 ^ k1
+        h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+        return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+    h1 = np.full(x.shape, seed, dtype=np.uint32)
+    h1 = mix_h1(h1, mix_k1(low))
+    h1 = mix_h1(h1, mix_k1(high))
+    h1 ^= np.uint32(8)
+    h1 ^= h1 >> np.uint32(16)
+    h1 *= np.uint32(0x85EBCA6B)
+    h1 ^= h1 >> np.uint32(13)
+    h1 *= np.uint32(0xC2B2AE35)
+    h1 ^= h1 >> np.uint32(16)
+    return h1.view(np.int32)
+
+
+def _bijective_partition_keys(n: int) -> np.ndarray:
+    """keys[j] is a long that HashPartitioning(n) sends to partition j.
+
+    Coupon-collector search over consecutive candidates, vectorized; ~n ln n
+    hashes (a few ms even at 10^6 partitions)."""
+    keys = np.full(n, -1, dtype=np.int64)
+    base, block = 0, max(1024, 4 * n)
+    while (keys < 0).any():
+        cand = np.arange(base, base + block, dtype=np.int64)
+        part = np.mod(_murmur3_long(cand).astype(np.int64), n)
+        first_idx = np.unique(part, return_index=True)[1]
+        hit = part[first_idx]
+        fill = keys[hit] < 0
+        keys[hit[fill]] = cand[first_idx[fill]]
+        base += block
+    return keys
+
+
+def _partition_one_bucket_per_task(spark: SparkSession, salted: DataFrame,
+                                   todo: list[int], salt_col: str) -> DataFrame:
+    n = len(todo)
+    keys = _bijective_partition_keys(n)
+    if n <= _PKEY_MAP_MAX:
+        entries = []
+        for b, k in zip(todo, keys):
+            entries += [F.lit(int(b)).cast("long"), F.lit(int(k)).cast("long")]
+        key_expr = F.element_at(F.create_map(*entries), F.col(BUCKET_COL))
+        out = salted.repartition(n, key_expr)
+    else:
+        mapping = spark.createDataFrame(
+            [(int(b), int(k)) for b, k in zip(todo, keys)],
+            T.StructType([T.StructField(BUCKET_COL, T.LongType(), False),
+                          T.StructField(_PKEY_COL, T.LongType(), False)]),
+        )
+        out = (
+            salted.join(F.broadcast(mapping), BUCKET_COL)
+            .repartition(n, F.col(_PKEY_COL))
+            .drop(_PKEY_COL)
+        )
+    return out.sortWithinPartitions(BUCKET_COL, salt_col)
+
+
+# --------------------------------------------------------------------------
 # encode
 # --------------------------------------------------------------------------
 
@@ -298,10 +385,7 @@ def encode_table(
     )
     if len(todo) < buckets:
         salted = salted.filter(F.col(BUCKET_COL).isin(todo))
-    planned = (
-        salted.repartition(len(todo), F.col(BUCKET_COL))
-        .sortWithinPartitions(BUCKET_COL, salt_col)
-    )
+    planned = _partition_one_bucket_per_task(spark, salted, todo, salt_col)
     return planned.mapInArrow(_make_encode_kernel(out_dir, chunk_rows, phash),
                               METRICS_SCHEMA)
 

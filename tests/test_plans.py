@@ -77,6 +77,64 @@ def test_salted_encode_has_exactly_one_exchange(spark, tmpdir_clean):
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, plan
 
 
+def test_murmur3_matches_spark_hash(spark):
+    """The partitioner inversion rests on _murmur3_long == F.hash(long)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flowforge import engine
+
+    vals = list(range(64)) + [-1, -7, 2**40, -(2**40), 123456789012345]
+    row = spark.range(1).select(
+        *[F.hash(F.lit(v).cast("long")).alias(f"h{i}") for i, v in enumerate(vals)]
+    ).collect()[0]
+    mine = engine._murmur3_long(np.array(vals, dtype=np.int64))
+    assert all(int(row[f"h{i}"]) == int(mine[i]) for i in range(len(vals)))
+
+
+def test_bijective_partition_keys():
+    import numpy as np
+
+    from flowforge import engine
+
+    for n in (1, 2, 7, 64, 1000):
+        keys = engine._bijective_partition_keys(n)
+        part = np.mod(engine._murmur3_long(keys).astype(np.int64), n)
+        assert (part == np.arange(n)).all(), n
+
+
+def test_encode_assigns_one_bucket_per_task(spark):
+    """Each shuffle partition owns exactly one bucket — no balls-in-bins
+    stragglers on the engine's only exchange (1000-executor layout)."""
+    from pyspark.sql import functions as F
+
+    from flowforge import engine
+
+    df = spark.range(5_000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(16)).alias(engine.BUCKET_COL)
+    )
+    planned = engine._partition_one_bucket_per_task(spark, df, list(range(16)), "id")
+    dist = (
+        planned.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct(engine.BUCKET_COL).alias("nb"))
+        .collect()
+    )
+    assert len(dist) == 16
+    assert all(r["nb"] == 1 for r in dist), dist
+    # resume shape: sparse todo list still gets one bucket per task
+    todo = [1, 5, 11, 15]
+    sparse = df.filter(F.col(engine.BUCKET_COL).isin(todo))
+    planned = engine._partition_one_bucket_per_task(spark, sparse, todo, "id")
+    dist = (
+        planned.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct(engine.BUCKET_COL).alias("nb"))
+        .collect()
+    )
+    assert len(dist) == 4 and all(r["nb"] == 1 for r in dist), dist
+
+
 def test_direct_encode_has_no_data_exchange(spark, tmpdir_clean):
     from flowforge import engine
 
