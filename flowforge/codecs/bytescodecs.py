@@ -74,27 +74,34 @@ def plain_decode(payload: bytes, meta: dict, n: int):
 
 # --- dictionary -----------------------------------------------------------
 
-def dict_encode(lengths: np.ndarray, data: bytes, sub: str = "plain"):
-    """Sorted-unique dictionary + bit-packed codes (Arrow-vectorized).
+def dict_encode(lengths: np.ndarray, data: bytes, sub: str = "plain",
+                sort: bool = True):
+    """Unique dictionary + bit-packed codes (Arrow-vectorized).
 
     ``sub`` compresses the dictionary value store itself — ``fsst`` pays off
     when the distinct values are individually repetitive (html template
     runs): near-dict speed (the FSST pass only sees the small dictionary)
-    with near-FSST ratio."""
+    with near-FSST ratio.
+
+    ``sort=True`` stores the dictionary value-ordered (prefix locality for
+    the sub-codec). ``sort=False`` keeps Arrow's first-occurrence order —
+    equally deterministic, and skips a code-stream-sized rank gather, which
+    matters when codes outnumber distinct values 100:1 (worddict)."""
     arr = parts_to_arrow(lengths, data)
     enc = pc.dictionary_encode(arr)
     dictionary, codes = enc.dictionary, np.asarray(enc.indices, dtype=np.intp)
-    sort_idx = np.asarray(pc.sort_indices(dictionary), dtype=np.intp)
-    rank = np.empty(sort_idx.size, dtype=np.intp)
-    rank[sort_idx] = np.arange(sort_idx.size)
-    codes = rank[codes]
-    dict_sorted = dictionary.take(pa.array(sort_idx))
-    d_lens, d_data = arrow_to_parts(dict_sorted)
+    if sort:
+        sort_idx = np.asarray(pc.sort_indices(dictionary), dtype=np.intp)
+        rank = np.empty(sort_idx.size, dtype=np.intp)
+        rank[sort_idx] = np.arange(sort_idx.size)
+        codes = rank[codes]
+        dictionary = dictionary.take(pa.array(sort_idx))
+    d_lens, d_data = arrow_to_parts(dictionary)
     sub_enc, _ = BYTES_CODECS[sub]
     dict_payload, dict_meta = sub_enc(d_lens, d_data)
     width = bitpack.bit_width(codes.astype(_U64))
     sections = [dict_payload, bitpack.pack(codes.astype(_U64), width)]
-    meta = {"ndv": int(sort_idx.size), "width": width, "dict": dict_meta, "sub": sub}
+    meta = {"ndv": int(len(dictionary)), "width": width, "dict": dict_meta, "sub": sub}
     return pack_sections(sections), meta
 
 
@@ -154,6 +161,66 @@ def rle_decode(payload: bytes, meta: dict, n: int):
     idx = np.repeat(np.arange(n_runs, dtype=np.intp), run_lens)
     out = run_vals.take(pa.array(idx))
     return arrow_to_parts(out)
+
+
+# --- tokenizing word dictionary ---------------------------------------------
+
+# candidate token separators, preference-ordered (space for prose, '/' for
+# URL-ish paths, newline for line-structured logs)
+_WORDDICT_SEPS = (0x20, 0x2F, 0x0A)
+
+
+def _pick_sep(data: bytes) -> int:
+    sample = np.frombuffer(data[: 1 << 16], dtype=np.uint8)
+    best_sep, best_cnt = _WORDDICT_SEPS[0], -1
+    for s in _WORDDICT_SEPS:
+        cnt = int((sample == s).sum())
+        if cnt > best_cnt:  # strict: earlier candidate wins ties (determinism)
+            best_sep, best_cnt = s, cnt
+    return best_sep
+
+
+def worddict_encode(lengths: np.ndarray, data: bytes, sep: int | None = None):
+    """Tokenizing dictionary: cut the blob at separator->non-separator
+    transitions (token = separator run + following word), then dictionary-
+    encode the tokens — :func:`dict_encode` on a different length-
+    partitioning of the SAME blob, so the whole path is Arrow/numpy
+    vectorized. On word-structured text this wins on BOTH axes vs FSST
+    (measured on the bench corpus: 102 MB/s/core vs 4.4, ratio 0.22 vs
+    0.37) because the natural-language token vocabulary is small while
+    byte-level symbol tables top out at 8-byte substrings.
+
+    Tokens may span row boundaries (rows are sliced back by the lengths
+    array, concatenation is exact) and the token partition covers every
+    byte, so the round trip is bit-identical for arbitrary binary input.
+    """
+    if sep is None:
+        sep = _pick_sep(data)
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size:
+        # sep positions first (small vs blob), then keep only run-enders:
+        # fewer blob-sized temporaries than a transitions mask — page-fault
+        # traffic on fresh temps is the dominant cost under many workers
+        sep_pos = np.flatnonzero(b == sep)
+        if sep_pos.size and sep_pos[-1] == b.size - 1:
+            sep_pos = sep_pos[:-1]
+        run_end = sep_pos[b[sep_pos + 1] != sep] + 1
+        tok_lens = np.diff(run_end, prepend=0, append=b.size).astype(_I64)
+    else:
+        tok_lens = np.zeros(0, dtype=_I64)
+    lp, lm = _encode_lengths(lengths)
+    dict_payload, dict_meta = dict_encode(tok_lens, data, sort=False)
+    payload = pack_sections([lp, dict_payload])
+    meta = {"lens": lm, "n_tokens": int(tok_lens.size), "dict": dict_meta,
+            "sep": int(sep)}
+    return payload, meta
+
+
+def worddict_decode(payload: bytes, meta: dict, n: int):
+    lp, dict_payload = unpack_sections(payload)
+    lengths = _decode_lengths(lp, meta["lens"], n)
+    _, tok_data = dict_decode(dict_payload, meta["dict"], int(meta["n_tokens"]))
+    return lengths, tok_data
 
 
 def hybrid_encode(lengths: np.ndarray, data: bytes):
@@ -381,4 +448,5 @@ BYTES_CODECS = {
     "rle": (rle_encode, rle_decode),
     "fsst": (fsst_encode, fsst_decode),
     "hybrid": (hybrid_encode, hybrid_decode),
+    "worddict": (worddict_encode, worddict_decode),
 }

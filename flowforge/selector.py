@@ -55,7 +55,8 @@ def int_stats(values: np.ndarray) -> dict:
 def bytes_stats(arr: pa.Array) -> dict:
     n = len(arr)
     if n == 0:
-        return {"n": 0, "ndv": 0, "run_frac": 0.0, "entropy": 0.0, "data_bytes": 0}
+        return {"n": 0, "ndv": 0, "run_frac": 0.0, "entropy": 0.0,
+                "data_bytes": 0, "sep_frac": 0.0}
     sample = arr.slice(0, min(n, 4096))
     ndv = int(pc.count_distinct(sample).as_py())
     neq = 1
@@ -63,8 +64,14 @@ def bytes_stats(arr: pa.Array) -> dict:
         eq = pc.equal(arr.slice(1), arr.slice(0, n - 1))
         neq = 1 + int(pc.sum(pc.invert(eq)).as_py() or 0)
     lengths, data = bytescodecs.arrow_to_parts(sample.cast(pa.large_binary()))
+    sdata = np.frombuffer(data[:_SAMPLE_BYTES], dtype=np.uint8)
+    sep_frac = 0.0
+    if sdata.size:
+        sep_frac = max(float((sdata == s).sum()) for s in
+                       bytescodecs._WORDDICT_SEPS) / sdata.size
     return {"n": n, "ndv": ndv, "run_frac": neq / n,
-            "entropy": _entropy(data), "data_bytes": int(lengths.sum())}
+            "entropy": _entropy(data), "data_bytes": int(lengths.sum()),
+            "sep_frac": sep_frac}
 
 
 def _ndv_ratio(stats: dict) -> float:
@@ -93,6 +100,14 @@ def _candidates_bytes(stats: dict) -> list[str]:
             # distinct values (html template runs: measured 0.044 -> 0.0025
             # at ~dict speed)
             cands.append("dictfsst")
+    if stats["sep_frac"] > 0.02 and _ndv_ratio(stats) >= 0.2:
+        # token-structured data (prose, paths, logs): the tokenizing
+        # dictionary is fully vectorized, so trialing it on the full chunk
+        # is cheap — and on text it usually retires the FSST trial entirely.
+        # Low-ndv chunks skip it: whole-value dict already beats a token
+        # dict there, and the trial's blob-sized temporaries aren't free
+        # under many concurrent workers
+        cands.append("worddict")
     if stats["run_frac"] < 0.5:
         cands.append("rle")
     cands.append("plain")

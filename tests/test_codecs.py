@@ -140,6 +140,43 @@ def test_fsst_compresses_text():
     assert len(payload) < 0.5 * (len(data) + 8 * lengths.size)
 
 
+def test_worddict_beats_fsst_on_prose():
+    # realistic shape: every line distinct (no whole-line repeats for FSST's
+    # recursive rounds to fold) but drawn from a small word vocabulary —
+    # exactly where token-level dictionaries beat byte-level symbol tables
+    rng = np.random.default_rng(11)
+    vocab = [f"word{i:03d}" for i in range(500)]
+    vals = [" ".join(vocab[j] for j in rng.integers(0, 500, size=40)).encode()
+            for _ in range(2000)]
+    lengths, data = _parts(vals)
+    pw, mw = bytescodecs.worddict_encode(lengths, data)
+    pf, _ = bytescodecs.fsst_encode(lengths, data)
+    assert mw["sep"] == 0x20
+    assert len(pw) < len(pf)
+    dl, dd = bytescodecs.worddict_decode(pw, mw, lengths.size)
+    assert dd == data and (dl == lengths).all()
+
+
+def test_worddict_sep_autodetect_paths():
+    vals = [f"/var/log/app/{i % 17}/events/part-{i % 5}.json".encode()
+            for i in range(3000)]
+    lengths, data = _parts(vals)
+    _, meta = bytescodecs.worddict_encode(lengths, data)
+    assert meta["sep"] == 0x2F
+
+
+def test_worddict_binary_with_sep_bytes_roundtrips():
+    # arbitrary binary containing 0x20/0x2F/0x0A runs, nul bytes, no seps
+    rng = np.random.default_rng(5)
+    vals = [bytes(rng.integers(0, 256, size=rng.integers(0, 64)).astype(np.uint8))
+            for _ in range(500)]
+    vals += [b"", b" ", b"   ", b"\x00\x20\x2f\x0a" * 10, b"nosepshere"]
+    lengths, data = _parts(vals)
+    p, m = bytescodecs.worddict_encode(lengths, data)
+    dl, dd = bytescodecs.worddict_decode(p, m, lengths.size)
+    assert dd == data and (dl == lengths).all()
+
+
 # --- chunk layer (types + nulls) --------------------------------------------
 
 CHUNK_ARRAYS = [
