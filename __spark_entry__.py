@@ -70,16 +70,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": Q.q_token_counts,
         "text_quality": Q.q_text_quality,
         "lang_id": Q.q_lang_id,
-        "doc_fingerprint": Q.q_doc_fingerprint,        # rows-only
+        "doc_fingerprint": Q.q_doc_fingerprint,        # golden oracle
         # training-data pipeline: deduplication
         "dedup_exact": Q.q_dedup_exact,
         "ngram_jaccard": Q.q_ngram_jaccard,
-        "minhash_lsh": Q.q_minhash_lsh,                # rows-only
-        "simhash_near_dups": Q.q_simhash_near_dups,    # rows-only
+        "minhash_lsh": Q.q_minhash_lsh,                # golden oracle
+        "simhash_near_dups": Q.q_simhash_near_dups,    # golden oracle
         # training-data pipeline: similarity search
         "ann_cosine_scores": Q.q_ann_cosine_scores,
         "cosine_dup_pairs": Q.q_cosine_dup_pairs,
-        "ann_lsh_topk": Q.q_ann_lsh_topk,              # rows-only
+        "ann_lsh_topk": Q.q_ann_lsh_topk,              # golden oracle
         # multimodal plumbing
         "multimodal_features": Q.q_multimodal_features,  # rows-only
         # reference sink/metrics analogs (SURVEY §2 K5, M1)
@@ -249,7 +249,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id_a, id_b, CAST(floor(c * 1e5) AS BIGINT) AS cos_m "
             f"FROM p WHERE floor(c * 1e5) >= 35000"
         ),
+        # seeded/non-SQL operators: golden parquet produced by INDEPENDENT
+        # pure-Python reimplementations (tools/make_golden.py) — a value
+        # match checks the vectorized kernels against a second derivation
+        "minhash_lsh": _golden("minhash_lsh"),
+        "simhash_near_dups": _golden("simhash_near_dups"),
+        "ann_lsh_topk": _golden("ann_lsh_topk"),
+        "doc_fingerprint": _golden("doc_fingerprint"),
     }
+
+
+def _golden(name: str) -> str:
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", f"{name}_sf001.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
 
 
 def _cos_sql(a: str, b: str, dim: int = 64) -> str:

@@ -159,9 +159,14 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 7):
 
     Per Arrow batch: grams are collected per doc (string splitting), then
     hashed for the WHOLE batch in one vectorized FNV pass, permuted one
-    hash function at a time ((a*h+b) mod Mersenne61 over all grams), and
-    reduced to per-doc minima with ``np.minimum.reduceat`` — no per-gram or
-    per-byte Python anywhere in the hot path."""
+    hash function at a time, and reduced to per-doc minima with
+    ``np.minimum.reduceat`` — no per-gram or per-byte Python anywhere in
+    the hot path.
+
+    Permutation arithmetic is uint64, so ``a*h+b`` wraps mod 2^64 BEFORE
+    the Mersenne-61 mod (a multiply-shift-style family rather than textbook
+    mod-p; equally usable for MinHash, and pinned exactly by the
+    independent golden oracle in tools/make_golden.py)."""
     a, b = _minhash_params(num_hashes, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))

@@ -224,7 +224,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprints (rows-only: custom hash, no SQL analog)."""
+    """Rolling-hash fingerprints (golden-oracled: the custom hash has no
+    SQL analog, so tools/make_golden.py re-derives it in pure Python)."""
     from .functions import textops
     d = _table(spark, sf_dir, "documents")
     return d.select("doc_id", textops.rolling_fingerprint(F.col("text")).alias("fp"))
@@ -247,14 +248,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs (rows-only: seeded permutations, no SQL analog)."""
+    """LSH candidate pairs (golden-oracled via tools/make_golden.py)."""
     from .functions import dedup
     d = _table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(d, "doc_id", "text", num_hashes=32, bands=16, shingle_n=2)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs (golden-oracled via tools/make_golden.py)."""
     from .functions import dedup
     d = _table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=8)
@@ -292,13 +293,15 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (rows-only: seeded hyperplanes)."""
+    """LSH-bucketed ANN top-k (golden-oracled: seeded hyperplanes re-derived
+    by the independent pure-Python reference in tools/make_golden.py)."""
     from .functions import similarity
     e = _table(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(
+    res = similarity.ann_lsh_topk(
         e, "embedding", "vec_id", _query_vector(QUERY_VEC_DIM), k=10,
         n_planes=12, max_hamming=4,
     )
+    return res.select("vec_id", F.floor(F.col("cos") * 1e5).alias("cos_m"))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,232 @@
+"""Golden-oracle generator for the seeded, non-SQL-expressible operators.
+
+The scale-path operators (MinHash+LSH, SimHash, hyperplane-LSH ANN, rolling
+fingerprint) can't be re-derived in DuckDB SQL, so their oracles are golden
+parquet files produced by INDEPENDENT straightforward pure-Python
+reimplementations of the same published algorithms (FNV-1a, MinHash
+permutations mod Mersenne-61, SimHash bit votes, sign-bit hyperplane LSH)
+— deliberately loop-based, sharing no code with the vectorized engine
+kernels in flowforge/functions/. A value match therefore checks the
+vectorized implementations against a second, simpler derivation, not
+against themselves.
+
+Run:  python tools/make_golden.py [--sf-dir /root/testdata/sf0.01]
+Writes tests/golden/<op>_sf001.parquet; oracle_sql() reads them via
+read_parquet and tests/test_golden_oracles.py compares Spark results
+against them exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
+
+_FNV_BASIS = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_U64_MASK = 0xFFFFFFFFFFFFFFFF
+_MERSENNE = (1 << 61) - 1
+
+
+def fnv1a(bs: bytes) -> int:
+    h = _FNV_BASIS
+    for byte in bs:
+        h = ((h ^ byte) * _FNV_PRIME) & _U64_MASK
+    return h
+
+
+# --- MinHash + LSH (mirrors flowforge/functions/dedup.py semantics) ----------
+
+def minhash_signature(text: str | None, a, b, num_hashes: int, shingle_n: int):
+    if not text:
+        return [0] * num_hashes
+    words = text.lower().split()
+    grams = {" ".join(words[i: i + shingle_n])
+             for i in range(max(1, len(words) - shingle_n + 1))}
+    hs = [fnv1a(g.encode()) & _MERSENNE for g in sorted(grams)]
+    # the engine's permutation arithmetic is uint64: a*h+b wraps mod 2^64
+    # BEFORE the Mersenne mod (multiply-shift-style family) — mirror it
+    return [min(((int(a[j]) * h + int(b[j])) & _U64_MASK) % _MERSENNE for h in hs)
+            for j in range(num_hashes)]
+
+
+def golden_minhash_lsh(docs, num_hashes=32, bands=16, shingle_n=2, seed=7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    rows_per_band = num_hashes // bands
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, text in docs:
+        sig = minhash_signature(text, a, b, num_hashes, shingle_n)
+        for k in range(bands):
+            key = (k, tuple(sig[k * rows_per_band: (k + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return sorted(pairs)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def simhash(text: str | None, shingle_n=2) -> int:
+    if not text:
+        return 0
+    words = text.lower().split()
+    grams = [" ".join(words[j: j + shingle_n])
+             for j in range(max(1, len(words) - shingle_n + 1))]
+    votes = [0] * 64
+    for g in grams:
+        h = fnv1a(g.encode())
+        for k in range(64):
+            votes[k] += 1 if (h >> k) & 1 else -1
+    return sum(1 << k for k in range(64) if votes[k] > 0)
+
+
+def golden_simhash_near_dups(docs, max_hamming=8):
+    sigs = {doc_id: simhash(text) for doc_id, text in docs}
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for c in range(4):
+            buckets.setdefault((c, (sig >> (c * 16)) & 0xFFFF), []).append(doc_id)
+    out = []
+    seen = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair = (ids[i], ids[j])
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                ham = bin(sigs[pair[0]] ^ sigs[pair[1]]).count("1")
+                if ham <= max_hamming:
+                    out.append((pair[0], pair[1], ham))
+    return sorted(out)
+
+
+# --- hyperplane-LSH ANN -------------------------------------------------------
+
+def _fold_dot(xs, ys) -> float:
+    # strict left fold, matching Spark's F.aggregate over zip_with
+    acc = 0.0
+    for x, y in zip(xs, ys):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def cosine(xs, ys) -> float:
+    import math
+
+    return _fold_dot(xs, ys) / (math.sqrt(_fold_dot(xs, xs)) * math.sqrt(_fold_dot(ys, ys)))
+
+
+def golden_ann_lsh_topk(vecs, query, k=10, n_planes=12, max_hamming=4, seed=11):
+    dim = len(query)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    weights = [1 << i for i in range(n_planes)]
+
+    def sig_of(v):
+        signs = (np.asarray(v, dtype=np.float64) @ planes) > 0
+        return sum(w for s, w in zip(signs, weights) if s)
+
+    qsig = sig_of(query)
+    cands = []
+    for vec_id, v in vecs:
+        s = sig_of(v)
+        if bin(s ^ qsig).count("1") <= max_hamming:
+            cands.append((vec_id, cosine(v, query)))
+    cands.sort(key=lambda t: (-t[1], t[0]))
+    return [(vec_id, int(np.floor(c * 1e5))) for vec_id, c in cands[:k]]
+
+
+# --- rolling fingerprint ------------------------------------------------------
+
+_FP_C1 = 0x9E3779B97F4A7C15
+_FP_C2 = 0xC2B2AE3D27D4EB4F
+
+
+def rolling_fingerprint(text: str | None) -> int:
+    if text is None:
+        return 0
+    b = text.encode("utf-8")
+    if not b:
+        return 0
+    pad = (-len(b)) % 8
+    b = b + b"\x00" * pad
+    out = (len(text.encode("utf-8")) * _FP_C2) & _U64_MASK
+    acc = 0
+    for i in range(len(b) // 8):
+        word = int.from_bytes(b[i * 8: i * 8 + 8], "little")
+        h = ((word ^ ((i * _FP_C2) & _U64_MASK)) * _FP_C1) & _U64_MASK
+        rot = i & 63
+        h = ((h << rot) | (h >> ((64 - rot) % 64))) & _U64_MASK
+        acc ^= h
+    out ^= acc
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+# --- driver -------------------------------------------------------------------
+
+def _query_vector(dim: int) -> list[float]:
+    rng = np.random.default_rng(123)
+    v = rng.standard_normal(dim)
+    return [float(f"{x:.6f}") for x in v]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+
+    dt = pq.read_table(os.path.join(args.sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    docs = list(zip(dt.column("doc_id").to_pylist(), dt.column("text").to_pylist()))
+
+    pairs = golden_minhash_lsh(docs)
+    pq.write_table(pa.table({
+        "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+    }), os.path.join(GOLDEN_DIR, "minhash_lsh_sf001.parquet"))
+    print(f"minhash_lsh: {len(pairs)} pairs")
+
+    trips = golden_simhash_near_dups(docs)
+    pq.write_table(pa.table({
+        "doc_a": pa.array([t[0] for t in trips], pa.int64()),
+        "doc_b": pa.array([t[1] for t in trips], pa.int64()),
+        "hamming": pa.array([t[2] for t in trips], pa.int64()),
+    }), os.path.join(GOLDEN_DIR, "simhash_near_dups_sf001.parquet"))
+    print(f"simhash_near_dups: {len(trips)} pairs")
+
+    et = pq.read_table(os.path.join(args.sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    vecs = list(zip(et.column("vec_id").to_pylist(), et.column("embedding").to_pylist()))
+    dim = len(vecs[0][1])
+    topk = golden_ann_lsh_topk(vecs, _query_vector(dim))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([t[0] for t in topk], pa.int64()),
+        "cos_m": pa.array([t[1] for t in topk], pa.int64()),
+    }), os.path.join(GOLDEN_DIR, "ann_lsh_topk_sf001.parquet"))
+    print(f"ann_lsh_topk: {len(topk)} rows")
+
+    fps = [(doc_id, rolling_fingerprint(text)) for doc_id, text in docs]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f[0] for f in fps], pa.int64()),
+        "fp": pa.array([f[1] for f in fps], pa.int64()),
+    }), os.path.join(GOLDEN_DIR, "doc_fingerprint_sf001.parquet"))
+    print(f"doc_fingerprint: {len(fps)} rows")
+
+
+if __name__ == "__main__":
+    main()
