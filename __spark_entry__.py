@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_service": Q.q_enrich_service,
         "filter_known_types": Q.q_filter_known_types,
         "route_buckets": Q.q_route_buckets,
+        # config-driven multi-log-type registry (C1/S2/K4/E5 end-to-end)
+        "multitype_normalize": Q.q_multitype_normalize,
         # relational operators (SURVEY §2.2 categories, DuckDB-oracled)
         "window_running": Q.q_window_running,
         "topk_users": Q.q_topk_users,
@@ -159,6 +161,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS users "
             "FROM events GROUP BY event_id % 8"
+        ),
+        # the registry pipeline computed directly (no JSON round trip):
+        # equivalent semantics per type — promotion targets, statics,
+        # flag-gated time parts (http: enrich.time=false -> NULLs), F1 drop
+        "multitype_normalize": (
+            f"WITH base AS (SELECT event_id, user_id, event_type AS et, ts, "
+            f"CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'conn' WHEN 1 THEN 'dns' "
+            f"WHEN 2 THEN 'http' ELSE 'smb' END AS log_type, "
+            f"{src_ip} AS sip, {dst_ip} AS dip, {dst_port} AS dport FROM events) "
+            f"SELECT log_type, dip AS dst_ip, "
+            f"CASE WHEN log_type IN ('conn','http') THEN CAST(dport AS INT) END AS dst_port, "
+            f"CASE log_type WHEN 'conn' THEN 'network' WHEN 'dns' THEN 'dns' ELSE 'web' END AS event_class, "
+            f"CASE WHEN log_type <> 'http' THEN CAST(day(ts) AS INT) END AS event_day, "
+            f"CASE WHEN log_type <> 'http' THEN CAST(hour(ts) AS INT) END AS event_hour, "
+            f"CASE WHEN log_type <> 'http' THEN CAST(month(ts) AS INT) END AS event_month, "
+            f"CAST(floor(epoch_us(ts)/1000000) AS BIGINT) * 1000 AS event_time, "
+            f"CASE log_type WHEN 'conn' THEN 'network_connection' WHEN 'dns' THEN 'dns' ELSE 'http' END AS event_type, "
+            f"CASE WHEN log_type <> 'http' THEN CAST(date_part('dow', ts) AS INT) END AS event_weekday, "
+            f"CASE WHEN log_type <> 'http' THEN CAST(year(ts) AS INT) END AS event_year, "
+            f"'C' || CAST(event_id AS VARCHAR) AS flow_id, "
+            f"CASE WHEN log_type IN ('conn','dns') THEN et END AS protocol, "
+            f"CAST(NULL AS VARCHAR) AS service, "
+            f"sip AS src_ip, "
+            f"CASE WHEN log_type = 'conn' THEN CAST(user_id % 60000 AS INT) END AS src_port "
+            f"FROM base WHERE log_type IN ('conn','dns','http')"
         ),
         "window_running": (
             "SELECT event_id, "

@@ -1,0 +1,213 @@
+"""Config-driven multi-log-type schema registry (the reference's C1 analog).
+
+The reference's core identity is a config pair — raw field->type per source
+(config/schema.json) plus per-type promotion/static/enrich rules
+(config/normalization.json) — code-genned into N typed structs
+(generate_schema.go:38-75). Here the same configs build N runtime
+StructTypes + :class:`~flowforge.functions.normalize.NormalizationRule`s,
+and :meth:`LogTypeRegistry.demux_normalize` turns one mixed stream of
+``(log_type, raw_json)`` into the normalized canonical table in a single
+DataFrame expression:
+
+    filter(known types)                  F1  normalize.go:67-70
+      -> per-type from_json(typed struct) S2/C1
+      -> sanitize dotted names            K4  generate_schema.go:284-287
+      -> promote/cast/static              P1-P3 normalize.go:91-153
+      -> flag-gated enrichment            E1/E5 enrich.go:44-76
+      -> unionByName                      R1 union replaces channel-per-type
+
+Scale note: the union of per-type branches over one source reads the input
+once per type; Catalyst prunes each branch to ``log_type = t`` at the scan,
+so the plan is a demux, not N full scans — and at 10^12 rows the stream is
+usually pre-partitioned by log_type anyway (the reference's topic keying,
+core/kafka_producer.go:188-190).
+
+Type mapping parity (generate_schema.go:289-323): float->double,
+int->int (with the byte/packet-count allowlist promoted to long),
+string->string, bool->boolean, unknown->string; ``event_time`` promotion is
+float-seconds -> long milliseconds; ports are int.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.normalize import NormalizationRule, ts_seconds_to_ms
+
+# byte/packet counters promoted to int64 (generate_schema.go:306-323)
+INT64_FIELDS = {
+    "orig_bytes", "resp_bytes", "missed_bytes", "orig_pkts",
+    "orig_ip_bytes", "resp_pkts", "resp_ip_bytes",
+}
+
+_TYPE_MAP = {
+    "float": T.DoubleType(),
+    "int": T.IntegerType(),
+    "string": T.StringType(),
+    "bool": T.BooleanType(),
+}
+
+BUNDLED_CONFIG = os.path.join(os.path.dirname(__file__), "config", "logtypes.json")
+
+
+def sanitize_name(name: str) -> str:
+    """K4 parity: ``id.orig_h`` -> ``id_orig_h`` (generate_schema.go:284-287)."""
+    return name.replace(".", "_")
+
+
+def _field_type(name: str, type_str: str) -> T.DataType:
+    if type_str == "int" and name in INT64_FIELDS:
+        return T.LongType()
+    return _TYPE_MAP.get(type_str, T.StringType())  # unknown -> string
+
+
+class LogTypeDef:
+    def __init__(self, log_type: str, source: str, fields: dict[str, str],
+                 promote: dict[str, str], static: dict[str, str],
+                 enrich: dict[str, bool]):
+        self.log_type = log_type
+        self.source = source
+        self.raw_fields = dict(fields)
+        # rules operate on sanitized names (post-parse projection)
+        self.promote = {sanitize_name(k): v for k, v in promote.items()}
+        self.static = dict(static)
+        self.enrich = dict(enrich)
+
+    def struct_type(self) -> T.StructType:
+        """Typed raw schema for from_json — field names as they appear in
+        the JSON (dots intact; sanitization happens at the select)."""
+        return T.StructType([
+            T.StructField(name, _field_type(sanitize_name(name), t), True)
+            for name, t in self.raw_fields.items()
+        ])
+
+    def rule(self) -> NormalizationRule:
+        return NormalizationRule(
+            promote=self.promote,
+            static_fields=self.static,
+            enrich_time=bool(self.enrich.get("time", False)),
+            enrich_network=bool(self.enrich.get("network", False)),
+        )
+
+
+class LogTypeRegistry:
+    """N log types from config -> runtime StructTypes + rules + demux plan."""
+
+    def __init__(self, defs: dict[str, LogTypeDef]):
+        self.defs = defs
+
+    # --- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_config_file(cls, path: str = BUNDLED_CONFIG) -> "LogTypeRegistry":
+        """Single-file format bundled with this repo (see config/logtypes.json)."""
+        with open(path) as f:
+            cfg = json.load(f)
+        defs = {
+            lt: LogTypeDef(lt, d.get("source", lt), d["fields"],
+                           d.get("promote", {}), d.get("static", {}),
+                           d.get("enrich", {}))
+            for lt, d in cfg["types"].items()
+        }
+        return cls(defs)
+
+    @classmethod
+    def from_reference_configs(cls, schema_path: str,
+                               normalization_path: str) -> "LogTypeRegistry":
+        """Load the reference's own config pair unchanged — a user with 18
+        Zeek types points this at their schema.json + normalization.json
+        (shape per config/schema.json:2-28 + config/normalization.json:2-22)."""
+        with open(schema_path) as f:
+            schema_cfg = json.load(f)
+        with open(normalization_path) as f:
+            norm_cfg = json.load(f)
+        by_source = {src: (d["log_type"], d["fields"])
+                     for src, d in schema_cfg.items()}
+        defs = {}
+        for lt, rules in norm_cfg.items():
+            src = rules.get("source", "")
+            fields = by_source.get(src, (lt, {}))[1]
+            defs[lt] = LogTypeDef(lt, src, fields, rules.get("promote", {}),
+                                  rules.get("static", {}), rules.get("enrich", {}))
+        return cls(defs)
+
+    # --- accessors ----------------------------------------------------------
+
+    def known_types(self) -> list[str]:
+        return sorted(self.defs)
+
+    def struct_type(self, log_type: str) -> T.StructType:
+        return self.defs[log_type].struct_type()
+
+    def rule(self, log_type: str) -> NormalizationRule:
+        return self.defs[log_type].rule()
+
+    # --- the demux plan -----------------------------------------------------
+
+    def _normalize_one(self, df: DataFrame, lt: str, raw_col: str,
+                       canonical: list[str]) -> DataFrame:
+        d = self.defs[lt]
+        parsed = df.withColumn("_p", F.from_json(F.col(raw_col), d.struct_type()))
+        # sanitize + flatten in one select (K4)
+        cols = [F.col(f"_p.`{name}`").alias(sanitize_name(name))
+                for name in d.raw_fields]
+        flat = parsed.select(F.lit(lt).alias("log_type"), *cols)
+        # P1/P2: promotion with event_time/port casts
+        out = flat
+        for raw, canon in d.promote.items():
+            if raw not in flat.columns:
+                continue
+            col: Column = F.col(raw)
+            if canon == "event_time":
+                col = ts_seconds_to_ms(col)
+            elif canon in ("src_port", "dst_port"):
+                col = col.cast("int")
+            out = out.withColumn(canon, col)
+        # P3: statics
+        for name, value in d.static.items():
+            out = out.withColumn(name, F.lit(value))
+        # E1/E5: flag-gated time enrichment off promoted event_time
+        if d.enrich.get("time") and "event_time" in out.columns:
+            from .functions import enrich
+
+            for name, col in enrich.time_parts(F.col("event_time")).items():
+                out = out.withColumn(name, col)
+        present = [c for c in canonical if c in out.columns]
+        return out.select(*present)
+
+    def demux_normalize(self, df: DataFrame, type_col: str = "log_type",
+                        raw_col: str = "raw") -> DataFrame:
+        """Mixed ``(log_type, raw_json)`` stream -> one normalized table.
+
+        Unknown types are silently dropped (F1); each known type is parsed
+        with its own typed struct and normalized by its own rule; branches
+        union by name with nulls for fields a type does not produce."""
+        canonical = self.canonical_columns()
+        branches = [
+            self._normalize_one(
+                df.filter(F.col(type_col) == lt).drop(type_col), lt, raw_col,
+                canonical,
+            )
+            for lt in self.known_types()
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b, allowMissingColumns=True)
+        return out
+
+    def canonical_columns(self) -> list[str]:
+        """Stable output schema: log_type + every promoted/static/enriched
+        name any type produces (sorted for determinism)."""
+        names: set[str] = set()
+        for d in self.defs.values():
+            names.update(d.promote.values())
+            names.update(d.static)
+            if d.enrich.get("time"):
+                names.update(["event_year", "event_month", "event_day",
+                              "event_hour", "event_weekday"])
+        return ["log_type"] + sorted(names)

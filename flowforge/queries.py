@@ -489,6 +489,42 @@ def q_json_parse_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multitype_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 analog end-to-end: config-driven multi-log-type demux+normalize.
+
+    Synthesizes a mixed-type JSON stream from `events` (4 log types, one —
+    'smb' — unknown to the registry), then runs the full registry pipeline:
+    typed from_json per type (S2/C1), dotted-name sanitization (K4),
+    promotion/casts/statics (P1-P3), flag-gated time enrichment (E1/E5 —
+    http has enrich.time=false in the bundled config, so its time parts
+    come out null), unknown-type drop (F1), and a unionByName demux (R1).
+    Mirrors core/normalize.go:66-156 + generate_schema.go:38-75."""
+    from .logtypes import LogTypeRegistry
+
+    e = _table(spark, sf_dir, "events")
+    ts_sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)).cast("double")
+    lt = F.element_at(
+        F.array(F.lit("conn"), F.lit("dns"), F.lit("http"), F.lit("smb")),
+        (F.pmod("event_id", F.lit(4)) + 1).cast("int"),
+    )
+    raw = F.to_json(F.struct(
+        ts_sec.alias("ts"),
+        F.concat(F.lit("C"), F.col("event_id").cast("string")).alias("uid"),
+        F.expr(SRC_IP_SQL).alias("id.orig_h"),
+        F.pmod("user_id", F.lit(60000)).cast("int").alias("id.orig_p"),
+        F.expr(DST_IP_SQL).alias("id.resp_h"),
+        F.expr(DST_PORT_SQL).cast("int").alias("id.resp_p"),
+        F.col("event_type").alias("proto"),
+        F.concat(F.lit("host"), F.pmod("user_id", F.lit(97)).cast("string"),
+                 F.lit(".example.com")).alias("query"),
+        F.lit("GET").alias("method"),
+        (F.lit(200) + F.pmod("event_id", F.lit(5)) * 100).cast("int").alias("status_code"),
+    ))
+    mixed = e.select(lt.alias("log_type"), raw.alias("raw"))
+    reg = LogTypeRegistry.from_config_file()
+    return reg.demux_normalize(mixed)
+
+
 def q_suppliers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained broadcast dim joins through the full dim hierarchy
     (supplier -> nation -> region), with a HAVING-style post-agg filter."""

@@ -1,0 +1,103 @@
+"""Config-driven multi-log-type registry (C1 analog): runtime StructTypes +
+rules from config, typed demux+normalize, and loading the reference's own
+18-type config pair unchanged."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, "/root/repo")
+
+from flowforge.logtypes import INT64_FIELDS, LogTypeRegistry, sanitize_name  # noqa: E402
+
+REF_SCHEMA = "/root/reference/config/schema.json"
+REF_NORM = "/root/reference/config/normalization.json"
+
+
+def test_bundled_config_loads():
+    reg = LogTypeRegistry.from_config_file()
+    assert set(reg.known_types()) == {"conn", "dns", "http", "ssl", "ssh"}
+    st = reg.struct_type("conn")
+    by_name = {f.name: f.dataType for f in st.fields}
+    assert by_name["ts"] == T.DoubleType()
+    assert by_name["id.orig_p"] == T.IntegerType()
+    assert by_name["orig_bytes"] == T.LongType()  # int64 allowlist
+    assert by_name["history"] == T.StringType()
+    rule = reg.rule("conn")
+    assert rule.promote["id_orig_h"] == "src_ip"  # sanitized keys
+    assert rule.enrich_time and reg.rule("http").enrich_time is False
+
+
+def test_reference_config_pair_loads_18_types():
+    """A user with the reference's real configs can load them unchanged
+    (config/schema.json + config/normalization.json, 18 Zeek types)."""
+    reg = LogTypeRegistry.from_reference_configs(REF_SCHEMA, REF_NORM)
+    assert len(reg.known_types()) == 18
+    assert {"conn", "dns", "http", "ssl", "ssh", "kerberos", "ntlm"} <= set(reg.known_types())
+    # every type yields a non-empty typed struct + a rule with event_time
+    for lt in reg.known_types():
+        st = reg.struct_type(lt)
+        assert len(st.fields) > 0, lt
+        rule = reg.rule(lt)
+        assert "event_time" in rule.promote.values(), lt
+        assert all("." not in k for k in rule.promote), lt
+    # int64 allowlist applied where those fields exist
+    conn = {f.name: f.dataType for f in reg.struct_type("conn").fields}
+    for f in INT64_FIELDS & set(sanitize_name(n) for n in conn):
+        assert conn[[n for n in conn if sanitize_name(n) == f][0]] == T.LongType()
+
+
+def test_demux_normalize_end_to_end(spark):
+    reg = LogTypeRegistry.from_config_file()
+    rows = [
+        ("conn", '{"ts": 1767225600.0, "uid": "C1", "id.orig_h": "10.0.0.1", '
+                 '"id.orig_p": 1234, "id.resp_h": "8.8.8.8", "id.resp_p": 53, '
+                 '"proto": "udp", "orig_bytes": 9999999999}'),
+        ("dns", '{"ts": 1767225601.0, "uid": "C2", "id.orig_h": "10.0.0.2", '
+                '"id.resp_h": "1.1.1.1", "proto": "udp", "query": "x.example.com"}'),
+        ("http", '{"ts": 1767225602.0, "uid": "C3", "id.orig_h": "10.0.0.3", '
+                 '"id.resp_h": "93.184.216.34", "id.resp_p": 443, "method": "GET"}'),
+        ("bogus", '{"ts": 1.0, "uid": "C4"}'),  # F1: unknown type dropped
+    ]
+    df = spark.createDataFrame(rows, ["log_type", "raw"])
+    out = reg.demux_normalize(df).collect()
+    by_id = {r["flow_id"]: r for r in out}
+    assert set(by_id) == {"C1", "C2", "C3"}
+    c1, c2, c3 = by_id["C1"], by_id["C2"], by_id["C3"]
+    assert c1["event_time"] == 1767225600000 and c1["src_port"] == 1234
+    assert c1["event_type"] == "network_connection" and c1["event_class"] == "network"
+    assert c1["event_year"] == 2026 and c1["event_weekday"] == 4  # 2026-01-01 = Thursday
+    assert c2["dst_port"] is None and c2["protocol"] == "udp"
+    assert c3["dst_port"] == 443 and c3["event_year"] is None  # enrich.time=false
+    assert c3["protocol"] is None
+
+
+def test_demux_with_reference_configs(spark):
+    """Demux works against the reference's own 18-type config too."""
+    reg = LogTypeRegistry.from_reference_configs(REF_SCHEMA, REF_NORM)
+    rows = [
+        ("ssh", '{"ts": 1767225600.0, "uid": "S1", "id.orig_h": "10.0.0.1", '
+                '"id.resp_h": "10.0.0.2", "auth_success": true}'),
+        ("rdp", '{"ts": 1767225601.0, "uid": "R1", "id.orig_h": "10.0.0.3", '
+                '"id.resp_h": "10.0.0.4", "cookie": "u"}'),
+    ]
+    df = spark.createDataFrame(rows, ["log_type", "raw"])
+    out = {r["flow_id"]: r for r in reg.demux_normalize(df).collect()}
+    assert set(out) == {"S1", "R1"}
+    assert out["S1"]["event_time"] == 1767225600000
+
+
+def test_multitype_query_shape(spark):
+    from flowforge import queries as Q
+
+    df = Q.q_multitype_normalize(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    # 3 of 4 synthesized types are known; smb rows dropped (F1)
+    assert len(rows) == 750
+    types = {r["log_type"] for r in rows}
+    assert types == {"conn", "dns", "http"}
+    assert all(r["event_year"] is None for r in rows if r["log_type"] == "http")
+    assert all(r["event_year"] is not None for r in rows if r["log_type"] != "http")
