@@ -150,9 +150,14 @@ class LogTypeRegistry:
     # --- the demux plan -----------------------------------------------------
 
     def _normalize_one(self, df: DataFrame, lt: str, raw_col: str,
-                       canonical: list[str]) -> DataFrame:
+                       canonical: list[str], unwrap_nested: bool = False) -> DataFrame:
         d = self.defs[lt]
-        parsed = df.withColumn("_p", F.from_json(F.col(raw_col), d.struct_type()))
+        raw_expr: Column = F.col(raw_col)
+        if unwrap_nested:
+            # Kafka nested form {"dns": {...}} (core/kafka.go:92-100): each
+            # branch unwraps its own literal key, flat messages pass through
+            raw_expr = F.coalesce(F.get_json_object(raw_expr, f"$.{lt}"), raw_expr)
+        parsed = df.withColumn("_p", F.from_json(raw_expr, d.struct_type()))
         # sanitize + flatten in one select (K4)
         cols = [F.col(f"_p.`{name}`").alias(sanitize_name(name))
                 for name in d.raw_fields]
@@ -181,17 +186,20 @@ class LogTypeRegistry:
         return out.select(*present)
 
     def demux_normalize(self, df: DataFrame, type_col: str = "log_type",
-                        raw_col: str = "raw") -> DataFrame:
+                        raw_col: str = "raw",
+                        unwrap_nested: bool = False) -> DataFrame:
         """Mixed ``(log_type, raw_json)`` stream -> one normalized table.
 
         Unknown types are silently dropped (F1); each known type is parsed
         with its own typed struct and normalized by its own rule; branches
-        union by name with nulls for fields a type does not produce."""
+        union by name with nulls for fields a type does not produce.
+        ``unwrap_nested`` handles the Kafka nested message form (see
+        flowforge.kafka.messages_to_mixed)."""
         canonical = self.canonical_columns()
         branches = [
             self._normalize_one(
                 df.filter(F.col(type_col) == lt).drop(type_col), lt, raw_col,
-                canonical,
+                canonical, unwrap_nested,
             )
             for lt in self.known_types()
         ]

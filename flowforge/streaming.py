@@ -53,6 +53,8 @@ def stream_encode(
     available_now: bool = True,
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
+    source: str = "files",
+    kafka=None,
 ) -> StreamingQuery:
     """Continuously encode parquet files landing in ``source_dir``.
 
@@ -113,10 +115,25 @@ def stream_encode(
             "plan": plan,
             "plan_hash": plan_hash(plan),
         })
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
+    if source == "kafka":
+        # config-selected Kafka path (core/kafka.go:42-140 analog): JSON
+        # messages carrying the table schema; requires spark-sql-kafka on
+        # the classpath (absent in this sandbox — see flowforge/kafka.py)
+        if kafka is None:
+            raise ValueError("source='kafka' requires a KafkaConfig")
+        from pyspark.sql import functions as F
+
+        from .kafka import build_stream_reader
+
+        raw = build_stream_reader(spark, kafka).load()
+        stream = raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("_r")
+        ).select("_r.*")
+    else:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_dir)
 
     def handle_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
