@@ -116,6 +116,12 @@ def _encode_run(cpus: int, rows: int, tag: str) -> dict:
     }
 
 
+def _host_fingerprint() -> str:
+    import platform
+
+    return f"{platform.node()}/{os.cpu_count()}cpu/{platform.machine()}"
+
+
 def _du(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):
@@ -217,16 +223,22 @@ def main() -> None:
         if len(runs) == 2:
             eff = runs[n4_cpus]["gbps"] / (4 * runs[n_cpus]["gbps"])
             scaling = {"n": runs[n_cpus], "n4": runs[n4_cpus],
-                       "efficiency": round(eff, 3)}
+                       "efficiency": round(eff, 3),
+                       "host": _host_fingerprint(),
+                       "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
             _write_bench_md(rows, runs, eff, encode_info, n_cpus, n4_cpus)
             with open(os.path.join(REPO, ".bench_scaling.json"), "w") as f:
                 json.dump(scaling, f)
     if scaling is None:
         # plain per-round run: report the last measured scaling evidence
-        # (BENCH.md has the full provenance), clearly marked as cached
+        # (BENCH.md has the full provenance), clearly marked as cached; the
+        # host fingerprint makes stale/foreign evidence detectable (the
+        # cache file is gitignored, so it never travels with the repo)
         try:
             with open(os.path.join(REPO, ".bench_scaling.json")) as f:
-                scaling = {**json.load(f), "cached": True}
+                cached = json.load(f)
+            scaling = {**cached, "cached": True,
+                       "cached_host_matches": cached.get("host") == _host_fingerprint()}
         except OSError:
             pass
 

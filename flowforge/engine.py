@@ -61,6 +61,7 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("bytes_out", T.LongType(), False),
     T.StructField("wall_ms", T.DoubleType(), False),
     T.StructField("codecs", T.StringType(), False),
+    T.StructField("errors", T.LongType(), False),
 ])
 
 _METRICS_ARROW = pa.schema([
@@ -72,7 +73,29 @@ _METRICS_ARROW = pa.schema([
     pa.field("bytes_out", pa.int64(), False),
     pa.field("wall_ms", pa.float64(), False),
     pa.field("codecs", pa.string(), False),
+    pa.field("errors", pa.int64(), False),
 ])
+
+# M2 analog (main.go:205-228, :318-341): codec failures fall back to the
+# plain codec (never lose data), are counted per (bucket, column) into the
+# commit record + metrics, and are logged with throttling — first N per
+# worker process, then one suppression notice.
+_ERROR_LOG_BUDGET = 10
+_error_logs_left = _ERROR_LOG_BUDGET
+
+
+def _log_codec_error(column: str, seq: int, exc: Exception) -> None:
+    global _error_logs_left
+    import logging
+
+    log = logging.getLogger("flowforge.engine")
+    if _error_logs_left > 0:
+        _error_logs_left -= 1
+        log.warning("codec failure on column=%s chunk=%d (%s: %s); "
+                    "falling back to plain", column, seq, type(exc).__name__, exc)
+        if _error_logs_left == 0:
+            log.warning("further codec error logs throttled "
+                        "(first %d shown per worker)", _ERROR_LOG_BUDGET)
 
 _CHUNK_FILE_SCHEMA = pa.schema([
     pa.field("chunk_seq", pa.int64(), False),
@@ -182,7 +205,8 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
     n = tbl.num_rows
     n_chunks = max(1, -(-n // chunk_rows))
     per_col: dict[str, dict] = {
-        c: {"rows": [], "bytes_in": 0, "bytes_out": 0, "codecs": set(), "wall_ms": 0.0}
+        c: {"rows": [], "bytes_in": 0, "bytes_out": 0, "codecs": set(),
+            "wall_ms": 0.0, "errors": 0}
         for c in columns
     }
     for seq in range(n_chunks):
@@ -191,7 +215,12 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
         for c in columns:
             arr = sl.column(c).combine_chunks()
             t0 = time.perf_counter()
-            payload, meta = selector.encode_best(arr)
+            try:
+                payload, meta = selector.encode_best(arr)
+            except Exception as exc:  # M2: count + throttled log + fallback
+                _log_codec_error(c, seq, exc)
+                per_col[c]["errors"] += 1
+                payload, meta = chunklib.encode_array(arr, "plain")
             dt = (time.perf_counter() - t0) * 1000
             st = per_col[c]
             st["rows"].append({
@@ -219,10 +248,11 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
         metrics.append({
             "bucket": bucket, "column": c, "n_rows": n, "n_chunks": n_chunks,
             "bytes_in": st["bytes_in"], "bytes_out": st["bytes_out"],
-            "wall_ms": st["wall_ms"], "codecs": codecs,
+            "wall_ms": st["wall_ms"], "codecs": codecs, "errors": st["errors"],
         })
         commit_cols[c] = {"bytes_in": st["bytes_in"], "bytes_out": st["bytes_out"],
-                          "codecs": codecs, "wall_ms": round(st["wall_ms"], 3)}
+                          "codecs": codecs, "wall_ms": round(st["wall_ms"], 3),
+                          "errors": st["errors"]}
     manifest.commit_bucket(bucket, {
         "bucket": bucket, "n_rows": n, "n_chunks": n_chunks,
         "columns": commit_cols, "committed_at": time.time(),
@@ -670,7 +700,8 @@ def metrics_table(spark: SparkSession, out_dir: str) -> DataFrame:
     for rec in manifest.read_commits(manifest.read_table_meta()["plan_hash"]):
         for c, st in rec["columns"].items():
             rows.append((rec["bucket"], c, rec["n_rows"], rec["n_chunks"],
-                         st["bytes_in"], st["bytes_out"], st["wall_ms"], st["codecs"]))
+                         st["bytes_in"], st["bytes_out"], st["wall_ms"],
+                         st["codecs"], st.get("errors", 0)))
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
 

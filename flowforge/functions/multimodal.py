@@ -118,7 +118,8 @@ def resize_images(df: DataFrame, max_w: int = 256, max_h: int = 256,
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
             if real_decode:
-                pdf["payload"].map(_decode_image_real)
+                # decoded pixels would feed the resize; the stub raises
+                pdf = pdf.assign(payload=pdf["payload"].map(_decode_image_real))
             w = pdf["width"].fillna(max_w).astype("int64").clip(lower=1)
             h = pdf["height"].fillna(max_h).astype("int64").clip(lower=1)
             scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
@@ -135,7 +136,9 @@ def resize_images(df: DataFrame, max_w: int = 256, max_h: int = 256,
                 "width": new_w,
                 "height": new_h,
                 "payload": payloads,
-                "resized_from": pdf["width"].astype("string") + "x" + pdf["height"].astype("string"),
+                # use the fillna'd int dims: Arrow nullable ints surface as
+                # float64 in pandas, which would render '1024.0x768.0'
+                "resized_from": w.astype("string") + "x" + h.astype("string"),
             })
 
     return df.mapInPandas(fn, RESIZED_SCHEMA)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -96,11 +97,13 @@ _FP_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _fingerprint_bytes(b: bytes) -> int:
-    """64-bit order-sensitive document fingerprint, fully vectorized.
+    """64-bit order-sensitive document fingerprint of one blob.
 
     Pad to 8-byte words, mix each word with its position, multiply-rotate,
     XOR-reduce (uint64 wraparound is the modulus). Deterministic across
-    runs/platforms; position mixing makes it order-sensitive."""
+    runs/platforms; position mixing makes it order-sensitive. Kept as the
+    single-doc reference; the UDF computes the identical value batch-wide
+    (pinned against tools/make_golden.py's pure-Python derivation)."""
     if not b:
         return 0
     pad = (-len(b)) % 8
@@ -117,7 +120,49 @@ def _fingerprint_bytes(b: bytes) -> int:
 
 @pandas_udf(T.LongType())
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit rolling document fingerprint (Arrow-batched)."""
-    return texts.map(
-        lambda s: 0 if s is None else _fingerprint_bytes(s.encode("utf-8"))
-    ).astype("int64")
+    """Batch-wide 64-bit rolling document fingerprint (Arrow-batched).
+
+    One concatenated 8-aligned buffer for the whole batch: every doc is
+    scatter-copied to an aligned offset, all words are mixed/rotated in one
+    vectorized pass with PER-DOC word indices, and per-doc XOR reduction is
+    ``np.bitwise_xor.reduceat`` — no per-row Python anywhere (same pattern
+    as dedup._fnv1a_batch)."""
+    arr = pa.Array.from_pandas(texts, type=pa.large_string()).cast(pa.large_binary())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+    data_buf = arr.buffers()[2]
+    flat = (np.frombuffer(data_buf, dtype=np.uint8, count=int(offsets[-1]))
+            if data_buf is not None and offsets[-1] > offsets[0]
+            else np.zeros(0, dtype=np.uint8))
+    lens = np.diff(offsets)
+    null_mask = ~np.asarray(arr.is_valid(), dtype=bool) if arr.null_count else None
+
+    padded_lens = ((lens + 7) // 8) * 8
+    dst_offsets = np.concatenate(([0], np.cumsum(padded_lens)))
+    buf = np.zeros(int(dst_offsets[-1]), dtype=np.uint8)
+    n0 = int(offsets[0])  # sliced arrays carry absolute offsets
+    total = int(offsets[-1]) - n0
+    if total:
+        src = flat[n0: n0 + total]
+        # scatter-copy each doc to its 8-aligned start: one fancy-index store
+        shift = np.repeat(dst_offsets[:-1] - (offsets[:-1] - n0), lens)
+        buf[np.arange(total, dtype=np.int64) + shift] = src
+    words = buf.view("<u8")
+    word_starts = (dst_offsets[:-1] // 8).astype(np.int64)
+    words_per_doc = (padded_lens // 8).astype(np.int64)
+
+    idx = np.arange(words.size, dtype=np.uint64)
+    idx -= np.repeat(word_starts.astype(np.uint64), words_per_doc)
+    h = (words ^ (idx * _FP_C2)) * _FP_C1
+    rot = idx & np.uint64(63)
+    h = (h << rot) | (h >> (np.uint64(64) - rot) % np.uint64(64))
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = words_per_doc > 0
+    if nonempty.any():
+        red = np.bitwise_xor.reduceat(h, word_starts[nonempty])
+        with np.errstate(over="ignore"):
+            out[nonempty] = (lens[nonempty].astype(np.uint64) * _FP_C2) ^ red
+    if null_mask is not None:
+        out[null_mask] = 0
+    return pd.Series(out.view(np.int64))

@@ -174,6 +174,57 @@ def test_direct_mode_roundtrip_and_resume(spark, tmpdir_clean, tmp_path_factory)
     assert engine.run_encode_path(spark, src, out, target_rows=512) == []
 
 
+def test_codec_error_fallback_and_accounting(spark, tmpdir_clean, monkeypatch):
+    """M2 analog (main.go:205-228): a failing codec selection falls back to
+    plain (no data loss), the error is counted into the commit record and
+    metrics_table, and logging is throttled."""
+    import pyarrow as pa
+
+    from flowforge import engine, selector
+    from flowforge.codecs import chunk as chunklib
+
+    real = selector.encode_best
+
+    def flaky(arr):
+        if chunklib.is_bytes_type(arr.type):
+            raise RuntimeError("injected codec failure")
+        return real(arr)
+
+    monkeypatch.setattr(selector, "encode_best", flaky)
+    monkeypatch.setattr(engine, "_error_logs_left", 2)
+    tbl = pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "s": pa.array([f"v{i}" for i in range(100)], pa.large_string()),
+    })
+    out = os.path.join(tmpdir_clean, "store")
+    from flowforge.catalog import plan_hash
+
+    ph = plan_hash({"mode": "salted", "buckets": 1})
+    Manifest(out).write_table_meta({
+        "format": engine.FORMAT_VERSION, "columns": ["k", "s"],
+        "spark_schema": {"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "s", "type": "string", "nullable": False, "metadata": {}},
+        ]},
+        "plan": {"format": engine.FORMAT_VERSION, "mode": "salted",
+                 "buckets": 1, "chunk_rows": 40, "salt_col": "k"},
+        "plan_hash": ph,
+    })
+    metrics = engine._encode_bucket(out, 0, tbl, chunk_rows=40, phash=ph)
+    by_col = {m["column"]: m for m in metrics}
+    assert by_col["s"]["errors"] == 3      # 3 chunks of <=40 rows, all failed
+    assert by_col["s"]["codecs"] == "plain"
+    assert by_col["k"]["errors"] == 0
+    man = Manifest(out)
+    rec = man.read_commits(ph)[0]
+    assert rec["columns"]["s"]["errors"] == 3
+    m = engine.metrics_table(spark, out)
+    assert m.filter(m.column == "s").collect()[0]["errors"] == 3
+    # and the data still round-trips via the plain fallback
+    decoded = engine.decode_table(spark, out).collect()
+    assert sorted(r["s"] for r in decoded) == sorted(f"v{i}" for i in range(100))
+
+
 def test_direct_plan_deterministic(tmp_path_factory):
     d = tmp_path_factory.mktemp("plan_src")
     src = datagen.write_webpages(str(d), 2000, row_group_size=256)

@@ -128,6 +128,20 @@ def test_fingerprint_order_sensitive_and_stable():
     assert textops._fingerprint_bytes(b"") == 0
 
 
+def test_fingerprint_batch_udf_matches_reference(spark):
+    """The batch-wide vectorized UDF must equal the single-doc reference
+    on adversarial shapes: empties, nulls, non-ascii, every length % 8."""
+    texts = ["", None, "a", "ab" * 3, "x" * 7, "y" * 8, "z" * 9,
+             "héllo wörld ünïcode", "\n\t mixed  whitespace ", "q" * 1023]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "text"])
+    got = {r["i"]: r["fp"] for r in
+           df.select("i", textops.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    for i, t in enumerate(texts):
+        want = 0 if t is None else textops._fingerprint_bytes(t.encode("utf-8"))
+        assert got[i] == want, (i, t)
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, 30)
     feats = multimodal.extract_features(media)
