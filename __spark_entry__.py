@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_cosine_scores": Q.q_ann_cosine_scores,
         "cosine_dup_pairs": Q.q_cosine_dup_pairs,
+        "cosine_lsh_pairs": Q.q_cosine_lsh_pairs,      # golden oracle
         "ann_lsh_topk": Q.q_ann_lsh_topk,              # golden oracle
         # multimodal plumbing
         "multimodal_features": Q.q_multimodal_features,  # rows-only
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _golden("minhash_lsh"),
         "simhash_near_dups": _golden("simhash_near_dups"),
         "ann_lsh_topk": _golden("ann_lsh_topk"),
+        "cosine_lsh_pairs": _golden("cosine_lsh_pairs"),
         "doc_fingerprint": _golden("doc_fingerprint"),
     }
 

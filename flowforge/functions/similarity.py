@@ -81,6 +81,54 @@ def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 11):
     return signature
 
 
+def cosine_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
+                     threshold: float, n_planes: int = 16,
+                     bands: int = 4, seed: int = 11) -> DataFrame:
+    """Embedding near-dup PAIRS at scale: hyperplane signature -> banded
+    equi-join -> exact cosine verify (the pairwise counterpart of
+    :func:`ann_lsh_topk`; replaces the quadratic :func:`cosine_pairs`).
+
+    Two vectors are candidates iff they agree on all planes of >=1 band
+    (signature chunk equality) — a pure shuffle-on-key join, no all-pairs.
+    Recall is tuned by bands x planes-per-band; every emitted pair is
+    exactly verified, so precision is 1 relative to the threshold."""
+    planes_per_band = n_planes // bands
+    sig_udf = make_hyperplane_udf(_dim_of(df, vec_col), n_planes, seed)
+    with_sig = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        sig_udf(F.col(vec_col)).alias("sig"),
+    )
+    band_mask = (1 << planes_per_band) - 1
+    banded = with_sig.select(
+        "vid", "vec",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sig"), i * planes_per_band)
+                 .bitwiseAND(F.lit(band_mask)).alias("val"),
+            ) for i in range(bands)
+        ])).alias("b"),
+    ).select("vid", "vec", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    c = cosine(F.col("va"), F.col("vb"))
+    return cand.select("id_a", "id_b", c.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(first["d"])
+
+
 def ann_lsh_topk(df: DataFrame, vec_col: str, id_col: str,
                  query: list[float], k: int = 10, n_planes: int = 12,
                  max_hamming: int = 2) -> DataFrame:

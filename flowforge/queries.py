@@ -292,6 +292,19 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cos_m") >= 35000)
 
 
+def q_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH + exact verify —
+    the UNCAPPED scale path (cosine_dup_pairs is the capped quadratic
+    oracle). Golden-oracled via tools/make_golden.py."""
+    from .functions import similarity
+    e = _table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_lsh_pairs(e, "embedding", "vec_id",
+                                        threshold=0.35, n_planes=16, bands=4)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cos") * 1e5).alias("cos_m")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (golden-oracled: seeded hyperplanes re-derived
     by the independent pure-Python reference in tools/make_golden.py)."""

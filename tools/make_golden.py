@@ -130,6 +130,39 @@ def cosine(xs, ys) -> float:
     return _fold_dot(xs, ys) / (math.sqrt(_fold_dot(xs, xs)) * math.sqrt(_fold_dot(ys, ys)))
 
 
+def golden_cosine_lsh_pairs(vecs, threshold=0.35, n_planes=16, bands=4, seed=11):
+    dim = len(vecs[0][1])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    weights = [1 << i for i in range(n_planes)]
+    planes_per_band = n_planes // bands
+    band_mask = (1 << planes_per_band) - 1
+    sigs = {}
+    for vec_id, v in vecs:
+        signs = (np.asarray(v, dtype=np.float64) @ planes) > 0
+        sigs[vec_id] = sum(w for s, w in zip(signs, weights) if s)
+    buckets: dict[tuple, list[int]] = {}
+    for vec_id, sig in sigs.items():
+        for k in range(bands):
+            buckets.setdefault((k, (sig >> (k * planes_per_band)) & band_mask),
+                               []).append(vec_id)
+    by_id = dict(vecs)
+    out = []
+    seen = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair = (ids[i], ids[j])
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                c = cosine(by_id[pair[0]], by_id[pair[1]])
+                if c >= threshold:
+                    out.append((pair[0], pair[1], int(np.floor(c * 1e5))))
+    return sorted(out)
+
+
 def golden_ann_lsh_topk(vecs, query, k=10, n_planes=12, max_hamming=4, seed=11):
     dim = len(query)
     rng = np.random.default_rng(seed)
@@ -219,6 +252,14 @@ def main() -> None:
         "cos_m": pa.array([t[1] for t in topk], pa.int64()),
     }), os.path.join(GOLDEN_DIR, "ann_lsh_topk_sf001.parquet"))
     print(f"ann_lsh_topk: {len(topk)} rows")
+
+    lsh_pairs = golden_cosine_lsh_pairs(vecs)
+    pq.write_table(pa.table({
+        "id_a": pa.array([p[0] for p in lsh_pairs], pa.int64()),
+        "id_b": pa.array([p[1] for p in lsh_pairs], pa.int64()),
+        "cos_m": pa.array([p[2] for p in lsh_pairs], pa.int64()),
+    }), os.path.join(GOLDEN_DIR, "cosine_lsh_pairs_sf001.parquet"))
+    print(f"cosine_lsh_pairs: {len(lsh_pairs)} pairs")
 
     fps = [(doc_id, rolling_fingerprint(text)) for doc_id, text in docs]
     pq.write_table(pa.table({
