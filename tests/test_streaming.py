@@ -63,6 +63,92 @@ def test_stream_drain_then_incremental(spark, tmpdir_clean):
     assert len(committed()) > n_commits_1
 
 
+def _file_stream(spark, src):
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def test_windowed_ingest_stats_with_watermark(spark, tmpdir_clean):
+    """Event-time tumbling windows + watermark: counts keyed by EVENT hour
+    (not arrival time, unlike the reference's wall-clock layout), and a
+    too-late row is dropped once the watermark has passed its window."""
+    import pyarrow as pa
+
+    from flowforge import streaming
+
+    src = os.path.join(tmpdir_clean, "src")
+    os.makedirs(src)
+    base = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z us
+
+    def rows(ts_offsets_h, tag):
+        n = len(ts_offsets_h)
+        return pa.table({
+            "url": pa.array([f"https://x/{tag}/{i}" for i in range(n)]),
+            "warc_ts": pa.array([base + int(h * 3600e6) for h in ts_offsets_h],
+                                pa.timestamp("us")),
+            "html": pa.array([b"<x>"] * n, pa.binary()),
+            "text": pa.array(["t"] * n),
+            "lang": pa.array(["en"] * n),
+        })
+
+    pq.write_table(rows([0.1, 0.2, 1.5, 6.0], "a"), os.path.join(src, "a.parquet"))
+    stats = streaming.windowed_ingest_stats(
+        _file_stream(spark, src), window="1 hour", watermark="2 hours")
+    ckpt = os.path.join(tmpdir_clean, "ckpt")
+
+    def run_drain():
+        batch_rows: list = []
+        q = (stats.writeStream.foreachBatch(
+                lambda df, bid: batch_rows.extend(df.collect()))
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r["win_start"].hour, r["pages"]) for r in batch_rows}
+
+    got = run_drain()
+    # watermark now 6.0h - 2h = 4h: hour-0 and hour-1 windows are final
+    assert (0, 2) in got and (1, 1) in got
+
+    # a late row in hour 0 (< watermark) must be DROPPED, an on-time row in
+    # hour 6 closes once the watermark advances past it
+    pq.write_table(rows([0.5, 9.0], "b"), os.path.join(src, "b.parquet"))
+    batch2 = run_drain()
+    assert (0, 1) not in batch2 and (0, 3) not in batch2  # late row dropped
+    assert (6, 1) in batch2
+
+
+def test_running_key_totals_stateful_across_restarts(spark, tmpdir_clean):
+    """applyInPandasWithState: per-key running totals accumulate across
+    separate drains because state rides the checkpoint."""
+    from flowforge import datagen, streaming
+
+    src = os.path.join(tmpdir_clean, "src")
+    os.makedirs(src)
+    pq.write_table(datagen.make_webpages(300, seed=1), os.path.join(src, "a.parquet"))
+    ckpt = os.path.join(tmpdir_clean, "ckpt")
+
+    def drain(qname):
+        rows: list = []
+        totals = streaming.running_key_totals(_file_stream(spark, src))
+        q = (totals.writeStream.foreachBatch(
+                lambda df, bid: rows.extend(df.collect()))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["key"]: (r["rows"], r["bytes"]) for r in rows}
+
+    t1 = drain("totals1")
+    assert sum(r for r, _ in t1.values()) == 300
+    # new file arrives; restarted query resumes its state from the checkpoint
+    pq.write_table(datagen.make_webpages(200, seed=2, id_offset=300),
+                   os.path.join(src, "b.parquet"))
+    t2 = drain("totals2")
+    # keys touched by batch 2 report CUMULATIVE counts (state persisted)
+    assert sum(r for r, _ in t2.values()) > 200
+    en1, en2 = t1.get("en", (0, 0)), t2.get("en", (0, 0))
+    assert en2[0] > en1[0] and en2[1] > en1[1]
+
+
 def test_stream_batches_are_bit_identical(spark, tmpdir_clean):
     src = os.path.join(tmpdir_clean, "src")
     out = os.path.join(tmpdir_clean, "store")
