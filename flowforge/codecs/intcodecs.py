@@ -41,22 +41,34 @@ def plain_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
 # --- FOR + bit-pack -------------------------------------------------------
 
 def forbp_encode(values: np.ndarray):
-    """Frame-of-reference: deltas vs min, bit-packed.
+    """Frame-of-reference: deltas vs min, GCD-rescaled, bit-packed.
 
     Deltas computed in uint64 modular arithmetic so a full-range int64
-    column (max-min > 2^63) still round-trips.
+    column (max-min > 2^63) still round-trips. The GCD rescale divides all
+    deltas by their common divisor (stored in meta) — timestamps with
+    coarse granularity (e.g. whole seconds carried as microseconds: GCD
+    10^6) drop ~20 bits per value for one vectorized gcd pass.
     """
     v = _as_i64(values)
     if v.size == 0:
         return b"", {"ref": 0, "width": 0}
     ref = int(v.min())
     deltas = (v.view(_U64) - _U64(ref & 0xFFFFFFFFFFFFFFFF))  # mod 2^64
+    g = int(np.gcd.reduce(deltas)) or 1
+    if g > 1:
+        deltas = deltas // _U64(g)
     width = bitpack.bit_width(deltas)
-    return bitpack.pack(deltas, width), {"ref": ref, "width": width}
+    meta = {"ref": ref, "width": width}
+    if g > 1:
+        meta["gcd"] = g
+    return bitpack.pack(deltas, width), meta
 
 
 def forbp_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
     deltas = bitpack.unpack(payload, int(meta["width"]), n)
+    g = int(meta.get("gcd", 1))
+    if g > 1:
+        deltas = deltas * _U64(g)  # mod 2^64, exact inverse of the rescale
     ref = _U64(int(meta["ref"]) & 0xFFFFFFFFFFFFFFFF)
     return (deltas + ref).view(_I64).copy()
 
@@ -70,9 +82,22 @@ def deltazz_encode(values: np.ndarray):
     first = int(v[0])
     # modular diff avoids overflow on adversarial inputs
     d = (v.view(_U64)[1:] - v.view(_U64)[:-1]).view(_I64)
+    # GCD rescale on signed deltas: magnitudes in uint64 (two's-complement
+    # negate, exact for int64.min), divide magnitudes, re-apply the sign
+    u = d.view(_U64)
+    mag = np.where(d >= 0, u, (~u) + _U64(1))
+    g = int(np.gcd.reduce(mag)) if mag.size else 0
+    g = g or 1
+    if g > 1:
+        q_mag = mag // _U64(g)
+        u = np.where(d >= 0, q_mag, (~q_mag) + _U64(1))
+        d = u.view(_I64)
     zz = bitpack.zigzag_encode(d)
     width = bitpack.bit_width(zz)
-    return bitpack.pack(zz, width), {"first": first, "width": width}
+    meta = {"first": first, "width": width}
+    if g > 1:
+        meta["gcd"] = g
+    return bitpack.pack(zz, width), meta
 
 
 def deltazz_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
@@ -80,6 +105,9 @@ def deltazz_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
         return np.zeros(0, dtype=_I64)
     zz = bitpack.unpack(payload, int(meta["width"]), n - 1)
     d = bitpack.zigzag_decode(zz)
+    g = int(meta.get("gcd", 1))
+    if g > 1:
+        d = (d.view(_U64) * _U64(g)).view(_I64)  # mod 2^64, exact inverse
     out = np.empty(n, dtype=_U64)
     out[0] = _U64(int(meta["first"]) & 0xFFFFFFFFFFFFFFFF)
     np.cumsum(d.view(_U64), out=out[1:])
