@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_by_region": Q.q_suppliers_by_region,
         "semi_parts_shipped": Q.q_semi_parts_shipped,
         "range_join_late_lines": Q.q_range_join_late_lines,
+        "asof_prev_view": Q.q_asof_prev_view,
         "except_doc_slices": Q.q_except_doc_slices,
         # training-data pipeline: text analysis
         "token_counts": Q.q_token_counts,
@@ -242,6 +243,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE date_diff('day', o_orderdate, l_shipdate) BETWEEN 60 AND 120 "
             "GROUP BY strftime(l_shipdate, '%Y-%m')"
+        ),
+        "asof_prev_view": (
+            "WITH e AS (SELECT event_id, user_id, event_type, "
+            "epoch_ms(ts) * 1000000 + event_id AS k FROM events), "
+            "p AS (SELECT * FROM e WHERE event_type = 'purchase'), "
+            "v AS (SELECT event_id, user_id, k FROM e WHERE event_type = 'view') "
+            "SELECT p.event_id, p.user_id, v.event_id AS prev_view_id, "
+            "v.k AS prev_view_k "
+            "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.k <= p.k"
         ),
         "except_doc_slices": (
             "SELECT lang, source FROM documents WHERE doc_id % 2 = 0 "

@@ -433,6 +433,28 @@ def q_range_join_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (merge-based, no range explosion): each purchase event
+    picks the user's most recent prior view. The join key k is made unique
+    (epoch_ms * 1e6 + event_id) so the as-of winner is deterministic on
+    both engines; DuckDB oracles with its native ASOF JOIN."""
+    from .functions.relational import asof_join
+
+    e = _table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        (F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1_000_000)
+         + F.col("event_id")).alias("k"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "k")
+    j = asof_join(purchases, views, by=["user_id"], on="k")
+    return j.select(
+        "event_id", "user_id",
+        F.col("r_event_id").alias("prev_view_id"),
+        F.col("r_k").alias("prev_view_k"),
+    )
+
+
 def q_except_doc_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation: multiset EXCEPT ALL between two document slices."""
     d = _table(spark, sf_dir, "documents")
