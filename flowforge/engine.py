@@ -86,16 +86,16 @@ _error_logs_left = _ERROR_LOG_BUDGET
 
 def _log_codec_error(column: str, seq: int, exc: Exception) -> None:
     global _error_logs_left
-    import logging
+    from .logger import get_logger
 
-    log = logging.getLogger("flowforge.engine")
+    log = get_logger("engine.encode")
     if _error_logs_left > 0:
         _error_logs_left -= 1
-        log.warning("codec failure on column=%s chunk=%d (%s: %s); "
-                    "falling back to plain", column, seq, type(exc).__name__, exc)
+        log.warn("codec failure; falling back to plain", column=column,
+                 chunk=seq, error=f"{type(exc).__name__}: {exc}")
         if _error_logs_left == 0:
-            log.warning("further codec error logs throttled "
-                        "(first %d shown per worker)", _ERROR_LOG_BUDGET)
+            log.warn("further codec error logs throttled",
+                     shown=_ERROR_LOG_BUDGET)
 
 _CHUNK_FILE_SCHEMA = pa.schema([
     pa.field("chunk_seq", pa.int64(), False),
