@@ -89,18 +89,20 @@ def dict_encode(lengths: np.ndarray, data: bytes, sub: str = "plain",
     matters when codes outnumber distinct values 100:1 (worddict)."""
     arr = parts_to_arrow(lengths, data)
     enc = pc.dictionary_encode(arr)
-    dictionary, codes = enc.dictionary, np.asarray(enc.indices, dtype=np.intp)
+    # keep Arrow's int32 indices zero-copy: pack() takes narrow dtypes and
+    # widens per cache-sized column, never as one code-stream-sized temp
+    dictionary, codes = enc.dictionary, np.asarray(enc.indices)
     if sort:
         sort_idx = np.asarray(pc.sort_indices(dictionary), dtype=np.intp)
-        rank = np.empty(sort_idx.size, dtype=np.intp)
-        rank[sort_idx] = np.arange(sort_idx.size)
+        rank = np.empty(sort_idx.size, dtype=np.int32)
+        rank[sort_idx] = np.arange(sort_idx.size, dtype=np.int32)
         codes = rank[codes]
         dictionary = dictionary.take(pa.array(sort_idx))
     d_lens, d_data = arrow_to_parts(dictionary)
     sub_enc, _ = BYTES_CODECS[sub]
     dict_payload, dict_meta = sub_enc(d_lens, d_data)
-    width = bitpack.bit_width(codes.astype(_U64))
-    sections = [dict_payload, bitpack.pack(codes.astype(_U64), width)]
+    width = bitpack.bit_width(codes)
+    sections = [dict_payload, bitpack.pack(codes, width)]
     meta = {"ndv": int(len(dictionary)), "width": width, "dict": dict_meta, "sub": sub}
     return pack_sections(sections), meta
 

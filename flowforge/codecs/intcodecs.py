@@ -155,8 +155,8 @@ def dict_encode(values: np.ndarray):
     v = _as_i64(values)
     uniq, codes = np.unique(v, return_inverse=True)
     dict_payload, dict_meta = forbp_encode(uniq)
-    width = bitpack.bit_width(codes.astype(_U64))
-    sections = [dict_payload, bitpack.pack(codes.astype(_U64), width)]
+    width = bitpack.bit_width(codes)
+    sections = [dict_payload, bitpack.pack(codes, width)]
     meta = {"ndv": int(uniq.size), "width": width, "dict": dict_meta}
     return pack_sections(sections), meta
 
