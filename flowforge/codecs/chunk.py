@@ -115,6 +115,10 @@ def encode_array(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
     payload = pack_sections([validity, body])
     meta = {"codec": codec, "type": type_str, "nulls": int(null_count), "m": m,
             "bytes_in": bytes_in}
+    if not is_bytes_type(arr.type) and values.size:
+        # zone map: int-domain chunks carry min/max so decode can prune
+        # chunks/buckets against range predicates without decoding them
+        meta["min"], meta["max"] = int(values.min()), int(values.max())
     return payload, meta
 
 

@@ -206,7 +206,7 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
     n_chunks = max(1, -(-n // chunk_rows))
     per_col: dict[str, dict] = {
         c: {"rows": [], "bytes_in": 0, "bytes_out": 0, "codecs": set(),
-            "wall_ms": 0.0, "errors": 0}
+            "wall_ms": 0.0, "errors": 0, "min": None, "max": None}
         for c in columns
     }
     for seq in range(n_chunks):
@@ -231,6 +231,9 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
             st["bytes_out"] += len(payload)
             st["codecs"].add(meta["codec"])
             st["wall_ms"] += dt
+            if "min" in meta:  # bucket-level zone map from chunk zone maps
+                st["min"] = meta["min"] if st["min"] is None else min(st["min"], meta["min"])
+                st["max"] = meta["max"] if st["max"] is None else max(st["max"], meta["max"])
 
     metrics = []
     commit_cols = {}
@@ -253,6 +256,8 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
         commit_cols[c] = {"bytes_in": st["bytes_in"], "bytes_out": st["bytes_out"],
                           "codecs": codecs, "wall_ms": round(st["wall_ms"], 3),
                           "errors": st["errors"]}
+        if st["min"] is not None:
+            commit_cols[c]["min"], commit_cols[c]["max"] = st["min"], st["max"]
     manifest.commit_bucket(bucket, {
         "bucket": bucket, "n_rows": n, "n_chunks": n_chunks,
         "columns": commit_cols, "committed_at": time.time(),
@@ -604,37 +609,96 @@ def run_encode_path(spark: SparkSession, src: str | list[str], out_dir: str, **k
 # decode
 # --------------------------------------------------------------------------
 
-def _make_decode_kernel(out_dir: str, columns: list[str]):
+def _chunk_survives(meta: dict, lo: int, hi: int) -> bool:
+    if "min" not in meta or "max" not in meta:
+        return True  # no zone map -> cannot prune
+    return not (meta["min"] > hi or meta["max"] < lo)
+
+
+def _make_decode_kernel(out_dir: str, columns: list[str],
+                        predicates: dict[str, tuple[int, int]] | None = None):
+    """Decode kernel with predicate pushdown: chunk-level zone-map pruning
+    (skipped chunks are skipped for EVERY column — chunk boundaries align
+    across columns, so row zipping stays exact) plus an exact vectorized
+    row filter on the surviving chunks."""
+    predicates = predicates or {}
+
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         manifest = Manifest(out_dir)
+        read_cols = list(dict.fromkeys(list(columns) + list(predicates)))
         for batch in batches:
             for bucket in batch.column("bucket").to_pylist():
-                col_chunks: dict[str, list[pa.Array]] = {}
-                n_chunks = None
-                for c in columns:
+                col_chunks: dict[str, dict[int, pa.Array]] = {}
+                keep_seqs: set[int] | None = None
+                for c in read_cols:
                     t = pq.read_table(manifest.chunk_path(c, bucket))
-                    t = t.sort_by("chunk_seq")
-                    seqs = t.column("chunk_seq").to_pylist()
-                    n_rows = t.column("n_rows").to_pylist()
-                    metas = t.column("meta").to_pylist()
-                    payloads = t.column("payload").to_pylist()
-                    arrs = [
-                        chunklib.decode_array(p, json.loads(m), nr)
-                        for p, m, nr in zip(payloads, metas, n_rows)
-                    ]
-                    col_chunks[c] = arrs
-                    n_chunks = len(seqs)
-                for i in range(n_chunks or 0):
-                    yield pa.RecordBatch.from_arrays(
-                        [col_chunks[c][i] for c in columns], names=columns
-                    )
+                    rows = {
+                        int(s): (json.loads(m), p, int(nr))
+                        for s, m, p, nr in zip(
+                            t.column("chunk_seq").to_pylist(),
+                            t.column("meta").to_pylist(),
+                            t.column("payload").to_pylist(),
+                            t.column("n_rows").to_pylist(),
+                        )
+                    }
+                    if c in predicates:
+                        lo, hi = predicates[c]
+                        ok = {s for s, (m, _, _) in rows.items()
+                              if _chunk_survives(m, lo, hi)}
+                        keep_seqs = ok if keep_seqs is None else keep_seqs & ok
+                    col_chunks[c] = rows
+                all_seqs = sorted(next(iter(col_chunks.values())))
+                seqs = sorted(keep_seqs & set(all_seqs)) if keep_seqs is not None else all_seqs
+                for s in seqs:
+                    arrs = {}
+                    for c in read_cols:
+                        m, p, nr = col_chunks[c][s]
+                        arrs[c] = chunklib.decode_array(p, m, nr)
+                    mask = None
+                    for c, (lo, hi) in predicates.items():
+                        a = arrs[c]
+                        cm = pc.and_kleene(
+                            pc.greater_equal(a, pa.scalar(lo, type=a.type)),
+                            pc.less_equal(a, pa.scalar(hi, type=a.type)),
+                        )  # null comparisons stay null; filter() drops them
+                        mask = cm if mask is None else pc.and_kleene(mask, cm)
+                    out_arrs = [arrs[c] for c in columns]
+                    if mask is not None:
+                        out_arrs = [a.filter(mask) for a in out_arrs]
+                        if len(out_arrs[0]) == 0:
+                            continue
+                    yield pa.RecordBatch.from_arrays(out_arrs, names=list(columns))
 
     return kernel
 
 
+_PREDICATE_TYPES = ("int", "bigint", "smallint", "tinyint", "timestamp",
+                    "date", "boolean")
+
+
+def _prune_buckets(commits: list[dict], predicates: dict) -> list[int]:
+    """Bucket-level zone-map pruning off the commit records (driver-side):
+    a bucket survives only if every predicate range overlaps its recorded
+    [min, max]; buckets without a zone map are kept."""
+    out = []
+    for rec in commits:
+        keep = True
+        for c, (lo, hi) in predicates.items():
+            st = rec["columns"].get(c, {})
+            if "min" in st and (st["min"] > hi or st["max"] < lo):
+                keep = False
+                break
+        if keep:
+            out.append(int(rec["bucket"]))
+    return out
+
+
 def decode_table(
     spark: SparkSession, out_dir: str, columns: list[str] | None = None,
-    *, require_complete: bool = True
+    *, require_complete: bool = True,
+    predicates: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Reconstruct the source table (bit-identical) from the chunk store.
 
@@ -648,6 +712,16 @@ def decode_table(
     would otherwise silently decode to a subset. Streaming stores grow
     open-endedly and are exempt; pass ``require_complete=False`` to read a
     partial batch store deliberately.
+
+    ``predicates`` maps int-domain columns (int/timestamp/date/bool) to
+    inclusive ``(lo, hi)`` ranges (timestamps in the column's epoch unit):
+    zone maps recorded at encode prune whole buckets driver-side and whole
+    chunks task-side before any decoding, then an exact vectorized row
+    filter runs on the survivors — the result contains exactly the
+    matching rows. The 100 TB effect is partition pruning on a clustered
+    column (direct-mode stores keep natural order, e.g. near-sorted
+    warc_ts -> tight per-bucket ranges); on a salt-scattered column the
+    zone maps are wide and pruning degrades to the row filter.
     """
     manifest = Manifest(out_dir)
     meta = manifest.read_table_meta()
@@ -682,11 +756,29 @@ def decode_table(
         raise ValueError(f"unknown columns {unknown}; store has {all_columns}")
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     out_schema = T.StructType([f for f in spark_schema.fields if f.name in columns])
-    committed = sorted(committed_set)
+    if predicates:
+        by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+        for c in predicates:
+            if c not in by_name:
+                raise ValueError(f"predicate on unknown column {c!r}")
+            if not by_name[c].startswith(_PREDICATE_TYPES):
+                raise ValueError(
+                    f"range predicates need an int-ordered column; {c!r} is "
+                    f"{by_name[c]} (float bit-views and bytes don't order)"
+                )
+        committed = _prune_buckets(
+            [r for r in manifest.read_commits(phash)
+             if int(r["bucket"]) in committed_set],
+            predicates,
+        )
+    else:
+        committed = sorted(committed_set)
     buckets_df = spark.createDataFrame(
         [(b,) for b in committed], T.StructType([T.StructField("bucket", T.LongType(), False)])
     ).repartition(max(1, len(committed)))
-    return buckets_df.mapInArrow(_make_decode_kernel(out_dir, list(columns)), out_schema)
+    return buckets_df.mapInArrow(
+        _make_decode_kernel(out_dir, list(columns), predicates), out_schema
+    )
 
 
 # --------------------------------------------------------------------------

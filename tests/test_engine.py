@@ -174,6 +174,49 @@ def test_direct_mode_roundtrip_and_resume(spark, tmpdir_clean, tmp_path_factory)
     assert engine.run_encode_path(spark, src, out, target_rows=512) == []
 
 
+def test_zone_map_predicate_pushdown(spark, tmpdir_clean, tmp_path_factory):
+    """Range predicates prune buckets (driver, commit zone maps) and chunks
+    (task, chunk zone maps) on a clustered column, and the row filter makes
+    the result exact."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("zm_src")
+    src = datagen.write_webpages(str(d), ROWS, row_group_size=512)
+    out = os.path.join(tmpdir_clean, "enc")
+    # direct mode keeps natural (near-sorted warc_ts) order -> tight zones
+    engine.run_encode_path(spark, src, out, target_rows=512)
+    df = spark.read.parquet(src)
+
+    lo_ts, hi_ts = [r[0] for r in df.select(
+        F.expr("percentile(unix_micros(cast(warc_ts as timestamp)), 0.3)").cast("long"),
+    ).collect()][0], None
+    hi_row = df.select(
+        F.expr("percentile(unix_micros(cast(warc_ts as timestamp)), 0.5)").cast("long")
+    ).collect()[0][0]
+    lo, hi = int(lo_ts), int(hi_row)
+
+    man = Manifest(out)
+    phash = man.read_table_meta()["plan_hash"]
+    commits = man.read_commits(phash)
+    pruned = engine._prune_buckets(commits, {"warc_ts": (lo, hi)})
+    assert 0 < len(pruned) < len(commits)  # real pruning happened
+
+    got = engine.decode_table(spark, out, predicates={"warc_ts": (lo, hi)})
+    want = df.filter(
+        (F.unix_micros(F.col("warc_ts").cast("timestamp")) >= lo)
+        & (F.unix_micros(F.col("warc_ts").cast("timestamp")) <= hi)
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # predicates on unordered domains refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="int-ordered"):
+        engine.decode_table(spark, out, predicates={"text": (0, 1)})
+
+
 def test_codec_error_fallback_and_accounting(spark, tmpdir_clean, monkeypatch):
     """M2 analog (main.go:205-228): a failing codec selection falls back to
     plain (no data loss), the error is counted into the commit record and
