@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_doc_text_md5": Q.q_roundtrip_doc_text_md5,
         "roundtrip_doc_lang_counts": Q.q_roundtrip_doc_lang_counts,
         "roundtrip_events_fingerprint": Q.q_roundtrip_events_fingerprint,
+        "roundtrip_pruned_scan": Q.q_roundtrip_pruned_scan,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -117,6 +118,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_ms(ts) AS ts_ms, "
             "CAST(floor(value * 100) AS BIGINT) AS value_c, "
             "md5(event_type || '|' || props) AS row_md5 FROM events"
+        ),
+        # zone-map pushdown: engine decodes only the predicate range from a
+        # direct-mode store; the oracle filters the source directly
+        "roundtrip_pruned_scan": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms, "
+            "CAST(floor(value * 100) AS BIGINT) AS value_c FROM events "
+            f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 3 * 86_400_000_000} "
+            f"AND {1_704_067_200_000_000 + 13 * 86_400_000_000}"
         ),
         "json_parse_demux": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k, "

@@ -100,6 +100,31 @@ def decoded(spark: SparkSession, sf_dir: str, table: str, salt_col: str) -> Data
     return engine.decode_table(spark, _ensure_store(spark, sf_dir, table, salt_col))
 
 
+def _ensure_store_direct(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Direct-mode (no-shuffle, natural-order) cached store — the layout
+    whose zone maps stay tight on near-sorted columns."""
+    import shutil
+
+    out = _store_path(sf_dir, table) + "_direct"
+    man = engine.Manifest(out)
+    try:
+        meta = man.read_table_meta()
+        if int(meta.get("format", 0)) != engine.FORMAT_VERSION:
+            raise ValueError("stale format")
+        plan = meta.get("plan") or {}
+        phash = meta["plan_hash"]
+        if plan.get("mode") != "direct":
+            raise ValueError("plan mismatch")
+        if man.commit_hashes() - {phash}:
+            raise ValueError("foreign-plan commits")
+    except (OSError, ValueError, KeyError):
+        shutil.rmtree(out, ignore_errors=True)
+    engine.run_encode_path(
+        spark, os.path.join(sf_dir, f"{table}.parquet"), out, target_rows=2048
+    )
+    return out
+
+
 # --- round-trip family -------------------------------------------------------
 
 def q_roundtrip_doc_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,6 +137,23 @@ def q_roundtrip_doc_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("lang", "source")
         .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_roundtrip_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map predicate pushdown end-to-end: decode only the events whose
+    ts falls in a fixed epoch range from a direct-mode (natural-order)
+    store — buckets/chunks outside the range are pruned before decoding,
+    the row filter makes it exact, and the oracle filters the source."""
+    out = _ensure_store_direct(spark, sf_dir, "events")
+    lo = 1_704_067_200_000_000 + 3 * 86_400_000_000   # 2024-01-04T00:00:00Z us
+    hi = lo + 10 * 86_400_000_000                     # 10-day window
+    d = engine.decode_table(spark, out, columns=["event_id", "ts", "value"],
+                            predicates={"ts": (lo, hi)})
+    return d.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.floor(F.col("value") * 100).alias("value_c"),
     )
 
 
