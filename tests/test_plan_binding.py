@@ -169,6 +169,37 @@ def test_manifest_foreign_commits_visible(tmpdir_clean):
     assert man.commit_hashes() == {ph_a, ph_b}
 
 
+def test_concurrent_encodes_converge(spark, src_df, tmpdir_clean):
+    """Two encodes of the same store racing (the speculative-duplicate /
+    two-driver analog): same plan -> idempotent commits + atomic renames +
+    concurrency-safe compaction must converge to one consistent store."""
+    import threading
+
+    out = os.path.join(tmpdir_clean, "enc")
+    errors: list[Exception] = []
+
+    def run():
+        try:
+            engine.run_encode(spark, src_df, out, buckets=8)
+        except Exception as e:  # noqa: BLE001 - captured for assertion
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    # both threads race plan creation + bucket encodes + compaction
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    man = Manifest(out)
+    meta = man.read_table_meta()
+    assert man.commit_hashes() == {meta["plan_hash"]}
+    assert man.committed_buckets(meta["plan_hash"]) == set(range(8))
+    assert _decode_count(spark, out) == ROWS
+    d = engine.decode_table(spark, out)
+    assert d.exceptAll(src_df).count() == 0 and src_df.exceptAll(d).count() == 0
+
+
 def test_ensure_store_self_heals_poisoned_cache(spark, monkeypatch, tmpdir_clean):
     """A cached query store poisoned with foreign-plan commits (the round-1
     CORRECTNESS failure mode) is wiped and rebuilt, not resumed."""
