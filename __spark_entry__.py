@@ -86,9 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_lsh_pairs": Q.q_cosine_lsh_pairs,      # golden oracle
         "ann_lsh_topk": Q.q_ann_lsh_topk,              # golden oracle
         # multimodal plumbing
-        "multimodal_features": Q.q_multimodal_features,  # rows-only
+        "multimodal_features": Q.q_multimodal_features,  # golden oracle
         # reference sink/metrics analogs (SURVEY §2 K5, M1)
-        "kafka_output_shape": Q.q_kafka_output_shape,    # rows-only
+        "kafka_output_shape": Q.q_kafka_output_shape,    # structurally oracled
         "metrics_lineage": Q.q_metrics_lineage,          # rows-only
     }
 
@@ -299,11 +299,21 @@ def oracle_sql() -> dict[str, str]:
         # seeded/non-SQL operators: golden parquet produced by INDEPENDENT
         # pure-Python reimplementations (tools/make_golden.py) — a value
         # match checks the vectorized kernels against a second derivation
+        # K5 structural oracle: the Spark side extracts these fields back
+        # out of its serialized 3-layer message; the oracle computes the
+        # expected values directly
+        "kafka_output_shape": (
+            "SELECT event_type AS key, 'flowforge' AS msg_source, "
+            "event_type AS msg_log_type, event_id AS flow_id, "
+            "epoch_ms(ts) AS event_time, CAST(year(ts) AS INT) AS event_year, "
+            "props AS raw_log FROM events"
+        ),
         "minhash_lsh": _golden("minhash_lsh"),
         "simhash_near_dups": _golden("simhash_near_dups"),
         "ann_lsh_topk": _golden("ann_lsh_topk"),
         "cosine_lsh_pairs": _golden("cosine_lsh_pairs"),
         "doc_fingerprint": _golden("doc_fingerprint"),
+        "multimodal_features": _golden("multimodal_features"),
     }
 
 

@@ -506,10 +506,13 @@ def q_except_doc_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kafka_output_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 analog (rows-only): the reference's 3-layer Kafka JSON output
-    (source, log_type, raw/normalized/enriched, core/kafka_producer.go:15-96)
-    re-expressed as to_json(struct(...)) with key = log_type — the exact
-    shape a `.write.format("kafka")` sink would send."""
+    """K5: the reference's 3-layer Kafka JSON output (source, log_type,
+    raw/normalized/enriched, core/kafka_producer.go:15-96) as
+    to_json(struct(...)) with key = log_type — the exact shape a
+    `.write.format("kafka")` sink would send. Oracled structurally: the
+    checked fields are extracted BACK OUT of the serialized message with
+    JSON paths, so a hash match proves the message layout and its values
+    (byte-exact JSON text differs between engines, so no payload md5)."""
     e = _table(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     payload = F.to_json(
@@ -526,10 +529,15 @@ def q_kafka_output_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("enriched"),
         )
     )
-    return e.select(
-        F.col("event_type").alias("key"),
-        F.md5(payload).alias("value_md5"),
-        F.length(payload).alias("value_len"),
+    msg = e.select(F.col("event_type").alias("key"), payload.alias("value"))
+    return msg.select(
+        "key",
+        F.get_json_object("value", "$.source").alias("msg_source"),
+        F.get_json_object("value", "$.log_type").alias("msg_log_type"),
+        F.get_json_object("value", "$.normalized.flow_id").cast("long").alias("flow_id"),
+        F.get_json_object("value", "$.normalized.event_time").cast("long").alias("event_time"),
+        F.get_json_object("value", "$.enriched.event_year").cast("int").alias("event_year"),
+        F.get_json_object("value", "$.raw.raw_log").alias("raw_log"),
     )
 
 

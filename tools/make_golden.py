@@ -217,6 +217,26 @@ def _query_vector(dim: int) -> list[float]:
     return [float(f"{x:.6f}") for x in v]
 
 
+def golden_multimodal_features(rows=96, seed=42):
+    """Re-derive the synth-media aggregate from its declared generation
+    spec (flowforge/functions/multimodal.py synth_media draw order)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    agg = {k: [0, 0] for k in kinds}
+    for i in range(rows):
+        kind = kinds[i % 3]
+        size = int(rng.integers(64, 4096))
+        rng.integers(0, 256, size=size, dtype=np.uint8)  # payload draw
+        if kind != "audio":
+            rng.integers(16, 1920)
+            rng.integers(16, 1080)
+        if kind != "image":
+            rng.integers(100, 60000)
+        agg[kind][0] += 1
+        agg[kind][1] += size
+    return [(k, agg[k][0], agg[k][1]) for k in sorted(kinds)]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -260,6 +280,14 @@ def main() -> None:
         "cos_m": pa.array([p[2] for p in lsh_pairs], pa.int64()),
     }), os.path.join(GOLDEN_DIR, "cosine_lsh_pairs_sf001.parquet"))
     print(f"cosine_lsh_pairs: {len(lsh_pairs)} pairs")
+
+    mm = golden_multimodal_features()
+    pq.write_table(pa.table({
+        "kind": pa.array([m[0] for m in mm], pa.string()),
+        "cnt": pa.array([m[1] for m in mm], pa.int64()),
+        "total_bytes": pa.array([m[2] for m in mm], pa.int64()),
+    }), os.path.join(GOLDEN_DIR, "multimodal_features_sf001.parquet"))
+    print(f"multimodal_features: {len(mm)} rows")
 
     fps = [(doc_id, rolling_fingerprint(text)) for doc_id, text in docs]
     pq.write_table(pa.table({
