@@ -135,6 +135,29 @@ def test_encode_assigns_one_bucket_per_task(spark):
     assert len(dist) == 4 and all(r["nb"] == 1 for r in dist), dist
 
 
+def test_one_bucket_per_task_broadcast_path(spark, monkeypatch):
+    """Above the literal-map threshold the mapping ships as a broadcast
+    join — same 1:1 guarantee (the 10^5-bucket shape, shrunk)."""
+    from pyspark.sql import functions as F
+
+    from flowforge import engine
+
+    monkeypatch.setattr(engine, "_PKEY_MAP_MAX", 4)
+    df = spark.range(2_000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(12)).alias(engine.BUCKET_COL)
+    )
+    planned = engine._partition_one_bucket_per_task(spark, df, list(range(12)), "id")
+    dist = (
+        planned.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct(engine.BUCKET_COL).alias("nb"))
+        .collect()
+    )
+    assert len(dist) == 12 and all(r["nb"] == 1 for r in dist), dist
+    # and the payload column survives the join+repartition+drop round trip
+    assert set(planned.columns) == {"id", engine.BUCKET_COL}
+
+
 def test_direct_encode_has_no_data_exchange(spark, tmpdir_clean):
     from flowforge import engine
 
