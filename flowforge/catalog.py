@@ -123,30 +123,54 @@ class Manifest:
                     out.add(m.group(1))
         return out
 
+    # A compactor deletes a file only AFTER persisting its content into a
+    # new log, so a reader that hits FileNotFoundError mid-read simply
+    # re-lists: the replacement log is already visible by then. Bounded
+    # retry keeps concurrent compactors/readers linearizable without locks.
+    _READ_RETRIES = 5
+
+    def _retry_read(self, fn):
+        for attempt in range(self._READ_RETRIES):
+            try:
+                return fn()
+            except FileNotFoundError:
+                if attempt == self._READ_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")
+
     def committed_buckets(self, phash: str) -> set[int]:
         """Buckets committed under ``phash`` (compacted logs + deltas)."""
-        out = {b for b, ph, _ in self._delta_files() if ph == phash}
-        for name in self._compacted_files(phash):
-            import pyarrow.parquet as pq
 
-            col = pq.read_table(os.path.join(self.dir, name), columns=["bucket"])
-            out.update(col.column("bucket").to_pylist())
-        return out
+        def read():
+            out = {b for b, ph, _ in self._delta_files() if ph == phash}
+            for name in self._compacted_files(phash):
+                import pyarrow.parquet as pq
+
+                col = pq.read_table(os.path.join(self.dir, name), columns=["bucket"])
+                out.update(col.column("bucket").to_pylist())
+            return out
+
+        return self._retry_read(read)
 
     def read_commits(self, phash: str) -> list[dict]:
         """Commit records under ``phash``, deduped by bucket, sorted."""
-        by_bucket: dict[int, dict] = {}
-        for name in self._compacted_files(phash):
-            import pyarrow.parquet as pq
 
-            t = pq.read_table(os.path.join(self.dir, name))
-            for b, rec in zip(t.column("bucket").to_pylist(),
-                              t.column("record").to_pylist()):
-                by_bucket[int(b)] = json.loads(rec)
-        for b, ph, name in self._delta_files():
-            if ph == phash:
-                with open(os.path.join(self.dir, name)) as f:
-                    by_bucket[b] = json.load(f)
+        def read():
+            by_bucket: dict[int, dict] = {}
+            for name in self._compacted_files(phash):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(os.path.join(self.dir, name))
+                for b, rec in zip(t.column("bucket").to_pylist(),
+                                  t.column("record").to_pylist()):
+                    by_bucket[int(b)] = json.loads(rec)
+            for b, ph, name in self._delta_files():
+                if ph == phash:
+                    with open(os.path.join(self.dir, name)) as f:
+                        by_bucket[b] = json.load(f)
+            return by_bucket
+
+        by_bucket = self._retry_read(read)
         return [by_bucket[b] for b in sorted(by_bucket)]
 
     # --- compaction ---------------------------------------------------------
@@ -162,20 +186,25 @@ class Manifest:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        deltas = [(b, name) for b, ph, name in self._delta_files() if ph == phash]
-        old_logs = self._compacted_files(phash)
-        absorb_logs = old_logs if len(old_logs) >= _COMPACTED_MERGE_THRESHOLD else []
+        def gather():
+            deltas = [(b, name) for b, ph, name in self._delta_files()
+                      if ph == phash]
+            old_logs = self._compacted_files(phash)
+            absorb = old_logs if len(old_logs) >= _COMPACTED_MERGE_THRESHOLD else []
+            by_bucket: dict[int, str] = {}
+            for name in absorb:
+                t = pq.read_table(os.path.join(self.dir, name))
+                for b, rec in zip(t.column("bucket").to_pylist(),
+                                  t.column("record").to_pylist()):
+                    by_bucket[int(b)] = rec
+            for b, name in deltas:
+                with open(os.path.join(self.dir, name)) as f:
+                    by_bucket[b] = f.read()
+            return deltas, absorb, by_bucket
+
+        deltas, absorb_logs, by_bucket = self._retry_read(gather)
         if not deltas and not absorb_logs:
             return 0
-        by_bucket: dict[int, str] = {}
-        for name in absorb_logs:
-            t = pq.read_table(os.path.join(self.dir, name))
-            for b, rec in zip(t.column("bucket").to_pylist(),
-                              t.column("record").to_pylist()):
-                by_bucket[int(b)] = rec
-        for b, name in deltas:
-            with open(os.path.join(self.dir, name)) as f:
-                by_bucket[b] = f.read()
         buckets = sorted(by_bucket)
         tbl = pa.table({
             "bucket": pa.array(buckets, pa.int64()),

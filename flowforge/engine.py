@@ -244,8 +244,10 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
         final = manifest.chunk_path(c, bucket)
         tmp = f"{final}.{uuid.uuid4().hex}.tmp"
         os.makedirs(os.path.dirname(final), exist_ok=True)
-        # payloads are already codec-compressed; container stays uncompressed
-        pq.write_table(col_tbl, tmp, compression="none")
+        # payloads are already codec-compressed; container stays uncompressed.
+        # One row group per chunk: predicate-pushdown decode can then skip a
+        # pruned chunk's payload I/O entirely via row-group statistics
+        pq.write_table(col_tbl, tmp, compression="none", row_group_size=1)
         Manifest.atomic_rename(tmp, final)
         codecs = ",".join(sorted(st["codecs"]))
         metrics.append({
@@ -367,8 +369,8 @@ def encode_table(
     out_dir: str,
     *,
     buckets: int | None = None,
-    chunk_rows: int = DEFAULT_CHUNK_ROWS,
-    salt_col: str = "url",
+    chunk_rows: int | None = None,
+    salt_col: str | None = None,
     resume: bool = True,
     bucket_offset: int = 0,
     mode: str = "salted",
@@ -384,9 +386,11 @@ def encode_table(
     The returned DataFrame is lazy — calling an action on it runs the job.
     ``resume=True`` skips buckets already committed in the manifest
     (interrupted runs continue from the last committed checkpoint). The
-    bucket plan is bound to the store on first encode: ``buckets=None``
-    adopts an existing store's plan (new stores get ``defaultParallelism*2``),
-    and a conflicting explicit value raises :class:`StorePlanError`.
+    bucket plan is bound to the store on first encode: leaving ``buckets``/
+    ``chunk_rows``/``salt_col`` at None adopts an existing store's plan
+    (new stores get ``defaultParallelism*2`` / ``DEFAULT_CHUNK_ROWS`` /
+    ``"url"``), and a conflicting explicit value raises
+    :class:`StorePlanError`.
 
     ``bucket_offset`` shifts the bucket-id namespace (streaming micro-batches
     map batch_id -> disjoint id ranges, flowforge.streaming — which also sets
@@ -395,10 +399,15 @@ def encode_table(
     """
     manifest = Manifest(out_dir)
     existing = manifest.try_read_table_meta()
-    if buckets is None and existing is not None:
-        buckets = int((existing.get("plan") or {}).get("buckets", 0)) or None
+    stored_plan = (existing or {}).get("plan") or {}
+    if buckets is None:
+        buckets = int(stored_plan.get("buckets", 0)) or None
     if buckets is None:
         buckets = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
+    if chunk_rows is None:
+        chunk_rows = int(stored_plan.get("chunk_rows", 0)) or DEFAULT_CHUNK_ROWS
+    if salt_col is None:
+        salt_col = stored_plan.get("salt_col") or "url"
     plan_if_new = {
         "format": FORMAT_VERSION, "mode": mode, "buckets": buckets,
         "chunk_rows": chunk_rows, "salt_col": salt_col,
@@ -518,7 +527,7 @@ def encode_path(
     out_dir: str,
     *,
     target_rows: int | None = None,
-    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    chunk_rows: int | None = None,
     sort_col: str | None = None,
     columns: list[str] | None = None,
     resume: bool = True,
@@ -559,11 +568,15 @@ def encode_path(
             target_rows = int(stored_plan["target_rows"])
         if sort_col is None:
             sort_col = stored_plan.get("sort_col")
+        if chunk_rows is None:
+            chunk_rows = int(stored_plan.get("chunk_rows", 0)) or DEFAULT_CHUNK_ROWS
     elif target_rows is None:
         par = int(spark.sparkContext.defaultParallelism)
         probe = plan_direct(files, 1)  # finest-grain plan to learn total rows
         total = sum(p["n_rows"] for p in probe)
         target_rows = max(DEFAULT_CHUNK_ROWS // 8, total // max(1, par * 2))
+    if chunk_rows is None:
+        chunk_rows = DEFAULT_CHUNK_ROWS
     plan = plan_direct(files, target_rows)
     if not plan:
         raise ValueError(f"no parquet row groups found under {src!r}")
@@ -630,27 +643,60 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
         read_cols = list(dict.fromkeys(list(columns) + list(predicates)))
         for batch in batches:
             for bucket in batch.column("bucket").to_pylist():
-                col_chunks: dict[str, dict[int, pa.Array]] = {}
-                keep_seqs: set[int] | None = None
-                for c in read_cols:
-                    t = pq.read_table(manifest.chunk_path(c, bucket))
-                    rows = {
-                        int(s): (json.loads(m), p, int(nr))
-                        for s, m, p, nr in zip(
-                            t.column("chunk_seq").to_pylist(),
-                            t.column("meta").to_pylist(),
-                            t.column("payload").to_pylist(),
-                            t.column("n_rows").to_pylist(),
+                if predicates:
+                    # pass 1: metas only (payload column never touched);
+                    # pass 2 fetches payloads for surviving chunks with a
+                    # chunk_seq filter — one row group per chunk, so pruned
+                    # chunks cost zero payload I/O
+                    col_meta: dict[str, dict[int, tuple[dict, int]]] = {}
+                    keep_seqs: set[int] | None = None
+                    for c in read_cols:
+                        t = pq.read_table(manifest.chunk_path(c, bucket),
+                                          columns=["chunk_seq", "meta", "n_rows"])
+                        rows = {
+                            int(s): (json.loads(m), int(nr))
+                            for s, m, nr in zip(
+                                t.column("chunk_seq").to_pylist(),
+                                t.column("meta").to_pylist(),
+                                t.column("n_rows").to_pylist(),
+                            )
+                        }
+                        if c in predicates:
+                            lo, hi = predicates[c]
+                            ok = {s for s, (m, _) in rows.items()
+                                  if _chunk_survives(m, lo, hi)}
+                            keep_seqs = ok if keep_seqs is None else keep_seqs & ok
+                        col_meta[c] = rows
+                    seqs = sorted(keep_seqs or ())
+                    if not seqs:
+                        continue
+                    col_chunks: dict[str, dict[int, tuple[dict, bytes, int]]] = {}
+                    for c in read_cols:
+                        t = pq.read_table(
+                            manifest.chunk_path(c, bucket),
+                            columns=["chunk_seq", "payload"],
+                            filters=[("chunk_seq", "in", seqs)],
                         )
-                    }
-                    if c in predicates:
-                        lo, hi = predicates[c]
-                        ok = {s for s, (m, _, _) in rows.items()
-                              if _chunk_survives(m, lo, hi)}
-                        keep_seqs = ok if keep_seqs is None else keep_seqs & ok
-                    col_chunks[c] = rows
-                all_seqs = sorted(next(iter(col_chunks.values())))
-                seqs = sorted(keep_seqs & set(all_seqs)) if keep_seqs is not None else all_seqs
+                        payloads = dict(zip(t.column("chunk_seq").to_pylist(),
+                                            t.column("payload").to_pylist()))
+                        col_chunks[c] = {
+                            s: (col_meta[c][s][0], payloads[int(s)], col_meta[c][s][1])
+                            for s in seqs
+                        }
+                else:
+                    col_chunks = {}
+                    for c in read_cols:
+                        t = pq.read_table(manifest.chunk_path(c, bucket))
+                        col_chunks[c] = {
+                            int(s): (json.loads(m), p, int(nr))
+                            for s, m, p, nr in zip(
+                                t.column("chunk_seq").to_pylist(),
+                                t.column("meta").to_pylist(),
+                                t.column("payload").to_pylist(),
+                                t.column("n_rows").to_pylist(),
+                            )
+                        }
+                    seqs = sorted(next(iter(col_chunks.values())))
                 for s in seqs:
                     arrs = {}
                     for c in read_cols:
@@ -675,7 +721,7 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
 
 
 _PREDICATE_TYPES = ("int", "bigint", "smallint", "tinyint", "timestamp",
-                    "date", "boolean")
+                    "date")
 
 
 def _prune_buckets(commits: list[dict], predicates: dict) -> list[int]:
@@ -713,7 +759,7 @@ def decode_table(
     open-endedly and are exempt; pass ``require_complete=False`` to read a
     partial batch store deliberately.
 
-    ``predicates`` maps int-domain columns (int/timestamp/date/bool) to
+    ``predicates`` maps int-ordered columns (int/timestamp/date) to
     inclusive ``(lo, hi)`` ranges (timestamps in the column's epoch unit):
     zone maps recorded at encode prune whole buckets driver-side and whole
     chunks task-side before any decoding, then an exact vectorized row
@@ -788,8 +834,15 @@ def decode_table(
 def metrics_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-(bucket, column) lineage + size/throughput metrics as a DataFrame."""
     manifest = Manifest(out_dir)
+    meta = manifest.read_table_meta()
+    fmt = int(meta.get("format", 1))
+    if fmt != FORMAT_VERSION or "plan_hash" not in meta:
+        raise ValueError(
+            f"chunk store at {out_dir} has format v{fmt}; this build reads "
+            f"v{FORMAT_VERSION} — re-encode the store"
+        )
     rows = []
-    for rec in manifest.read_commits(manifest.read_table_meta()["plan_hash"]):
+    for rec in manifest.read_commits(meta["plan_hash"]):
         for c, st in rec["columns"].items():
             rows.append((rec["bucket"], c, rec["n_rows"], rec["n_chunks"],
                          st["bytes_in"], st["bytes_out"], st["wall_ms"],

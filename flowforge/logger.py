@@ -18,6 +18,7 @@ import sys
 _FORMAT = "%(asctime)s | %(levelname)s | %(name)s | %(message)s"
 _DATEFMT = "%Y-%m-%dT%H:%M:%S"
 _configured = False
+_file_sinks: set[str] = set()
 
 
 def _ensure_configured(log_file: str | None = None) -> None:
@@ -34,9 +35,14 @@ def _ensure_configured(log_file: str | None = None) -> None:
         root.propagate = False
         _configured = True
     if log_file is not None:
-        fh = logging.FileHandler(log_file)
-        fh.setFormatter(fmt)
-        root.addHandler(fh)
+        import os
+
+        path = os.path.abspath(log_file)
+        if path not in _file_sinks:  # one handler per file, however many callers
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            root.addHandler(fh)
+            _file_sinks.add(path)
 
 
 def render_context(context: dict | None) -> str:

@@ -47,8 +47,8 @@ def stream_encode(
     out_dir: str,
     *,
     buckets_per_batch: int | None = None,
-    chunk_rows: int = engine.DEFAULT_CHUNK_ROWS,
-    salt_col: str = "url",
+    chunk_rows: int | None = None,
+    salt_col: str | None = None,
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
@@ -87,6 +87,10 @@ def stream_encode(
             )
         if buckets_per_batch is None:
             buckets_per_batch = int(plan["buckets"])
+        if chunk_rows is None:
+            chunk_rows = int(plan.get("chunk_rows", 0)) or engine.DEFAULT_CHUNK_ROWS
+        if salt_col is None:
+            salt_col = plan.get("salt_col") or "url"
         engine._require_plan_match(
             plan,
             {"buckets": buckets_per_batch, "chunk_rows": chunk_rows,
@@ -101,6 +105,10 @@ def stream_encode(
     else:
         if buckets_per_batch is None:
             buckets_per_batch = DEFAULT_BUCKETS_PER_BATCH
+        if chunk_rows is None:
+            chunk_rows = engine.DEFAULT_CHUNK_ROWS
+        if salt_col is None:
+            salt_col = "url"
         # streaming stores grow open-endedly: the mode exempts them from
         # decode_table's completeness check (batch stores only)
         plan = {

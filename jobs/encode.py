@@ -29,8 +29,10 @@ def main() -> None:
                     help="direct: no-shuffle scan-task encode (default); "
                          "salted: one shuffle onto url-hash buckets")
     ap.add_argument("--buckets", type=int, default=None)
-    ap.add_argument("--chunk-rows", type=int, default=engine.DEFAULT_CHUNK_ROWS)
-    ap.add_argument("--salt-col", default="url")
+    # None = adopt an existing store's plan on resume (explicit values
+    # must match the stored plan or the job refuses)
+    ap.add_argument("--chunk-rows", type=int, default=None)
+    ap.add_argument("--salt-col", default=None)
     ap.add_argument("--sort-col", default=None,
                     help="direct mode: optional per-bucket re-cluster column")
     ap.add_argument("--no-resume", action="store_true")

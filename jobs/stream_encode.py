@@ -24,9 +24,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--buckets-per-batch", type=int,
-                    default=streaming.DEFAULT_BUCKETS_PER_BATCH)
-    ap.add_argument("--salt-col", default="url")
+    # None = adopt an existing store's plan on restart (explicit values
+    # must match the stored plan or the job refuses)
+    ap.add_argument("--buckets-per-batch", type=int, default=None)
+    ap.add_argument("--salt-col", default=None)
     ap.add_argument("--continuous", default=None, metavar="INTERVAL",
                     help='run forever with a processing-time trigger, e.g. "30 seconds"')
     args = ap.parse_args()

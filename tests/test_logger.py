@@ -44,6 +44,7 @@ def test_context_rendering_stable():
 def test_file_sink(tmp_path):
     path = str(tmp_path / "pipeline.log")
     log = get_logger("filecomp", log_file=path)
+    get_logger("othercomp", log_file=path)  # same file: no duplicate handler
     log.info("hello", n=1)
     # drop the file handler so later tests don't keep writing there
     root = logging.getLogger("flowforge")
@@ -51,4 +52,4 @@ def test_file_sink(tmp_path):
         if isinstance(h, logging.FileHandler):
             root.removeHandler(h)
     content = open(path).read()
-    assert "| INFO | flowforge.filecomp | hello | n=1" in content
+    assert content.count("| INFO | flowforge.filecomp | hello | n=1") == 1

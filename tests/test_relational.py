@@ -25,6 +25,20 @@ def test_asof_join_semantics(spark):
     assert len(out) == 4                  # every left row survives
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """SQL equality semantics: NULL by-keys match nothing (DuckDB ASOF /
+    pandas merge_asof parity) — Window.partitionBy would otherwise group
+    both sides' NULLs together."""
+    left = spark.createDataFrame([(None, 10, "L"), ("a", 5, "L2")],
+                                 "key string, t long, lval string")
+    right = spark.createDataFrame([(None, 8, "R"), ("a", 3, "R2")],
+                                  "key string, t long, rval string")
+    out = {(r["key"], r["t"]): r["r_rval"] for r in
+           asof_join(left, right, by=["key"], on="t").collect()}
+    assert out[(None, 10)] is None
+    assert out[("a", 5)] == "R2"
+
+
 def test_asof_join_is_not_a_product(spark):
     left = spark.createDataFrame([("a", 1, "x")], ["key", "t", "lval"])
     right = spark.createDataFrame([("a", 1, "y")], ["key", "t", "rval"])
