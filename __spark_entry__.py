@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": Q.q_cosine_dup_pairs,
         "cosine_lsh_pairs": Q.q_cosine_lsh_pairs,      # golden oracle
         "ann_lsh_topk": Q.q_ann_lsh_topk,              # golden oracle
+        "ann_ivf_topk": Q.q_ann_ivf_topk,              # golden oracle
         # multimodal plumbing
         "multimodal_features": Q.q_multimodal_features,  # golden oracle
         # reference sink/metrics analogs (SURVEY §2 K5, M1)
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _golden("minhash_lsh"),
         "simhash_near_dups": _golden("simhash_near_dups"),
         "ann_lsh_topk": _golden("ann_lsh_topk"),
+        "ann_ivf_topk": _golden("ann_ivf_topk"),
         "cosine_lsh_pairs": _golden("cosine_lsh_pairs"),
         "doc_fingerprint": _golden("doc_fingerprint"),
         "multimodal_features": _golden("multimodal_features"),

@@ -347,6 +347,18 @@ def q_cosine_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN top-k (golden-oracled: deterministic
+    spherical k-means training re-derived in tools/make_golden.py)."""
+    from .functions import similarity
+    e = _table(spark, sf_dir, "embeddings")
+    res = similarity.ivf_topk(
+        e, "embedding", "vec_id", _query_vector(QUERY_VEC_DIM), k=10,
+        nlist=16, nprobe=4,
+    )
+    return res.select("vec_id", F.floor(F.col("cos") * 1e5).alias("cos_m"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (golden-oracled: seeded hyperplanes re-derived
     by the independent pure-Python reference in tools/make_golden.py)."""

@@ -89,6 +89,21 @@ def test_ann_lsh_matches_bruteforce_top1(spark):
     assert approx[0]["vec_id"] == 17  # own bucket always within hamming 0
 
 
+def test_ivf_topk_finds_exact_member_and_recalls(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = rows[42][1]  # exact member -> its own list is always probed
+    approx = similarity.ivf_topk(df, "embedding", "vec_id", query, k=10,
+                                 nlist=8, nprobe=3)
+    got = [r["vec_id"] for r in approx.collect()]
+    assert got[0] == 42
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(df, "embedding", "vec_id", query, k=10).collect()]
+    # probe-pruned recall: most of the true top-10 should survive 3/8 lists
+    assert len(set(got) & set(exact)) >= 5
+
+
 def test_textops_expressions(spark):
     df = spark.createDataFrame(
         [(0, "the cat and the dog."), (1, ""), (2, "  a  b  ")],

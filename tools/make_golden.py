@@ -217,6 +217,44 @@ def _query_vector(dim: int) -> list[float]:
     return [float(f"{x:.6f}") for x in v]
 
 
+def golden_ann_ivf_topk(vecs, query, k=10, nlist=16, nprobe=4,
+                        sample=4096, iters=8, seed=13):
+    """IVF re-derivation. Training mirrors the engine's declared driver-side
+    procedure (same numpy rng + Lloyd schedule — it is deterministic shared
+    math, not distributed code); assignment and scoring are re-derived with
+    plain loops."""
+    import math
+
+    ordered = sorted(vecs)[:sample]
+    X = np.array([v for _, v in ordered], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+
+    qn = np.asarray(query, dtype=np.float64)
+    qn = qn / max(np.linalg.norm(qn), 1e-12)
+    probes = set(int(j) for j in np.argsort(-(cent @ qn))[:nprobe])
+
+    out = []
+    for vec_id, v in vecs:
+        arr = np.asarray(v, dtype=np.float64)
+        n = math.sqrt(sum(float(x) * float(x) for x in arr))
+        vn = arr / max(n, 1e-12)
+        dots = [sum(float(a) * float(b) for a, b in zip(vn, c)) for c in cent]
+        cluster = int(np.argmax(dots))
+        if cluster in probes:
+            out.append((vec_id, cosine(v, query)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return [(vec_id, int(np.floor(c * 1e5))) for vec_id, c in out[:k]]
+
+
 def golden_multimodal_features(rows=96, seed=42):
     """Re-derive the synth-media aggregate from its declared generation
     spec (flowforge/functions/multimodal.py synth_media draw order)."""
@@ -272,6 +310,13 @@ def main() -> None:
         "cos_m": pa.array([t[1] for t in topk], pa.int64()),
     }), os.path.join(GOLDEN_DIR, "ann_lsh_topk_sf001.parquet"))
     print(f"ann_lsh_topk: {len(topk)} rows")
+
+    ivf = golden_ann_ivf_topk(vecs, _query_vector(dim))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([t[0] for t in ivf], pa.int64()),
+        "cos_m": pa.array([t[1] for t in ivf], pa.int64()),
+    }), os.path.join(GOLDEN_DIR, "ann_ivf_topk_sf001.parquet"))
+    print(f"ann_ivf_topk: {len(ivf)} rows")
 
     lsh_pairs = golden_cosine_lsh_pairs(vecs)
     pq.write_table(pa.table({
