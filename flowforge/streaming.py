@@ -214,6 +214,28 @@ def windowed_ingest_stats(stream, *, ts_col: str = "warc_ts",
     )
 
 
+def session_ingest_windows(stream, *, ts_col: str = "warc_ts",
+                           key_col: str = "lang",
+                           gap: str = "30 minutes",
+                           watermark: str = "2 hours"):
+    """Event-time SESSION windows: per-key bursts separated by ``gap`` of
+    silence collapse into one window (crawl-burst accounting — the dynamic
+    counterpart of the fixed tumbling windows in
+    :func:`windowed_ingest_stats`). Append mode emits a session once the
+    watermark passes its close."""
+    from pyspark.sql import functions as F
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                 F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("pages"))
+        .select(F.col("sess.start").alias("sess_start"),
+                F.col("sess.end").alias("sess_end"), "key", "pages")
+    )
+
+
 def running_key_totals(stream, *, key_expr=None, bytes_expr=None):
     """M1 as a custom stateful operator (applyInPandasWithState).
 

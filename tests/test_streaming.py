@@ -117,6 +117,42 @@ def test_windowed_ingest_stats_with_watermark(spark, tmpdir_clean):
     assert (6, 1) in batch2
 
 
+def test_session_windows_collapse_bursts(spark, tmpdir_clean):
+    """Two bursts separated by > gap form two sessions; rows within gap
+    merge (boundaries are event-time, not arrival)."""
+    import pyarrow as pa
+
+    from flowforge import streaming
+
+    src = os.path.join(tmpdir_clean, "src")
+    os.makedirs(src)
+    base = 1_767_225_600_000_000
+    offsets_min = [0, 5, 10, 120, 125, 600]  # bursts at 0-10, 120-125, 600
+    n = len(offsets_min)
+    pq.write_table(pa.table({
+        "url": pa.array([f"https://x/{i}" for i in range(n)]),
+        "warc_ts": pa.array([base + int(m * 60e6) for m in offsets_min],
+                            pa.timestamp("us")),
+        "html": pa.array([b"<x>"] * n, pa.binary()),
+        "text": pa.array(["t"] * n),
+        "lang": pa.array(["en"] * n),
+    }), os.path.join(src, "a.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sess = streaming.session_ingest_windows(stream, gap="30 minutes",
+                                            watermark="1 hour")
+    rows: list = []
+    q = (sess.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir_clean, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # watermark reaches 600min - 60 = 540min: the first two sessions closed
+    got = sorted((r["sess_start"].minute + r["sess_start"].hour * 60, r["pages"])
+                 for r in rows)
+    assert got == [(0, 3), (120, 2)]
+
+
 def test_running_key_totals_stateful_across_restarts(spark, tmpdir_clean):
     """applyInPandasWithState: per-key running totals accumulate across
     separate drains because state rides the checkpoint."""
