@@ -217,6 +217,30 @@ def test_zone_map_predicate_pushdown(spark, tmpdir_clean, tmp_path_factory):
         engine.decode_table(spark, out, predicates={"text": (0, 1)})
 
 
+def test_zone_map_multi_predicate(spark, tmpdir_clean):
+    """Two range predicates intersect at bucket, chunk, and row level."""
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode_path(spark, src, out, target_rows=256)
+    df = spark.read.parquet(src)
+    ids = (100, 600)
+    ts_lo = 1_704_067_200_000_000 + 2 * 86_400_000_000
+    ts_hi = ts_lo + 12 * 86_400_000_000
+    got = engine.decode_table(
+        spark, out, columns=["event_id", "user_id"],
+        predicates={"event_id": ids, "ts": (ts_lo, ts_hi)},
+    )
+    want = df.filter(
+        F.col("event_id").between(*ids)
+        & F.unix_micros(F.col("ts").cast("timestamp")).between(ts_lo, ts_hi)
+    ).select("event_id", "user_id")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_codec_error_fallback_and_accounting(spark, tmpdir_clean, monkeypatch):
     """M2 analog (main.go:205-228): a failing codec selection falls back to
     plain (no data loss), the error is counted into the commit record and
