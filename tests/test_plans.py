@@ -170,6 +170,39 @@ def test_direct_encode_has_no_data_exchange(spark, tmpdir_clean):
     assert "hashpartitioning" not in plan, plan
 
 
+def test_bucketed_tables_join_without_exchange(spark, tmpdir_clean):
+    """Co-located join via bucketing (SURVEY §2.2 / brief: 'bucketing for
+    co-located joins'): two tables bucketed+sorted on the join key join
+    with NO shuffle exchange and no explicit sort — at 100 TB this is how
+    repeated joins against the same key amortize their shuffle to zero."""
+    from pyspark.sql import functions as F
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS ffbt LOCATION '{tmpdir_clean}/wh'")
+    # sf0.01 dims are broadcast-sized; disable auto-broadcast so the plan
+    # shows the co-located (bucketed) sort-merge join large tables would use
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        (docs.select("doc_id", "lang", "n_chars").write.mode("overwrite")
+         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("ffbt.docs_a"))
+        (docs.select("doc_id", "source").write.mode("overwrite")
+         .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("ffbt.docs_b"))
+        a = spark.table("ffbt.docs_a")
+        b = spark.table("ffbt.docs_b")
+        joined = a.join(b, "doc_id").groupBy("lang", "source").agg(
+            F.count("*").alias("cnt"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning(doc_id" not in plan, plan
+        assert joined.agg(F.sum("cnt")).collect()[0][0] == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS ffbt.docs_a")
+        spark.sql("DROP TABLE IF EXISTS ffbt.docs_b")
+        spark.sql("DROP DATABASE IF EXISTS ffbt")
+
+
 def test_semi_and_anti_are_joins_not_products(spark):
     for q in (Q.q_semi_parts_shipped, Q.q_anti_customers_no_orders):
         plan = _formatted(q(spark, SF_DIR))
