@@ -190,21 +190,26 @@ def drain(spark: SparkSession, source_dir: str, out_dir: str, **kw) -> None:
 def windowed_ingest_stats(stream, *, ts_col: str = "warc_ts",
                           key_col: str = "lang",
                           window: str = "1 hour",
+                          slide: str | None = None,
                           watermark: str = "2 hours"):
-    """Event-time tumbling-window ingest accounting (K1 done right).
+    """Event-time tumbling (or sliding, with ``slide``) window ingest
+    accounting (K1 done right).
 
     Returns a streaming DataFrame of (window, key, pages, bytes): the
     reference's year=/month=/day=/hour= layout keyed by EVENT time, with a
     watermark bounding state and dropping too-late rows deterministically
-    (append mode emits a window only once it is final)."""
+    (append mode emits a window only once it is final). A ``slide``
+    smaller than ``window`` gives overlapping windows (each row lands in
+    window/slide of them — rolling throughput averages)."""
     from pyspark.sql import functions as F
 
     # watermarks require TIMESTAMP (tz-aware); parquet NTZ columns cast up
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"),
-                 F.col(key_col).alias("key"))
+        .groupBy(win.alias("win"), F.col(key_col).alias("key"))
         .agg(
             F.count("*").alias("pages"),
             F.sum(F.octet_length("html") + F.octet_length("text")).alias("bytes"),

@@ -117,6 +117,38 @@ def test_windowed_ingest_stats_with_watermark(spark, tmpdir_clean):
     assert (6, 1) in batch2
 
 
+def test_sliding_windows_overlap(spark, tmpdir_clean):
+    """slide < window: each row lands in window/slide overlapping windows."""
+    import pyarrow as pa
+
+    from flowforge import streaming
+
+    src = os.path.join(tmpdir_clean, "src")
+    os.makedirs(src)
+    base = 1_767_225_600_000_000
+    n = 1
+    pq.write_table(pa.table({
+        "url": pa.array(["https://x/0"]),
+        "warc_ts": pa.array([base + int(90 * 60e6)], pa.timestamp("us")),  # 01:30
+        "html": pa.array([b"<x>"], pa.binary()),
+        "text": pa.array(["t"]),
+        "lang": pa.array(["en"]),
+    }), os.path.join(src, "a.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stats = streaming.windowed_ingest_stats(
+        stream, window="1 hour", slide="30 minutes", watermark="0 seconds")
+    rows: list = []
+    q = (stats.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(tmpdir_clean, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    starts = sorted((r["win_start"].hour, r["win_start"].minute) for r in rows)
+    # end-exclusive windows containing 01:30: [01:00,02:00) and [01:30,02:30)
+    assert starts == [(1, 0), (1, 30)]
+
+
 def test_session_windows_collapse_bursts(spark, tmpdir_clean):
     """Two bursts separated by > gap form two sessions; rows within gap
     merge (boundaries are event-time, not arrival)."""
