@@ -1,0 +1,62 @@
+"""spark-submit entry point: decode a chunk store back to parquet.
+
+Usage:
+    spark-submit --py-files flowforge.zip jobs/decode.py \
+        --store <chunk store dir> --out <parquet dir> \
+        [--columns url,text] [--predicate ts:LO:HI] [--partial]
+
+--predicate col:lo:hi (repeatable) pushes an inclusive int-domain range
+into the store: zone maps prune whole buckets and chunks before any
+decoding (timestamps take epoch values in the column's unit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+from flowforge import engine
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all)")
+    ap.add_argument("--predicate", action="append", default=[],
+                    metavar="COL:LO:HI",
+                    help="inclusive int-domain range filter (repeatable)")
+    ap.add_argument("--partial", action="store_true",
+                    help="decode the committed part of an incomplete store")
+    args = ap.parse_args()
+
+    predicates = {}
+    for spec in args.predicate:
+        col, lo, hi = spec.rsplit(":", 2)
+        predicates[col] = (int(lo), int(hi))
+    columns = args.columns.split(",") if args.columns else None
+
+    spark = SparkSession.builder.appName("flowforge-decode").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+    df = engine.decode_table(
+        spark, args.store, columns=columns,
+        require_complete=not args.partial,
+        predicates=predicates or None,
+    )
+    df.write.mode("overwrite").parquet(args.out)
+    rows = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "job": "decode", "wall_sec": round(time.time() - t0, 3),
+        "rows": rows, "columns": columns or "all",
+        "predicates": {c: list(r) for c, r in predicates.items()},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
