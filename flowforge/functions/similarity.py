@@ -138,6 +138,8 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     assignment pass below stays distributed). Centroids are L2-normalized
     so assignment is argmax of a dot product."""
     rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect())
+    if not rows:
+        return np.zeros((0, 0))
     X = np.array([r[1] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -176,6 +178,10 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str, query: list[float],
     filter becomes partition pruning and only ~nprobe/nlist of the corpus
     is scanned; recall is tuned by nprobe."""
     cent = train_ivf_centroids(df, vec_col, id_col, nlist, sample, iters, seed)
+    if cent.size == 0:  # empty corpus -> empty result, like cosine_topk
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cos")
+        ).limit(0)
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(j) for j in np.argsort(-(cent @ qn))[:nprobe]]

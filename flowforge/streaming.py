@@ -205,11 +205,10 @@ def windowed_ingest_stats(stream, *, ts_col: str = "warc_ts",
 
     # watermarks require TIMESTAMP (tz-aware); parquet NTZ columns cast up
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    win = (F.window(F.col(ts_col), window, slide) if slide
-           else F.window(F.col(ts_col), window))
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(win.alias("win"), F.col(key_col).alias("key"))
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"),
+                 F.col(key_col).alias("key"))
         .agg(
             F.count("*").alias("pages"),
             F.sum(F.octet_length("html") + F.octet_length("text")).alias("bytes"),

@@ -37,7 +37,11 @@ def main() -> None:
     predicates = {}
     for spec in args.predicate:
         col, lo, hi = spec.rsplit(":", 2)
-        predicates[col] = (int(lo), int(hi))
+        lo, hi = int(lo), int(hi)
+        if col in predicates:  # repeated column: intersect the ranges
+            plo, phi = predicates[col]
+            lo, hi = max(lo, plo), min(hi, phi)
+        predicates[col] = (lo, hi)
     columns = args.columns.split(",") if args.columns else None
 
     spark = SparkSession.builder.appName("flowforge-decode").getOrCreate()

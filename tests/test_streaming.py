@@ -126,7 +126,6 @@ def test_sliding_windows_overlap(spark, tmpdir_clean):
     src = os.path.join(tmpdir_clean, "src")
     os.makedirs(src)
     base = 1_767_225_600_000_000
-    n = 1
     pq.write_table(pa.table({
         "url": pa.array(["https://x/0"]),
         "warc_ts": pa.array([base + int(90 * 60e6)], pa.timestamp("us")),  # 01:30

@@ -219,12 +219,10 @@ def _query_vector(dim: int) -> list[float]:
 
 def golden_ann_ivf_topk(vecs, query, k=10, nlist=16, nprobe=4,
                         sample=4096, iters=8, seed=13):
-    """IVF re-derivation. Training mirrors the engine's declared driver-side
-    procedure (same numpy rng + Lloyd schedule — it is deterministic shared
-    math, not distributed code); assignment and scoring are re-derived with
-    plain loops."""
-    import math
-
+    """IVF re-derivation. Training and assignment mirror the engine's
+    declared driver-side procedure (same numpy rng + Lloyd schedule + FP
+    formulation — deterministic shared math, not distributed code); the
+    final scoring is an independent left-fold re-derivation."""
     ordered = sorted(vecs)[:sample]
     X = np.array([v for _, v in ordered], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -242,14 +240,16 @@ def golden_ann_ivf_topk(vecs, query, k=10, nlist=16, nprobe=4,
     qn = qn / max(np.linalg.norm(qn), 1e-12)
     probes = set(int(j) for j in np.argsort(-(cent @ qn))[:nprobe])
 
+    # cluster assignment uses the ENGINE's exact FP formulation (normalized
+    # matmul) — training + assignment are shared deterministic numpy math;
+    # a loop-fold here could flip boundary assignments on a different BLAS.
+    # The final SCORING below stays an independent left-fold re-derivation.
+    mat = np.array([np.asarray(v, dtype=np.float64) for _, v in vecs])
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    clusters = np.argmax((mat / norms) @ cent.T, axis=1)
     out = []
-    for vec_id, v in vecs:
-        arr = np.asarray(v, dtype=np.float64)
-        n = math.sqrt(sum(float(x) * float(x) for x in arr))
-        vn = arr / max(n, 1e-12)
-        dots = [sum(float(a) * float(b) for a, b in zip(vn, c)) for c in cent]
-        cluster = int(np.argmax(dots))
-        if cluster in probes:
+    for (vec_id, v), cluster in zip(vecs, clusters):
+        if int(cluster) in probes:
             out.append((vec_id, cosine(v, query)))
     out.sort(key=lambda t: (-t[1], t[0]))
     return [(vec_id, int(np.floor(c * 1e5))) for vec_id, c in out[:k]]
