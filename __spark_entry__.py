@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_doc_slices": Q.q_except_doc_slices,
         # training-data pipeline: text analysis
         "token_counts": Q.q_token_counts,
+        "group_checksum": Q.q_group_checksum,
         "text_quality": Q.q_text_quality,
         "lang_id": Q.q_lang_id,
         "doc_fingerprint": Q.q_doc_fingerprint,        # golden oracle
@@ -274,6 +275,12 @@ def oracle_sql() -> dict[str, str]:
             r"ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS tokens, "
             r"CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens "
             r"FROM documents"
+        ),
+        "group_checksum": (
+            "SELECT lang, "
+            "bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)) AS checksum, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM documents GROUP BY lang"
         ),
         "text_quality": _text_quality_oracle(),
         "lang_id": _lang_id_oracle(),

@@ -92,6 +92,36 @@ def lang_id(text: Column) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("other"))
 
 
+@pandas_udf(T.LongType())
+def xor_checksum(values: pd.Series) -> int:
+    """UDAF (pandas grouped-agg): order-insensitive XOR fold of int64 row
+    hashes — a per-group content checksum that is stable under shuffling
+    and repartitioning (XOR commutes), which Spark has no builtin
+    aggregate for. Used to audit group/partition content equality between
+    pipeline stages without sorting anything."""
+    arr = values.to_numpy(dtype=np.int64)
+    if arr.size == 0:
+        return 0
+    return int(np.bitwise_xor.reduce(arr))
+
+
+@pandas_udf(T.LongType())
+def _pd_count(values: pd.Series) -> int:
+    # grouped-agg pandas UDFs cannot mix with builtin aggregates in one
+    # agg(), so the row count rides as a second pandas UDAF
+    return len(values)
+
+
+def group_checksum(df, group_cols: list[str], content_col: str):
+    """Per-group order-insensitive content digest: md5 the content, take a
+    60-bit integer prefix, XOR-fold per group (the UDAF above)."""
+    row_h = F.conv(F.substring(F.md5(content_col), 1, 15), 16, 10).cast("long")
+    return df.groupBy(*group_cols).agg(
+        xor_checksum(row_h).alias("checksum"),
+        _pd_count(row_h).alias("cnt"),
+    )
+
+
 _FP_C1 = np.uint64(0x9E3779B97F4A7C15)
 _FP_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 

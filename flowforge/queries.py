@@ -273,6 +273,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textops.rolling_fingerprint(F.col("text")).alias("fp"))
 
 
+def q_group_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface (pandas grouped-agg): order-insensitive per-group
+    content checksum — XOR fold of 60-bit md5 prefixes, stable under any
+    shuffle/repartition; oracled against DuckDB's bit_xor aggregate."""
+    from .functions import textops
+    d = _table(spark, sf_dir, "documents")
+    return textops.group_checksum(d, ["lang"], "text")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import dedup
     d = _table(spark, sf_dir, "documents")
