@@ -318,11 +318,12 @@ bandwidth.
 
 ## Resume-from-checkpoint evidence (kill -9 probe)
 
-Salted encode (64 buckets, local[2]) was SIGKILLed mid-run after 6 bucket
-commits (wrapper + JVM both killed; commit count verified frozen).
-Re-running withOUT the --buckets flag adopted the store's immutable
-64-bucket plan (the round-2 resume-soundness fix), encoded exactly the 58
-missing buckets (`"buckets_encoded": 58`), and `decode_verify` reported
+Salted encode (64 buckets, local[2]) SIGKILLed mid-run after a handful of
+bucket commits (wrapper + JVM both killed; commit count verified frozen;
+most recent probe: killed at 8 commits). Re-running withOUT the --buckets
+flag adopted the store's immutable 64-bucket plan (the round-2
+resume-soundness fix), encoded exactly the 64-minus-committed missing
+buckets (probe: `"buckets_encoded": 56`), and `decode_verify` reported
 `bit_identical: true` with 0 per-url text mismatches — interrupted runs
 resume from the last committed checkpoint on any cluster size and converge
 to identical bytes.
