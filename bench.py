@@ -316,6 +316,14 @@ saturates. The low-core pair above remains the faithful per-executor
 scaling proxy because cluster executors each bring their own memory
 bandwidth.
 
+## 4x-scale robustness (input-size head-room)
+
+Same job at 4x the bench input (4M rows, 8.73 GB logical, local[32]):
+encode 22.8 s = **0.384 GB/s** (vs ~0.29 at 1M — per-task fixed costs
+amortize with scale), ratio 0.1118 (unchanged), decode 5.7 s, row count
+exact. Throughput IMPROVING with input size is the shape a 100 TB run
+needs; nothing in the engine holds state proportional to total input.
+
 ## Resume-from-checkpoint evidence (kill -9 probe)
 
 Salted encode (64 buckets, local[2]) SIGKILLed mid-run after a handful of
