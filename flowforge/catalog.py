@@ -152,8 +152,21 @@ class Manifest:
 
         return self._retry_read(read)
 
+    @staticmethod
+    def _newer(a: dict | None, b: dict) -> dict:
+        """Deterministic duplicate resolution: the record with the larger
+        committed_at wins (os.listdir order is arbitrary, and after a
+        resume=False re-encode an older compacted log can still hold the
+        bucket's previous record — including stale zone maps)."""
+        if a is None:
+            return b
+        ka = (a.get("committed_at", 0), json.dumps(a, sort_keys=True))
+        kb = (b.get("committed_at", 0), json.dumps(b, sort_keys=True))
+        return a if ka >= kb else b
+
     def read_commits(self, phash: str) -> list[dict]:
-        """Commit records under ``phash``, deduped by bucket, sorted."""
+        """Commit records under ``phash``, deduped by bucket (newest
+        committed_at wins), sorted by bucket."""
 
         def read():
             by_bucket: dict[int, dict] = {}
@@ -163,11 +176,12 @@ class Manifest:
                 t = pq.read_table(os.path.join(self.dir, name))
                 for b, rec in zip(t.column("bucket").to_pylist(),
                                   t.column("record").to_pylist()):
-                    by_bucket[int(b)] = json.loads(rec)
+                    by_bucket[int(b)] = self._newer(by_bucket.get(int(b)),
+                                                    json.loads(rec))
             for b, ph, name in self._delta_files():
                 if ph == phash:
                     with open(os.path.join(self.dir, name)) as f:
-                        by_bucket[b] = json.load(f)
+                        by_bucket[b] = self._newer(by_bucket.get(b), json.load(f))
             return by_bucket
 
         by_bucket = self._retry_read(read)
@@ -191,15 +205,17 @@ class Manifest:
                       if ph == phash]
             old_logs = self._compacted_files(phash)
             absorb = old_logs if len(old_logs) >= _COMPACTED_MERGE_THRESHOLD else []
-            by_bucket: dict[int, str] = {}
+            parsed: dict[int, dict] = {}
             for name in absorb:
                 t = pq.read_table(os.path.join(self.dir, name))
                 for b, rec in zip(t.column("bucket").to_pylist(),
                                   t.column("record").to_pylist()):
-                    by_bucket[int(b)] = rec
+                    parsed[int(b)] = self._newer(parsed.get(int(b)),
+                                                 json.loads(rec))
             for b, name in deltas:
                 with open(os.path.join(self.dir, name)) as f:
-                    by_bucket[b] = f.read()
+                    parsed[b] = self._newer(parsed.get(b), json.load(f))
+            by_bucket = {b: json.dumps(rec) for b, rec in parsed.items()}
             return deltas, absorb, by_bucket
 
         deltas, absorb_logs, by_bucket = self._retry_read(gather)

@@ -117,7 +117,10 @@ _CHUNK_FILE_SCHEMA = pa.schema([
 # every partition index j, a long key whose Murmur3 hash lands on j, then
 # repartition on bucket->key. Exactly one bucket per task, any cluster size.
 
-_PKEY_MAP_MAX = 4096  # above this, ship the bucket->key map as a broadcast join
+# above this, ship the bucket->key map as a broadcast join: element_at on a
+# literal map is a LINEAR scan per row (GetMapValue has no hash lookup), so
+# big maps on the engine's only shuffle hot path lose to a hashed join
+_PKEY_MAP_MAX = 64
 _PKEY_COL = "__ff_pkey"
 
 
@@ -464,13 +467,17 @@ def _list_parquet(src: str | list[str]) -> list[str]:
 
 
 def _src_fingerprint(files: list[str]) -> str:
-    """Identity of the direct-mode source: file names + sizes. A resumed
-    encode over a changed source would silently mix plans — refuse instead."""
+    """Identity of the direct-mode source: file names + sizes + mtimes. A
+    resumed encode over a changed source would silently mix old and new
+    rows — refuse instead. mtime catches in-place regeneration that
+    happens to keep byte sizes; the false-refusal cost (e.g. files copied
+    without preserving timestamps) is a safe loud error."""
     import hashlib
 
     h = hashlib.md5()
     for f in files:
-        h.update(f"{os.path.basename(f)}:{os.path.getsize(f)};".encode())
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()[:12]
 
 
@@ -801,7 +808,12 @@ def decode_table(
     if unknown:
         raise ValueError(f"unknown columns {unknown}; store has {all_columns}")
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
-    out_schema = T.StructType([f for f in spark_schema.fields if f.name in columns])
+    # out_schema MUST follow the CALLER's column order: the kernel yields
+    # arrays in that order and mapInArrow binds positionally (field names
+    # are ignored) — schema-order fields would silently swap column values
+    # for any reordered projection
+    field_by_name = {f.name: f for f in spark_schema.fields}
+    out_schema = T.StructType([field_by_name[c] for c in columns])
     if predicates:
         by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
         for c in predicates:

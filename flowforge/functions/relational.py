@@ -30,12 +30,14 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str], on: str,
     l = left.select(*[F.col(c) for c in by], F.col(on).alias("__on"), l_row)
     # SQL equality semantics: a NULL by-key matches nothing, so right rows
     # with NULL keys can never match — drop them (Window.partitionBy would
-    # otherwise group the NULL keys of both sides together and match them)
+    # otherwise group the NULL keys of both sides together and match them).
+    # An empty `by` is a global as-of join: no keys, nothing to filter.
     null_key = None
     for c in by:
         cond = F.col(c).isNull()
         null_key = cond if null_key is None else null_key | cond
-    right = right.filter(~null_key)
+    if null_key is not None:
+        right = right.filter(~null_key)
     r = right.select(*[F.col(c) for c in by], F.col(on).alias("__on"), r_row)
     u = (
         r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))

@@ -114,8 +114,17 @@ def _pd_count(values: pd.Series) -> int:
 
 def group_checksum(df, group_cols: list[str], content_col: str):
     """Per-group order-insensitive content digest: md5 the content, take a
-    60-bit integer prefix, XOR-fold per group (the UDAF above)."""
-    row_h = F.conv(F.substring(F.md5(content_col), 1, 15), 16, 10).cast("long")
+    60-bit integer prefix, XOR-fold per group (the UDAF above).
+
+    NULL content coalesces to 0 — the XOR identity — so it contributes
+    nothing, matching DuckDB bit_xor's NULL-skipping. The coalesce also
+    keeps the hash series int64 end-to-end: any null would make pandas
+    surface the whole series as float64, rounding 60-bit hashes at the
+    53-bit mantissa."""
+    row_h = F.coalesce(
+        F.conv(F.substring(F.md5(content_col), 1, 15), 16, 10).cast("long"),
+        F.lit(0),
+    )
     return df.groupBy(*group_cols).agg(
         xor_checksum(row_h).alias("checksum"),
         _pd_count(row_h).alias("cnt"),

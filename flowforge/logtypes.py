@@ -195,6 +195,8 @@ class LogTypeRegistry:
         union by name with nulls for fields a type does not produce.
         ``unwrap_nested`` handles the Kafka nested message form (see
         flowforge.kafka.messages_to_mixed)."""
+        if not self.defs:
+            raise ValueError("LogTypeRegistry has no log types configured")
         canonical = self.canonical_columns()
         branches = [
             self._normalize_one(

@@ -115,6 +115,9 @@ def _ensure_store_direct(spark: SparkSession, sf_dir: str, table: str) -> str:
         phash = meta["plan_hash"]
         if plan.get("mode") != "direct":
             raise ValueError("plan mismatch")
+        src = engine._list_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        if plan.get("src_fingerprint") != engine._src_fingerprint(src):
+            raise ValueError("source fingerprint changed")
         if man.commit_hashes() - {phash}:
             raise ValueError("foreign-plan commits")
     except (OSError, ValueError, KeyError):

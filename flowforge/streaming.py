@@ -36,7 +36,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from . import engine
-from .catalog import StorePlanError, plan_hash
 
 DEFAULT_BUCKETS_PER_BATCH = 8
 
@@ -72,57 +71,25 @@ def stream_encode(
     schema = src_df.schema
     manifest = engine.Manifest(out_dir)
     existing = manifest.try_read_table_meta()
-    if existing is not None:
-        fmt = int(existing.get("format", 0))
-        if fmt != engine.FORMAT_VERSION:
-            raise StorePlanError(
-                f"streaming store at {out_dir} has format v{fmt}; this build "
-                f"writes v{engine.FORMAT_VERSION} — wipe store + checkpoint"
-            )
-        plan = existing.get("plan") or {}
-        if plan.get("mode") != "streaming":
-            raise StorePlanError(
-                f"store at {out_dir} is a {plan.get('mode')!r}-mode store, "
-                f"not a streaming store"
-            )
-        if buckets_per_batch is None:
-            buckets_per_batch = int(plan["buckets"])
-        if chunk_rows is None:
-            chunk_rows = int(plan.get("chunk_rows", 0)) or engine.DEFAULT_CHUNK_ROWS
-        if salt_col is None:
-            salt_col = plan.get("salt_col") or "url"
-        engine._require_plan_match(
-            plan,
-            {"buckets": buckets_per_batch, "chunk_rows": chunk_rows,
-             "salt_col": salt_col},
-            out_dir,
-        )
-        if list(existing.get("columns", [])) != src_df.columns:
-            raise StorePlanError(
-                f"streaming store at {out_dir} holds columns "
-                f"{existing.get('columns')}, source has {src_df.columns}"
-            )
-    else:
-        if buckets_per_batch is None:
-            buckets_per_batch = DEFAULT_BUCKETS_PER_BATCH
-        if chunk_rows is None:
-            chunk_rows = engine.DEFAULT_CHUNK_ROWS
-        if salt_col is None:
-            salt_col = "url"
-        # streaming stores grow open-endedly: the mode exempts them from
-        # decode_table's completeness check (batch stores only)
-        plan = {
-            "format": engine.FORMAT_VERSION, "mode": "streaming",
-            "buckets": buckets_per_batch, "chunk_rows": chunk_rows,
-            "salt_col": salt_col,
-        }
-        manifest.write_table_meta({
-            "format": engine.FORMAT_VERSION,
-            "columns": src_df.columns,
-            "spark_schema": schema.jsonValue(),
-            "plan": plan,
-            "plan_hash": plan_hash(plan),
-        })
+    stored_plan = (existing or {}).get("plan") or {}
+    if buckets_per_batch is None:
+        buckets_per_batch = int(stored_plan.get("buckets", 0)) or DEFAULT_BUCKETS_PER_BATCH
+    if chunk_rows is None:
+        chunk_rows = int(stored_plan.get("chunk_rows", 0)) or engine.DEFAULT_CHUNK_ROWS
+    if salt_col is None:
+        salt_col = stored_plan.get("salt_col") or "url"
+    # streaming mode exempts the store from decode_table's completeness
+    # check (batch stores only); plan adoption/validation is the same
+    # immutable-plan protocol the batch encoders use
+    engine._adopt_or_create_plan(
+        manifest, existing,
+        {"format": engine.FORMAT_VERSION, "mode": "streaming",
+         "buckets": buckets_per_batch, "chunk_rows": chunk_rows,
+         "salt_col": salt_col},
+        {"buckets": buckets_per_batch, "chunk_rows": chunk_rows,
+         "salt_col": salt_col},
+        src_df.columns, schema.jsonValue(), out_dir,
+    )
     if source == "kafka":
         # config-selected Kafka path (core/kafka.go:42-140 analog): JSON
         # messages carrying the table schema; requires spark-sql-kafka on

@@ -117,6 +117,22 @@ def test_metrics_and_lineage(spark, src_df, tmpdir_clean):
     assert rec["columns"]["text"]["wall_ms"] >= 0
 
 
+def test_decode_reordered_columns(spark, src_df, tmpdir_clean):
+    """A projection in non-schema order must keep name->value binding:
+    mapInArrow binds positionally, so the output schema must follow the
+    caller's order (regression: reordered string columns silently swapped)."""
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=4)
+    d = engine.decode_table(spark, out, columns=["text", "url", "lang"])
+    assert d.columns == ["text", "url", "lang"]
+    row = d.filter(F.col("url").startswith("https://")).limit(1).collect()[0]
+    assert row["url"].startswith("https://")
+    assert not row["text"].startswith("https://")
+    joined = src_df.select("url", F.col("lang").alias("src_lang")).join(
+        d.select("url", "lang"), "url")
+    assert joined.filter(F.col("lang") != F.col("src_lang")).count() == 0
+
+
 def test_decode_column_pruning(spark, src_df, tmpdir_clean):
     out = os.path.join(tmpdir_clean, "enc")
     engine.run_encode(spark, src_df, out, buckets=4)
