@@ -308,7 +308,7 @@ Snappy reference write wall: {n4['snappy_ref_wall_sec']} s at local[{n4_cpus}]
 
 With the round-2 worddict text codec the kernels are far less
 bandwidth-bound than round-1's FSST: the same job at `local[32]` (driver's
-per-round configuration) measures 7.5-19 s across repeats (best 0.29
+per-round configuration) measures 7.5-22 s across repeats (best 0.29
 GB/s) — the spread is host-level (VM CPU steal observed in vmstat), not
 engine state; round-1's FSST path measured 17.6 s on a fast-state box.
 High core counts keep helping, sublinearly as shared DRAM bandwidth
