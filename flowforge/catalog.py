@@ -4,8 +4,8 @@ Abstraction point for the table catalog (SURVEY §7.0): on a cluster with
 ``iceberg-spark-runtime`` on the classpath, the chunk and metadata tables
 would live in an Iceberg catalog and commits would be Iceberg snapshot
 appends. This sandbox bundles no Iceberg jar (verified), so the fallback —
-same semantics — is a Parquet directory plus a manifest with atomic-rename
-commits:
+same semantics — is a Parquet directory plus a manifest of write-once
+commit objects (storage backends in :mod:`flowforge.storage`):
 
     <out_dir>/
       _manifest/table.json                        table meta + IMMUTABLE plan
@@ -14,11 +14,17 @@ commits:
       chunks/column=<name>/bucket-<id>.parquet
 
 A bucket is the commit unit (the analog of the reference's per-log-type
-writer flush, core/parquet.go:160-197, made idempotent): chunk files are
-written to a temp name and atomically renamed, then the commit record lands.
+writer flush, core/parquet.go:160-197, made idempotent): chunk files land
+with one atomic whole-object put each, then the commit record lands.
 Resume = the set difference of planned buckets minus committed buckets; a
 re-run never re-encodes a committed bucket and, because every codec is
 deterministic, produces a byte-identical final state.
+
+The protocol speaks to storage only through the five-call interface in
+:mod:`flowforge.storage` (put/get/list/delete/read_path) — no renames, no
+appends — so the same commit/resume semantics hold on POSIX filesystems
+and on object stores (S3-consistency model); tests/test_plan_binding.py
+runs the full suite against both backends.
 
 Two properties make resume SOUND (round-1 verdict: a bucket-count change
 between encodes silently duplicated rows):
@@ -49,6 +55,8 @@ import os
 import re
 import uuid
 
+from .storage import storage_for
+
 _COMMIT_RE = re.compile(r"^commit-(\d+)-([0-9a-f]{12})\.json$")
 _COMPACTED_RE = re.compile(r"^compacted-([0-9a-f]{12})-[0-9a-f]{32}\.parquet$")
 # absorb older compacted logs only once this many accumulate (bounds rewrite
@@ -69,16 +77,16 @@ class Manifest:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.dir = os.path.join(out_dir, "_manifest")
+        self.store = storage_for(out_dir)
 
     # --- table meta ---------------------------------------------------------
 
     def write_table_meta(self, meta: dict) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        self._atomic_write(os.path.join(self.dir, "table.json"), json.dumps(meta))
+        self.store.put_bytes(os.path.join(self.dir, "table.json"),
+                             json.dumps(meta).encode())
 
     def read_table_meta(self) -> dict:
-        with open(os.path.join(self.dir, "table.json")) as f:
-            return json.load(f)
+        return json.loads(self.store.get_bytes(os.path.join(self.dir, "table.json")))
 
     def try_read_table_meta(self) -> dict | None:
         try:
@@ -89,38 +97,32 @@ class Manifest:
     # --- bucket commits -----------------------------------------------------
 
     def commit_bucket(self, bucket: int, record: dict, phash: str) -> None:
-        os.makedirs(self.dir, exist_ok=True)
         record = dict(record, plan_hash=phash)
         path = os.path.join(self.dir, f"commit-{bucket}-{phash}.json")
-        self._atomic_write(path, json.dumps(record))
+        self.store.put_bytes(path, json.dumps(record).encode())
 
     def _delta_files(self) -> list[tuple[int, str, str]]:
         """[(bucket, phash, filename)] for every delta commit file."""
-        if not os.path.isdir(self.dir):
-            return []
         out = []
-        for name in os.listdir(self.dir):
+        for name in self.store.list(self.dir):
             m = _COMMIT_RE.match(name)
             if m:
                 out.append((int(m.group(1)), m.group(2), name))
         return out
 
     def _compacted_files(self, phash: str) -> list[str]:
-        if not os.path.isdir(self.dir):
-            return []
         return [
-            name for name in os.listdir(self.dir)
+            name for name in self.store.list(self.dir)
             if (m := _COMPACTED_RE.match(name)) and m.group(1) == phash
         ]
 
     def commit_hashes(self) -> set[str]:
         """Every plan hash any commit (delta or compacted) was written under."""
         out = {ph for _, ph, _ in self._delta_files()}
-        if os.path.isdir(self.dir):
-            for name in os.listdir(self.dir):
-                m = _COMPACTED_RE.match(name)
-                if m:
-                    out.add(m.group(1))
+        for name in self.store.list(self.dir):
+            m = _COMPACTED_RE.match(name)
+            if m:
+                out.add(m.group(1))
         return out
 
     # A compactor deletes a file only AFTER persisting its content into a
@@ -146,7 +148,9 @@ class Manifest:
             for name in self._compacted_files(phash):
                 import pyarrow.parquet as pq
 
-                col = pq.read_table(os.path.join(self.dir, name), columns=["bucket"])
+                col = pq.read_table(
+                    self.store.read_path(os.path.join(self.dir, name)),
+                    columns=["bucket"])
                 out.update(col.column("bucket").to_pylist())
             return out
 
@@ -173,15 +177,16 @@ class Manifest:
             for name in self._compacted_files(phash):
                 import pyarrow.parquet as pq
 
-                t = pq.read_table(os.path.join(self.dir, name))
+                t = pq.read_table(
+                    self.store.read_path(os.path.join(self.dir, name)))
                 for b, rec in zip(t.column("bucket").to_pylist(),
                                   t.column("record").to_pylist()):
                     by_bucket[int(b)] = self._newer(by_bucket.get(int(b)),
                                                     json.loads(rec))
             for b, ph, name in self._delta_files():
                 if ph == phash:
-                    with open(os.path.join(self.dir, name)) as f:
-                        by_bucket[b] = self._newer(by_bucket.get(b), json.load(f))
+                    rec = json.loads(self.store.get_bytes(os.path.join(self.dir, name)))
+                    by_bucket[b] = self._newer(by_bucket.get(b), rec)
             return by_bucket
 
         by_bucket = self._retry_read(read)
@@ -207,14 +212,14 @@ class Manifest:
             absorb = old_logs if len(old_logs) >= _COMPACTED_MERGE_THRESHOLD else []
             parsed: dict[int, dict] = {}
             for name in absorb:
-                t = pq.read_table(os.path.join(self.dir, name))
+                t = pq.read_table(self.store.read_path(os.path.join(self.dir, name)))
                 for b, rec in zip(t.column("bucket").to_pylist(),
                                   t.column("record").to_pylist()):
                     parsed[int(b)] = self._newer(parsed.get(int(b)),
                                                  json.loads(rec))
             for b, name in deltas:
-                with open(os.path.join(self.dir, name)) as f:
-                    parsed[b] = self._newer(parsed.get(b), json.load(f))
+                rec = json.loads(self.store.get_bytes(os.path.join(self.dir, name)))
+                parsed[b] = self._newer(parsed.get(b), rec)
             by_bucket = {b: json.dumps(rec) for b, rec in parsed.items()}
             return deltas, absorb, by_bucket
 
@@ -227,23 +232,15 @@ class Manifest:
             "record": pa.array([by_bucket[b] for b in buckets], pa.string()),
         })
         final = os.path.join(self.dir, f"compacted-{phash}-{uuid.uuid4().hex}.parquet")
-        tmp = f"{final}.tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, final)
+        self.store.put_bytes(final, _parquet_bytes(tbl))
         # only now delete what this log fully contains
         absorbed = 0
         for _, name in deltas:
-            try:
-                os.remove(os.path.join(self.dir, name))
-                absorbed += 1
-            except OSError:
-                pass
+            self.store.delete(os.path.join(self.dir, name))
+            absorbed += 1
         for name in absorb_logs:
-            try:
-                os.remove(os.path.join(self.dir, name))
-                absorbed += 1
-            except OSError:
-                pass
+            self.store.delete(os.path.join(self.dir, name))
+            absorbed += 1
         return absorbed
 
     # --- test/repair helpers ------------------------------------------------
@@ -255,22 +252,19 @@ class Manifest:
 
         for b, _, name in self._delta_files():
             if b == bucket:
-                os.remove(os.path.join(self.dir, name))
-        if not os.path.isdir(self.dir):
-            return
-        for name in list(os.listdir(self.dir)):
+                self.store.delete(os.path.join(self.dir, name))
+        for name in self.store.list(self.dir):
             if not _COMPACTED_RE.match(name):
                 continue
             path = os.path.join(self.dir, name)
-            t = pq.read_table(path)
+            t = pq.read_table(self.store.read_path(path))
             keep = [i for i, b in enumerate(t.column("bucket").to_pylist())
                     if int(b) != bucket]
             if len(keep) == t.num_rows:
                 continue
             tbl = t.take(pa.array(keep, type=pa.int64()))
-            tmp = f"{path}.tmp"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, path)
+            # same-name overwrite put: atomic on both backends
+            self.store.put_bytes(path, _parquet_bytes(tbl))
 
     # --- chunk files --------------------------------------------------------
 
@@ -278,14 +272,24 @@ class Manifest:
         return os.path.join(self.out_dir, "chunks", f"column={column}",
                             f"bucket-{bucket:06d}.parquet")
 
-    @staticmethod
-    def _atomic_write(path: str, content: str) -> None:
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(content)
-        os.replace(tmp, path)
+    def chunk_read_path(self, column: str, bucket: int) -> str:
+        """Something pyarrow can open for the chunk (local path / URI)."""
+        return self.store.read_path(self.chunk_path(column, bucket))
 
-    @staticmethod
-    def atomic_rename(tmp: str, final: str) -> None:
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        os.replace(tmp, final)
+    def write_chunk(self, column: str, bucket: int, tbl, **pq_kwargs) -> None:
+        """Serialize + atomically put one (column, bucket) chunk file.
+
+        One whole-object put — task retries and speculative duplicates
+        overwrite with identical bytes (codecs are deterministic), so the
+        last-writer-wins semantics of an object store are safe here."""
+        self.store.put_bytes(self.chunk_path(column, bucket),
+                             _parquet_bytes(tbl, **pq_kwargs))
+
+
+def _parquet_bytes(tbl, **pq_kwargs) -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink, **pq_kwargs)
+    return sink.getvalue().to_pybytes()

@@ -10,7 +10,7 @@ reference's pipeline stages 3-8, main.go:150-313):
 
 The kernel slices each bucket into row chunks, picks a codec per
 column-chunk via the stats selector, writes one Parquet chunk file per
-(column, bucket) with atomic rename, then commits the bucket to the
+(column, bucket) with one atomic whole-object put, then commits the bucket to the
 manifest with lineage + size/throughput metrics. Buckets are idempotent and
 deterministic, so task retries, speculative duplicates, and resumed runs all
 converge to the same bytes.
@@ -31,7 +31,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -244,14 +243,11 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
         st = per_col[c]
         rows = st["rows"]
         col_tbl = pa.Table.from_pylist(rows, schema=_CHUNK_FILE_SCHEMA)
-        final = manifest.chunk_path(c, bucket)
-        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
-        os.makedirs(os.path.dirname(final), exist_ok=True)
         # payloads are already codec-compressed; container stays uncompressed.
         # One row group per chunk: predicate-pushdown decode can then skip a
         # pruned chunk's payload I/O entirely via row-group statistics
-        pq.write_table(col_tbl, tmp, compression="none", row_group_size=1)
-        Manifest.atomic_rename(tmp, final)
+        manifest.write_chunk(c, bucket, col_tbl,
+                             compression="none", row_group_size=1)
         codecs = ",".join(sorted(st["codecs"]))
         metrics.append({
             "bucket": bucket, "column": c, "n_rows": n, "n_chunks": n_chunks,
@@ -658,7 +654,7 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
                     col_meta: dict[str, dict[int, tuple[dict, int]]] = {}
                     keep_seqs: set[int] | None = None
                     for c in read_cols:
-                        t = pq.read_table(manifest.chunk_path(c, bucket),
+                        t = pq.read_table(manifest.chunk_read_path(c, bucket),
                                           columns=["chunk_seq", "meta", "n_rows"])
                         rows = {
                             int(s): (json.loads(m), int(nr))
@@ -680,7 +676,7 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
                     col_chunks: dict[str, dict[int, tuple[dict, bytes, int]]] = {}
                     for c in read_cols:
                         t = pq.read_table(
-                            manifest.chunk_path(c, bucket),
+                            manifest.chunk_read_path(c, bucket),
                             columns=["chunk_seq", "payload"],
                             filters=[("chunk_seq", "in", seqs)],
                         )
@@ -693,7 +689,7 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
                 else:
                     col_chunks = {}
                     for c in read_cols:
-                        t = pq.read_table(manifest.chunk_path(c, bucket))
+                        t = pq.read_table(manifest.chunk_read_path(c, bucket))
                         col_chunks[c] = {
                             int(s): (json.loads(m), p, int(nr))
                             for s, m, p, nr in zip(

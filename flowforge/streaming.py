@@ -125,9 +125,16 @@ def stream_encode(
             mode="streaming",
         )
 
+    # the checkpoint is Spark's own (Hadoop-FS) directory, not a chunk-store
+    # object — resolve scheme'd store roots (e.g. fakes3://) to a path the
+    # stream runner can actually open; real clusters pass `checkpoint=`
+    # pointing at their durable FS explicitly
+    from .storage import storage_for
+
+    default_ckpt = storage_for(out_dir).read_path(
+        os.path.join(out_dir, "_stream_checkpoint"))
     writer = stream.writeStream.foreachBatch(handle_batch).option(
-        "checkpointLocation",
-        checkpoint or os.path.join(out_dir, "_stream_checkpoint"),
+        "checkpointLocation", checkpoint or default_ckpt,
     )
     if processing_time:
         writer = writer.trigger(processingTime=processing_time)
