@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": Q.q_multimodal_features,  # golden oracle
         # reference sink/metrics analogs (SURVEY §2 K5, M1)
         "kafka_output_shape": Q.q_kafka_output_shape,    # structurally oracled
-        "metrics_lineage": Q.q_metrics_lineage,          # rows-only
+        "metrics_lineage": Q.q_metrics_lineage,          # value-oracled lineage
     }
 
 
@@ -316,6 +316,22 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ms(ts) AS event_time, CAST(year(ts) AS INT) AS event_year, "
             "props AS raw_log FROM events"
         ),
+        # M1 lineage: rows must equal the table count per column; bytes_in
+        # re-derives the codec's logical-input definition (value bytes +
+        # 8/row for strings, 8/row for the int64 domain) from the source
+        "metrics_lineage": (
+            "SELECT \"column\", CAST(rows AS BIGINT) AS rows, "
+            "CAST(bytes_in AS BIGINT) AS bytes_in FROM ("
+            "SELECT 'doc_id' AS \"column\", count(*) AS rows, "
+            "8 * count(*) AS bytes_in FROM documents "
+            "UNION ALL SELECT 'lang', count(*), "
+            "coalesce(sum(strlen(lang)), 0) + 8 * count(*) FROM documents "
+            "UNION ALL SELECT 'n_chars', count(*), 8 * count(*) FROM documents "
+            "UNION ALL SELECT 'source', count(*), "
+            "coalesce(sum(strlen(source)), 0) + 8 * count(*) FROM documents "
+            "UNION ALL SELECT 'text', count(*), "
+            "coalesce(sum(strlen(text)), 0) + 8 * count(*) FROM documents)"
+        ),
         "minhash_lsh": _golden("minhash_lsh"),
         "simhash_near_dups": _golden("simhash_near_dups"),
         "ann_lsh_topk": _golden("ann_lsh_topk"),
@@ -327,10 +343,29 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _golden(name: str) -> str:
+    """Serve a golden oracle, validating its recorded provenance first: a
+    golden built from different source data fails loudly here instead of
+    surfacing as a confusing value-hash mismatch (ADVICE r02)."""
     import os
+
+    import pyarrow.parquet as pq
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tests", "golden", f"{name}_sf001.parquet")
+    meta = pq.read_schema(path).metadata or {}
+    sf_dir = meta.get(b"flowforge_source_sf_dir", b"").decode()
+    fp = meta.get(b"flowforge_source_fp", b"").decode()
+    if sf_dir.startswith("/"):
+        from tools.make_golden import source_fingerprint
+
+        src = "embeddings" if ("ann_" in name or "cosine" in name) else "documents"
+        live = source_fingerprint(os.path.join(sf_dir, f"{src}.parquet"))
+        if live != fp:
+            raise RuntimeError(
+                f"golden oracle {name} was generated from {sf_dir}/{src}.parquet "
+                f"with content fp {fp}, but that file now has fp {live} — "
+                f"regenerate with: python tools/make_golden.py --sf-dir {sf_dir}"
+            )
     return f"SELECT * FROM read_parquet('{path}')"
 
 

@@ -463,17 +463,19 @@ def _list_parquet(src: str | list[str]) -> list[str]:
 
 
 def _src_fingerprint(files: list[str]) -> str:
-    """Identity of the direct-mode source: file names + sizes + mtimes. A
-    resumed encode over a changed source would silently mix old and new
-    rows — refuse instead. mtime catches in-place regeneration that
-    happens to keep byte sizes; the false-refusal cost (e.g. files copied
-    without preserving timestamps) is a safe loud error."""
+    """Identity of the direct-mode source: full file paths + sizes + mtimes.
+    A resumed encode over a changed source would silently mix old and new
+    rows — refuse instead. The full path (not basename — ADVICE r02: copies
+    of a partitioned layout across directories can share basename+size+
+    mtime) plus mtime catches in-place regeneration that happens to keep
+    byte sizes; the false-refusal cost (e.g. files copied without
+    preserving timestamps) is a safe loud error."""
     import hashlib
 
     h = hashlib.md5()
     for f in files:
         st = os.stat(f)
-        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
+        h.update(f"{os.path.abspath(f)}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()[:12]
 
 
@@ -723,8 +725,14 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
     return kernel
 
 
-_PREDICATE_TYPES = ("int", "bigint", "smallint", "tinyint", "timestamp",
-                    "date")
+# exact simpleString names; parameterized timestamp types (timestamp_ntz,
+# timestamp with tz) are matched explicitly below — a bare prefix tuple
+# would also admit e.g. 'interval day' (ADVICE r02)
+_PREDICATE_EXACT_TYPES = {"int", "bigint", "smallint", "tinyint", "date"}
+
+
+def _is_predicate_type(simple: str) -> bool:
+    return simple in _PREDICATE_EXACT_TYPES or simple.startswith("timestamp")
 
 
 def _prune_buckets(commits: list[dict], predicates: dict) -> list[int]:
@@ -815,7 +823,7 @@ def decode_table(
         for c in predicates:
             if c not in by_name:
                 raise ValueError(f"predicate on unknown column {c!r}")
-            if not by_name[c].startswith(_PREDICATE_TYPES):
+            if not _is_predicate_type(by_name[c]):
                 raise ValueError(
                     f"range predicates need an int-ordered column; {c!r} is "
                     f"{by_name[c]} (float bit-views and bytes don't order)"

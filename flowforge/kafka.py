@@ -128,14 +128,22 @@ def producer_frame(df: DataFrame, log_type_col: str = "log_type",
     raw_cols = [c for c in df.columns
                 if c not in normalized_cols and c not in enriched_cols
                 and c != log_type_col]
-    layer = lambda cols: F.struct(*[F.col(c) for c in cols]) if cols else F.struct(F.lit(None).alias("_"))  # noqa: E731
-    value = F.to_json(F.struct(
-        F.lit(source).alias("source"),
-        F.col(log_type_col).alias("log_type"),
-        layer(raw_cols).alias("raw"),
-        layer(normalized_cols).alias("normalized"),
-        layer(enriched_cols).alias("enriched"),
-    ))
+    # empty layers serialize as {} via an empty map — independent of any
+    # session-level jsonGenerator conf (ADVICE r02); ignoreNullFields is
+    # pinned explicitly for the same reason (the reference's Go marshaller
+    # omits absent fields, core/kafka_producer.go:15-96)
+    empty = F.from_json(F.lit("{}"), "map<string,string>")
+    layer = lambda cols: F.struct(*[F.col(c) for c in cols]) if cols else empty  # noqa: E731
+    value = F.to_json(
+        F.struct(
+            F.lit(source).alias("source"),
+            F.col(log_type_col).alias("log_type"),
+            layer(raw_cols).alias("raw"),
+            layer(normalized_cols).alias("normalized"),
+            layer(enriched_cols).alias("enriched"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
     return df.select(F.col(log_type_col).alias("key"), value.alias("value"))
 
 

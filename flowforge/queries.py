@@ -566,20 +566,26 @@ def q_kafka_output_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_metrics_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 analog (rows-only): per-codec lineage/throughput report aggregated
-    from the chunk store's manifest (the reference's health metrics,
-    main.go:355-419, persisted instead of logged)."""
+    """M1 analog, value-oracled: per-column lineage totals from the chunk
+    store's manifest (the reference's health metrics, main.go:355-419,
+    persisted instead of logged).
+
+    ``rows`` must sum to the source row count for every column and
+    ``bytes_in`` is the codec's logical-input-bytes definition
+    (codecs/chunk.py: value bytes + 8/row for bytes columns, 8/row for the
+    int64 domain) — both independently computable by DuckDB from the source
+    table, so the lineage surface is hash-verified, not rows-only.
+    Codec-level splits (bytes_out per codec) stay in compression_report /
+    jobs/report.py — they are engine-internal choices with no oracle."""
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
     m = engine.metrics_table(spark, out)
     return (
-        m.groupBy("codecs")
+        m.groupBy("column")
         .agg(
             F.sum("n_rows").alias("rows"),
             F.sum("bytes_in").alias("bytes_in"),
-            F.sum("bytes_out").alias("bytes_out"),
-            F.count("*").alias("chunk_groups"),
         )
-        .orderBy("codecs")
+        .orderBy("column")
     )
 
 

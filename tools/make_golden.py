@@ -11,9 +11,16 @@ vectorized implementations against a second, simpler derivation, not
 against themselves.
 
 Run:  python tools/make_golden.py [--sf-dir /root/testdata/sf0.01]
-Writes tests/golden/<op>_sf001.parquet; oracle_sql() reads them via
-read_parquet and tests/test_golden_oracles.py compares Spark results
-against them exactly.
+Writes tests/golden/<op>_sf001.parquet; __spark_entry__.oracle_sql() serves
+them to the driver via read_parquet (the driver then hash-compares the
+Spark result against them), and tests/test_golden_provenance.py checks
+their recorded provenance.
+
+Every golden file records WHERE it came from in its parquet key-value
+metadata (``flowforge_source_sf_dir`` + a content fingerprint of the source
+parquet, ``flowforge_source_fp``); oracle_sql() validates the fingerprint
+against the live testdata before serving a golden, so a stale golden fails
+loudly instead of as a confusing value mismatch (ADVICE r02).
 """
 
 from __future__ import annotations
@@ -211,6 +218,24 @@ def rolling_fingerprint(text: str | None) -> int:
 
 # --- driver -------------------------------------------------------------------
 
+def source_fingerprint(path: str) -> str:
+    """Content md5 of a source parquet file (small tables at oracle SF)."""
+    import hashlib
+
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
+def write_golden(table: pa.Table, name: str, sf_dir: str, source_file: str | None) -> None:
+    """Write a golden with provenance metadata (sf-dir + source content fp)."""
+    meta = dict(table.schema.metadata or {})
+    meta[b"flowforge_source_sf_dir"] = sf_dir.encode()
+    fp = source_fingerprint(source_file) if source_file else "synthetic"
+    meta[b"flowforge_source_fp"] = fp.encode()
+    pq.write_table(table.replace_schema_metadata(meta),
+                   os.path.join(GOLDEN_DIR, f"{name}_sf001.parquet"))
+
+
 def _query_vector(dim: int) -> list[float]:
     rng = np.random.default_rng(123)
     v = rng.standard_normal(dim)
@@ -285,19 +310,21 @@ def main() -> None:
                        columns=["doc_id", "text"])
     docs = list(zip(dt.column("doc_id").to_pylist(), dt.column("text").to_pylist()))
 
+    doc_src = os.path.join(args.sf_dir, "documents.parquet")
+    emb_src = os.path.join(args.sf_dir, "embeddings.parquet")
     pairs = golden_minhash_lsh(docs)
-    pq.write_table(pa.table({
+    write_golden(pa.table({
         "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
         "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-    }), os.path.join(GOLDEN_DIR, "minhash_lsh_sf001.parquet"))
+    }), "minhash_lsh", args.sf_dir, doc_src)
     print(f"minhash_lsh: {len(pairs)} pairs")
 
     trips = golden_simhash_near_dups(docs)
-    pq.write_table(pa.table({
+    write_golden(pa.table({
         "doc_a": pa.array([t[0] for t in trips], pa.int64()),
         "doc_b": pa.array([t[1] for t in trips], pa.int64()),
         "hamming": pa.array([t[2] for t in trips], pa.int64()),
-    }), os.path.join(GOLDEN_DIR, "simhash_near_dups_sf001.parquet"))
+    }), "simhash_near_dups", args.sf_dir, doc_src)
     print(f"simhash_near_dups: {len(trips)} pairs")
 
     et = pq.read_table(os.path.join(args.sf_dir, "embeddings.parquet"),
@@ -305,40 +332,40 @@ def main() -> None:
     vecs = list(zip(et.column("vec_id").to_pylist(), et.column("embedding").to_pylist()))
     dim = len(vecs[0][1])
     topk = golden_ann_lsh_topk(vecs, _query_vector(dim))
-    pq.write_table(pa.table({
+    write_golden(pa.table({
         "vec_id": pa.array([t[0] for t in topk], pa.int64()),
         "cos_m": pa.array([t[1] for t in topk], pa.int64()),
-    }), os.path.join(GOLDEN_DIR, "ann_lsh_topk_sf001.parquet"))
+    }), "ann_lsh_topk", args.sf_dir, emb_src)
     print(f"ann_lsh_topk: {len(topk)} rows")
 
     ivf = golden_ann_ivf_topk(vecs, _query_vector(dim))
-    pq.write_table(pa.table({
+    write_golden(pa.table({
         "vec_id": pa.array([t[0] for t in ivf], pa.int64()),
         "cos_m": pa.array([t[1] for t in ivf], pa.int64()),
-    }), os.path.join(GOLDEN_DIR, "ann_ivf_topk_sf001.parquet"))
+    }), "ann_ivf_topk", args.sf_dir, emb_src)
     print(f"ann_ivf_topk: {len(ivf)} rows")
 
     lsh_pairs = golden_cosine_lsh_pairs(vecs)
-    pq.write_table(pa.table({
+    write_golden(pa.table({
         "id_a": pa.array([p[0] for p in lsh_pairs], pa.int64()),
         "id_b": pa.array([p[1] for p in lsh_pairs], pa.int64()),
         "cos_m": pa.array([p[2] for p in lsh_pairs], pa.int64()),
-    }), os.path.join(GOLDEN_DIR, "cosine_lsh_pairs_sf001.parquet"))
+    }), "cosine_lsh_pairs", args.sf_dir, emb_src)
     print(f"cosine_lsh_pairs: {len(lsh_pairs)} pairs")
 
     mm = golden_multimodal_features()
-    pq.write_table(pa.table({
+    write_golden(pa.table({
         "kind": pa.array([m[0] for m in mm], pa.string()),
         "cnt": pa.array([m[1] for m in mm], pa.int64()),
         "total_bytes": pa.array([m[2] for m in mm], pa.int64()),
-    }), os.path.join(GOLDEN_DIR, "multimodal_features_sf001.parquet"))
+    }), "multimodal_features", "synthetic:seed42,rows96", None)
     print(f"multimodal_features: {len(mm)} rows")
 
     fps = [(doc_id, rolling_fingerprint(text)) for doc_id, text in docs]
-    pq.write_table(pa.table({
+    write_golden(pa.table({
         "doc_id": pa.array([f[0] for f in fps], pa.int64()),
         "fp": pa.array([f[1] for f in fps], pa.int64()),
-    }), os.path.join(GOLDEN_DIR, "doc_fingerprint_sf001.parquet"))
+    }), "doc_fingerprint", args.sf_dir, doc_src)
     print(f"doc_fingerprint: {len(fps)} rows")
 
 
