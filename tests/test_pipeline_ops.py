@@ -191,3 +191,21 @@ def test_multimodal_resize(spark):
         media, max_w=128, max_h=128).collect() if r["payload"] is not None}
     first = {r["media_id"]: bytes(r["payload"]) for r in rows if r["payload"] is not None}
     assert first == again
+
+
+def test_multimodal_batch_kernel_matches_per_row_spec():
+    """The segmented-bincount batch kernel equals the single-row spec
+    exactly, including null and empty payloads (round-3: no per-row Python
+    outside the declared decode stub)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    payloads = [bytes(rng.integers(0, 256, size=int(s), dtype=np.uint8))
+                for s in rng.integers(1, 500, size=40)]
+    payloads += [None, b"", b"\x00", bytes(range(256))]
+    for dim in (16, 64):
+        lengths, feats = multimodal._fake_features_batch(
+            pd.Series(payloads, dtype="object"), dim)
+        for i, p in enumerate(payloads):
+            assert lengths[i] == (0 if p is None else len(p))
+            np.testing.assert_array_equal(feats[i], multimodal._fake_feature(p, dim))

@@ -242,42 +242,91 @@ def _query_vector(dim: int) -> list[float]:
     return [float(f"{x:.6f}") for x in v]
 
 
+def _fsum_dot(xs, ys) -> float:
+    """Correctly-rounded dot product (math.fsum of exact f64 products)."""
+    import math
+
+    return math.fsum(float(x) * float(y) for x, y in zip(xs, ys))
+
+
+def _unit(v) -> list[float]:
+    import math
+
+    n = math.sqrt(_fsum_dot(v, v))
+    n = max(n, 1e-12)
+    return [float(x) / n for x in v]
+
+
+def _argmax_checked(scores, min_rel_margin=1e-9) -> int:
+    """argmax with a tie-margin guard: if the winner leads by less than
+    ``min_rel_margin`` relatively, a different-but-valid summation order
+    (the engine's numpy/BLAS pairwise sums) could legitimately pick the
+    other index — refuse to bless such a golden rather than encode a
+    coin flip."""
+    best = max(range(len(scores)), key=lambda j: scores[j])
+    for j, s in enumerate(scores):
+        if j != best and abs(scores[best] - s) < min_rel_margin * max(
+                1.0, abs(scores[best])):
+            raise AssertionError(
+                f"IVF golden: argmax margin {scores[best] - s!r} between "
+                f"centroids {best} and {j} is within FP-reassociation noise; "
+                f"change seed/params for a decisive golden")
+    return best
+
+
 def golden_ann_ivf_topk(vecs, query, k=10, nlist=16, nprobe=4,
                         sample=4096, iters=8, seed=13):
-    """IVF re-derivation. Training and assignment mirror the engine's
-    declared driver-side procedure (same numpy rng + Lloyd schedule + FP
-    formulation — deterministic shared math, not distributed code); the
-    final scoring is an independent left-fold re-derivation."""
+    """Fully independent IVF re-derivation (round-2 verdict, wrong #2):
+    spherical k-means re-implemented with plain Python loops and
+    correctly-rounded math.fsum accumulation — zero numpy expressions
+    shared with the engine's train/assign path. Only the declared *seed
+    schedule* is reproduced (np.default_rng(seed).choice for the init
+    draw, which is part of the algorithm spec, like the seeded hyperplanes
+    of the LSH goldens). Every argmax carries a tie-margin guard so an
+    engine/oracle disagreement can only mean a real bug, not FP
+    reassociation. Scoring stays the independent left-fold cosine."""
     ordered = sorted(vecs)[:sample]
-    X = np.array([v for _, v in ordered], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = [_unit(v) for _, v in ordered]
     rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    init_idx = [int(i) for i in
+                rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    cent = [list(X[i]) for i in init_idx]
     for _ in range(iters):
-        assign = np.argmax(X @ cent.T, axis=1)
+        assign = [_argmax_checked([_fsum_dot(x, c) for c in cent]) for x in X]
         for j in range(len(cent)):
-            members = X[assign == j]
-            if len(members):
-                c = members.sum(axis=0)
-                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+            members = [x for x, a in zip(X, assign) if a == j]
+            if members:
+                import math
 
-    qn = np.asarray(query, dtype=np.float64)
-    qn = qn / max(np.linalg.norm(qn), 1e-12)
-    probes = set(int(j) for j in np.argsort(-(cent @ qn))[:nprobe])
+                sums = [math.fsum(m[d] for m in members)
+                        for d in range(len(cent[j]))]
+                cent[j] = _unit(sums)
 
-    # cluster assignment uses the ENGINE's exact FP formulation (normalized
-    # matmul) — training + assignment are shared deterministic numpy math;
-    # a loop-fold here could flip boundary assignments on a different BLAS.
-    # The final SCORING below stays an independent left-fold re-derivation.
-    mat = np.array([np.asarray(v, dtype=np.float64) for _, v in vecs])
-    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    clusters = np.argmax((mat / norms) @ cent.T, axis=1)
+    qn = _unit(query)
+    probe_scores = [_fsum_dot(c, qn) for c in cent]
+    order = sorted(range(len(cent)), key=lambda j: (-probe_scores[j], j))
+    probes = set(order[:nprobe])
+    if nprobe < len(cent):
+        edge = probe_scores[order[nprobe - 1]] - probe_scores[order[nprobe]]
+        assert edge > 1e-9, "IVF golden: probe cutoff within FP noise"
+
     out = []
-    for (vec_id, v), cluster in zip(vecs, clusters):
-        if int(cluster) in probes:
+    for vec_id, v in vecs:
+        cluster = _argmax_checked([_fsum_dot(_unit(v), c) for c in cent])
+        if cluster in probes:
             out.append((vec_id, cosine(v, query)))
     out.sort(key=lambda t: (-t[1], t[0]))
-    return [(vec_id, int(np.floor(c * 1e5))) for vec_id, c in out[:k]]
+    top = [(vec_id, int(np.floor(c * 1e5))) for vec_id, c in out[:k]]
+
+    # recall guard vs brute force: the golden must describe a USEFUL ANN
+    # result, and a training bug that scrambles clusters would crater this
+    brute = sorted(((vid, cosine(v, query)) for vid, v in vecs),
+                   key=lambda t: (-t[1], t[0]))[:k]
+    hits = len({vid for vid, _ in top} & {vid for vid, _ in brute})
+    recall = hits / max(1, len(brute))
+    assert recall >= 0.5, f"IVF golden recall vs brute force = {recall}"
+    print(f"ann_ivf_topk recall@{k} vs brute force: {recall:.2f}")
+    return top
 
 
 def golden_multimodal_features(rows=96, seed=42):
