@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_doc_lang_counts": Q.q_roundtrip_doc_lang_counts,
         "roundtrip_events_fingerprint": Q.q_roundtrip_events_fingerprint,
         "roundtrip_pruned_scan": Q.q_roundtrip_pruned_scan,
+        "decode_lang_filter": Q.q_decode_lang_filter,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -128,6 +129,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(value * 100) AS BIGINT) AS value_c FROM events "
             f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 3 * 86_400_000_000} "
             f"AND {1_704_067_200_000_000 + 13 * 86_400_000_000}"
+        ),
+        # string-equality pushdown: engine decodes only lang='en' chunks
+        # (bytes zone maps + dictionary short-circuit); oracle filters source
+        "decode_lang_filter": (
+            "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents "
+            "WHERE lang = 'en'"
         ),
         "json_parse_demux": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k, "

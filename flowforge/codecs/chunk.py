@@ -119,7 +119,75 @@ def encode_array(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
         # zone map: int-domain chunks carry min/max so decode can prune
         # chunks/buckets against range predicates without decoding them
         meta["min"], meta["max"] = int(values.min()), int(values.max())
+    elif is_bytes_type(arr.type) and len(valid):
+        # bytes zone map: truncated-prefix min/max (see _bytes_zone_map for
+        # why prefix comparisons stay sound) enables equality/IN pruning on
+        # url/lang-style columns
+        bmin, bmax = _bytes_zone_map(valid)
+        meta["bmin"], meta["bmax"] = _b64(bmin), _b64(bmax)
     return payload, meta
+
+
+# prefix cap for bytes zone maps: long enough to separate url/lang-ish
+# values, short enough that 10^6 bucket commit records stay tiny
+ZONE_PREFIX = 24
+
+
+def _b64(b: bytes) -> str:
+    import base64
+
+    return base64.b64encode(b).decode("ascii")
+
+
+def b64d(s: str) -> bytes:
+    import base64
+
+    return base64.b64decode(s.encode("ascii"))
+
+
+def _bytes_zone_map(valid: pa.Array) -> tuple[bytes, bytes]:
+    """Truncated (min, max) byte prefixes of a null-free binary-ish array.
+
+    Soundness of pruning with truncated prefixes (cap L):
+    - ``bmin[:L] <= bmin <= v`` for every value v, so a probe p with
+      ``p < bmin[:L]`` satisfies ``p < bmin`` -> no match, prune.
+    - if ``p[:L] > bmax[:L]`` then the first differing byte inside L already
+      exceeds, so ``p > bmax`` for any bmax suffix -> no match, prune.
+    Equality at the truncated boundary is kept (conservative), and the
+    exact row filter makes the final result precise either way. Prefixes of
+    a max/min commute with truncation (a >= b  =>  a[:L] >= b[:L]), so
+    bucket-level merging by plain min/max over chunk prefixes is exact.
+    """
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(valid.cast(pa.large_binary()))
+    bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
+    return bmin[:ZONE_PREFIX], bmax[:ZONE_PREFIX]
+
+
+def probe_in_zone(probe: bytes, bmin_t: bytes, bmax_t: bytes) -> bool:
+    """Could ``probe`` exist in a zone with truncated (bmin_t, bmax_t)?"""
+    return not (probe < bmin_t or probe[:ZONE_PREFIX] > bmax_t)
+
+
+def dict_may_contain(payload: bytes, meta: dict, probes: list[bytes]) -> bool | None:
+    """Dictionary short-circuit for equality/IN predicates: for dict-coded
+    chunks, decode ONLY the (small) dictionary value store and test probe
+    membership — no code-stream unpack, no take(). Returns None when the
+    codec has no value-level dictionary (worddict's dictionary is token-
+    level, not value-level, so membership there proves nothing)."""
+    if meta.get("codec") not in ("dict", "dictfsst"):
+        return None
+    from . import bytescodecs
+    from .framing import unpack_sections
+
+    _, body = unpack_sections(payload)
+    dict_payload, _ = unpack_sections(body)
+    m = meta["m"]
+    _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
+    d_lens, d_data = sub_dec(dict_payload, m["dict"], int(m["ndv"]))
+    values = set(bytescodecs.parts_to_arrow(d_lens, d_data).to_pylist())
+    return any(p in values for p in probes)
 
 
 def _spread_nulls(valid_arr: pa.Array, mask: np.ndarray) -> pa.Array:

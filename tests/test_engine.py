@@ -214,7 +214,7 @@ def test_zone_map_predicate_pushdown(spark, tmpdir_clean, tmp_path_factory):
     man = Manifest(out)
     phash = man.read_table_meta()["plan_hash"]
     commits = man.read_commits(phash)
-    pruned = engine._prune_buckets(commits, {"warc_ts": (lo, hi)})
+    pruned = engine._prune_buckets(commits, {"warc_ts": ("range", lo, hi)})
     assert 0 < len(pruned) < len(commits)  # real pruning happened
 
     got = engine.decode_table(spark, out, predicates={"warc_ts": (lo, hi)})
@@ -315,3 +315,80 @@ def test_direct_plan_deterministic(tmp_path_factory):
     p2 = engine.plan_direct(src, 512)
     assert p1 == p2
     assert sum(p["n_rows"] for p in p1) == 2000
+
+
+def test_string_predicate_pushdown_prunes_chunks(spark, tmpdir_clean, tmp_path_factory):
+    """Equality/IN pushdown on a string column (round-2 verdict, missing
+    #3): on a lang-clustered store, bytes zone maps + the dict-store
+    short-circuit prune most chunks before decoding — pinned via the
+    chunk-skip count computed from the stored metas — and the decoded
+    result equals the source filter exactly."""
+    import json
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("strpred_src")
+    src = datagen.write_webpages(str(d), ROWS, row_group_size=512)
+    out = os.path.join(tmpdir_clean, "enc")
+    # cluster chunks by lang inside each bucket -> tight bytes zone maps
+    engine.run_encode_path(spark, src, out, target_rows=512,
+                           sort_col="lang", chunk_rows=64)
+    df = spark.read.parquet(src)
+
+    spec = ("in", [b"de"], ["de"])
+    man = Manifest(out)
+    phash = man.read_table_meta()["plan_hash"]
+    total = survivors = 0
+    for rec in man.read_commits(phash):
+        bucket = int(rec["bucket"])
+        t = pq.read_table(man.chunk_read_path("lang", bucket),
+                          columns=["chunk_seq", "meta"])
+        for m in t.column("meta").to_pylist():
+            total += 1
+            survivors += engine._chunk_survives(json.loads(m), spec)
+    # 'de' is 10% of rows; clustered chunks -> most chunks prune away
+    assert survivors < total * 0.3, (survivors, total)
+    assert survivors > 0
+
+    got = engine.decode_table(spark, out, columns=["url", "lang"],
+                              predicates={"lang": ("eq", "de")})
+    want = df.filter(F.col("lang") == "de").select("url", "lang")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # IN over two langs, projecting a non-predicate column
+    got2 = engine.decode_table(spark, out, columns=["url"],
+                               predicates={"lang": ("in", ["de", "ru"])})
+    want2 = df.filter(F.col("lang").isin("de", "ru")).select("url")
+    assert got2.count() == want2.count() > 0
+    assert got2.exceptAll(want2).count() == 0
+
+
+def test_dict_short_circuit_and_zone_probe():
+    """Unit pins for the bytes-pruning primitives: truncated-prefix zone
+    tests stay sound at the cap boundary, and dict_may_contain answers
+    membership from the dictionary store alone."""
+    import pyarrow as pa
+
+    from flowforge.codecs import chunk as chunklib
+
+    # zone probe at the truncation boundary: 24-byte cap
+    zmin, zmax = b"b" * 30, b"m" * 30
+    bmin_t, bmax_t = zmin[:24], zmax[:24]
+    assert chunklib.probe_in_zone(b"hello", bmin_t, bmax_t)
+    assert not chunklib.probe_in_zone(b"a" * 40, bmin_t, bmax_t)   # below min
+    assert not chunklib.probe_in_zone(b"z", bmin_t, bmax_t)        # above max
+    # probes equal to the truncated prefixes are conservatively kept
+    assert chunklib.probe_in_zone(bmax_t, bmin_t, bmax_t)
+    assert chunklib.probe_in_zone(bmin_t, bmin_t, bmax_t)
+
+    arr = pa.array(["en", "de", "en", None, "fr"], type=pa.large_string())
+    for codec in ("dict", "dictfsst"):
+        payload, meta = chunklib.encode_array(arr, codec)
+        assert chunklib.dict_may_contain(payload, meta, [b"de"]) is True
+        assert chunklib.dict_may_contain(payload, meta, [b"zz"]) is False
+        assert chunklib.dict_may_contain(payload, meta, [b"zz", b"fr"]) is True
+    payload, meta = chunklib.encode_array(arr, "plain")
+    assert chunklib.dict_may_contain(payload, meta, [b"de"]) is None
