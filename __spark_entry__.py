@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events_fingerprint": Q.q_roundtrip_events_fingerprint,
         "roundtrip_pruned_scan": Q.q_roundtrip_pruned_scan,
         "decode_lang_filter": Q.q_decode_lang_filter,
+        "roundtrip_clustered_prune": Q.q_roundtrip_clustered_prune,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -135,6 +136,13 @@ def oracle_sql() -> dict[str, str]:
         "decode_lang_filter": (
             "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents "
             "WHERE lang = 'en'"
+        ),
+        # time-clustered store: engine decodes a 2-day window with >90% of
+        # buckets pruned off commit zone maps; oracle filters the source
+        "roundtrip_clustered_prune": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms, user_id FROM events "
+            f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 10 * 86_400_000_000} "
+            f"AND {1_704_067_200_000_000 + 12 * 86_400_000_000}"
         ),
         "json_parse_demux": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k, "

@@ -383,14 +383,26 @@ def encode_table(
     resume: bool = True,
     bucket_offset: int = 0,
     mode: str = "salted",
+    cluster_col: str | None = None,
 ) -> DataFrame:
-    """Encode ``df`` into the chunk store at ``out_dir`` (salted mode).
+    """Encode ``df`` into the chunk store at ``out_dir`` (shuffled modes).
 
-    Salted mode shuffles once on pmod(xxhash64(salt_col), S): rows land in
-    deterministic url-hash buckets regardless of input layout — use when the
-    chunk layout must be keyed (bucketed joins on url, re-clustering a
-    skewed upstream). For raw encode of already-stored tables prefer
-    :func:`encode_path` (direct mode, zero shuffle).
+    Salted mode (default) shuffles once on pmod(xxhash64(salt_col), S):
+    rows land in deterministic url-hash buckets regardless of input layout
+    — use when the chunk layout must be keyed (bucketed joins on url,
+    re-clustering a skewed upstream). For raw encode of already-stored
+    tables prefer :func:`encode_path` (direct mode, zero shuffle).
+
+    Clustered mode (``cluster_col=`` an int-ordered column, e.g.
+    ``"warc_ts"``) range-partitions buckets by quantile boundaries of that
+    column instead of url-hash — the engine's answer to the reference's
+    hive ``year=/month=/day=/hour=`` output layout (core/parquet.go:207-214)
+    done with zone maps instead of directory names: every bucket owns a
+    tight contiguous range, so a time-range decode prunes >90% of buckets
+    driver-side even though the store was built with a shuffle. Boundaries
+    are computed once (approx quantiles) and frozen into the immutable
+    plan; skew in the cluster column is absorbed by the quantile split
+    exactly like a salted hash absorbs host skew.
 
     The returned DataFrame is lazy — calling an action on it runs the job.
     ``resume=True`` skips buckets already committed in the manifest
@@ -409,21 +421,53 @@ def encode_table(
     manifest = Manifest(out_dir)
     existing = manifest.try_read_table_meta()
     stored_plan = (existing or {}).get("plan") or {}
+    if cluster_col is None and stored_plan.get("mode") == "clustered":
+        cluster_col = stored_plan.get("cluster_col")
     if buckets is None:
         buckets = int(stored_plan.get("buckets", 0)) or None
     if buckets is None:
         buckets = max(int(spark.sparkContext.defaultParallelism) * 2, 8)
     if chunk_rows is None:
         chunk_rows = int(stored_plan.get("chunk_rows", 0)) or DEFAULT_CHUNK_ROWS
-    if salt_col is None:
-        salt_col = stored_plan.get("salt_col") or "url"
-    plan_if_new = {
-        "format": FORMAT_VERSION, "mode": mode, "buckets": buckets,
-        "chunk_rows": chunk_rows, "salt_col": salt_col,
-    }
+    if cluster_col is not None:
+        if mode == "salted":
+            mode = "clustered"
+        int_expr = _cluster_int_expr(df, cluster_col)
+        boundaries = stored_plan.get("boundaries")
+        if boundaries is None:
+            boundaries = _cluster_boundaries(df, int_expr, buckets)
+        plan_if_new = {
+            "format": FORMAT_VERSION, "mode": mode, "buckets": buckets,
+            "chunk_rows": chunk_rows, "cluster_col": cluster_col,
+            "boundaries": boundaries,
+        }
+        requested = {"buckets": buckets, "chunk_rows": chunk_rows,
+                     "cluster_col": cluster_col}
+        # bucket = number of boundaries <= value (JVM-side aggregate over a
+        # literal array; nulls sort to bucket 0). Monotone in cluster_col,
+        # so bucket zone maps tile the domain into disjoint ranges.
+        blits = F.array(*[F.lit(int(b)).cast("long") for b in boundaries])
+        bucket_expr = F.aggregate(
+            blits, F.lit(0).cast("long"),
+            lambda acc, b: acc + F.when(int_expr >= b, 1).otherwise(0),
+        ) + F.lit(bucket_offset)
+        sort_col = cluster_col
+    else:
+        if salt_col is None:
+            salt_col = stored_plan.get("salt_col") or "url"
+        plan_if_new = {
+            "format": FORMAT_VERSION, "mode": mode, "buckets": buckets,
+            "chunk_rows": chunk_rows, "salt_col": salt_col,
+        }
+        requested = {"buckets": buckets, "chunk_rows": chunk_rows,
+                     "salt_col": salt_col}
+        bucket_expr = (
+            F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
+            + F.lit(bucket_offset)
+        )
+        sort_col = salt_col
     _, phash = _adopt_or_create_plan(
-        manifest, existing, plan_if_new,
-        {"buckets": buckets, "chunk_rows": chunk_rows, "salt_col": salt_col},
+        manifest, existing, plan_if_new, requested,
         df.columns, df.schema.jsonValue(), out_dir,
     )
     committed = manifest.committed_buckets(phash) if resume else set()
@@ -432,15 +476,42 @@ def encode_table(
     if not todo:
         return spark.createDataFrame([], METRICS_SCHEMA)
 
-    salted = df.withColumn(
-        BUCKET_COL,
-        F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)) + F.lit(bucket_offset),
-    )
+    bucketed = df.withColumn(BUCKET_COL, bucket_expr)
     if len(todo) < buckets:
-        salted = salted.filter(F.col(BUCKET_COL).isin(todo))
-    planned = _partition_one_bucket_per_task(spark, salted, todo, salt_col)
+        bucketed = bucketed.filter(F.col(BUCKET_COL).isin(todo))
+    planned = _partition_one_bucket_per_task(spark, bucketed, todo, sort_col)
     return planned.mapInArrow(_make_encode_kernel(out_dir, chunk_rows, phash),
                               METRICS_SCHEMA)
+
+
+def _cluster_int_expr(df: DataFrame, cluster_col: str):
+    """Int64 view of a cluster column in its zone-map unit (timestamps ->
+    epoch micros, matching the codec's in-unit int domain for timestamp[us]
+    arrow columns; ints/dates -> their integer value)."""
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if cluster_col not in by_name:
+        raise ValueError(f"cluster_col {cluster_col!r} not in {list(by_name)}")
+    simple = by_name[cluster_col]
+    if simple.startswith("timestamp"):
+        return F.unix_micros(F.col(cluster_col).cast("timestamp"))
+    if simple == "date":
+        return F.datediff(F.col(cluster_col), F.lit("1970-01-01")).cast("long")
+    if simple in _PREDICATE_EXACT_TYPES:
+        return F.col(cluster_col).cast("long")
+    raise ValueError(
+        f"cluster_col needs an int-ordered column; {cluster_col!r} is {simple}")
+
+
+def _cluster_boundaries(df: DataFrame, int_expr, buckets: int) -> list[int]:
+    """Quantile bucket boundaries of the cluster column (computed once per
+    store, then frozen into the immutable plan — resume never recomputes).
+    One lightweight pass over the single column; at 10^12 rows this is the
+    same sample-based range partitioning Spark's own repartitionByRange
+    uses, made deterministic by persisting the result."""
+    probs = [i / buckets for i in range(1, buckets)]
+    qs = df.select(int_expr.cast("double").alias("_ck")).approxQuantile(
+        "_ck", probs, 0.001)
+    return [int(q) for q in qs]
 
 
 def _compact_store(out_dir: str) -> None:
@@ -450,12 +521,40 @@ def _compact_store(out_dir: str) -> None:
         manifest.compact(meta["plan_hash"])
 
 
+def _commit_empty_planned(out_dir: str) -> None:
+    """After a COMPLETED encode action, commit zero-row records for planned
+    buckets no task produced rows for (possible in clustered mode when a
+    quantile interval is empty, or salted mode with fewer rows than
+    buckets). Only sound post-completion — every task ran, so a missing
+    commit proves the bucket is empty for this input, not interrupted;
+    crash-resume therefore re-runs such buckets harmlessly until a run
+    finishes."""
+    manifest = Manifest(out_dir)
+    meta = manifest.try_read_table_meta()
+    if not meta or "plan_hash" not in meta:
+        return
+    plan = meta.get("plan") or {}
+    if plan.get("mode") not in ("salted", "clustered"):
+        return  # streaming grows open-endedly; direct plans are never empty
+    phash = meta["plan_hash"]
+    committed = manifest.committed_buckets(phash)
+    for b in range(int(plan["buckets"])):
+        if b not in committed:
+            manifest.commit_bucket(b, {
+                "bucket": b, "n_rows": 0, "n_chunks": 0, "columns": {},
+                "committed_at": time.time(),
+            }, phash)
+
+
 def run_encode(spark: SparkSession, df: DataFrame, out_dir: str, **kw) -> list:
     """Eager convenience: run the encode job, return collected metric rows.
 
-    Also compacts the manifest afterwards (driver-side) so commit listings
-    stay one parquet read even at 10^6 buckets."""
+    Also commits provably-empty planned buckets and compacts the manifest
+    afterwards (driver-side) so commit listings stay one parquet read even
+    at 10^6 buckets."""
     rows = encode_table(spark, df, out_dir, **kw).collect()
+    if kw.get("mode", "salted") != "streaming":
+        _commit_empty_planned(out_dir)
     _compact_store(out_dir)
     return rows
 
@@ -950,16 +1049,16 @@ def decode_table(
     # for any reordered projection
     field_by_name = {f.name: f for f in spark_schema.fields}
     out_schema = T.StructType([field_by_name[c] for c in columns])
+    # zero-row commits (provably-empty planned buckets, clustered/salted
+    # modes) satisfy completeness but have no chunk files — skip them
+    nonempty = [r for r in manifest.read_commits(phash)
+                if int(r["bucket"]) in committed_set and int(r["n_rows"]) > 0]
     if predicates:
         by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
         predicates = _normalize_predicates(predicates, by_name)
-        committed = _prune_buckets(
-            [r for r in manifest.read_commits(phash)
-             if int(r["bucket"]) in committed_set],
-            predicates,
-        )
+        committed = _prune_buckets(nonempty, predicates)
     else:
-        committed = sorted(committed_set)
+        committed = sorted(int(r["bucket"]) for r in nonempty)
     buckets_df = spark.createDataFrame(
         [(b,) for b in committed], T.StructType([T.StructField("bucket", T.LongType(), False)])
     ).repartition(max(1, len(committed)))

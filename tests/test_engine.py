@@ -392,3 +392,66 @@ def test_dict_short_circuit_and_zone_probe():
         assert chunklib.dict_may_contain(payload, meta, [b"zz", b"fr"]) is True
     payload, meta = chunklib.encode_array(arr, "plain")
     assert chunklib.dict_may_contain(payload, meta, [b"de"]) is None
+
+
+def test_clustered_mode_roundtrip_prune_resume(spark, tmpdir_clean):
+    """Clustered mode (round-2 verdict, missing #2): quantile range buckets
+    on ts give >90% driver-side bucket pruning for a narrow window on a
+    SHUFFLED store, the roundtrip stays bit-identical, boundaries are
+    frozen into the plan (resume adopts them), and a conflicting
+    cluster_col refuses."""
+    from flowforge.catalog import StorePlanError
+
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src, out, buckets=32, cluster_col="ts")
+    man = Manifest(out)
+    meta = man.read_table_meta()
+    assert meta["plan"]["mode"] == "clustered"
+    assert len(meta["plan"]["boundaries"]) == 31
+
+    dec = engine.decode_table(spark, out)
+    assert dec.count() == src.count()
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+    lo = 1_704_067_200_000_000 + 10 * 86_400_000_000
+    hi = lo + 2 * 86_400_000_000
+    commits = man.read_commits(meta["plan_hash"])
+    surviving = engine._prune_buckets(commits, {"ts": ("range", lo, hi)})
+    assert len(surviving) <= len(commits) * 0.10, (len(surviving), len(commits))
+    got = engine.decode_table(spark, out, columns=["event_id", "ts"],
+                              predicates={"ts": (lo, hi)})
+    want = src.filter(
+        F.unix_micros(F.col("ts").cast("timestamp")).between(lo, hi)
+    ).select("event_id", "ts")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # resume adopts the stored boundaries (no recompute, exact bucket ids)
+    man.uncommit_bucket(7)
+    m2 = engine.run_encode(spark, src, out)
+    assert {r["bucket"] for r in m2} == {7}
+    with pytest.raises(StorePlanError):
+        engine.run_encode(spark, src, out, cluster_col="event_id")
+
+
+def test_clustered_mode_empty_buckets_commit(spark, tmpdir_clean):
+    """Quantile-duplicate boundaries leave some buckets legitimately empty:
+    a completed run commits them as zero-row records so the completeness
+    check passes and decode skips them."""
+    from pyspark.sql import Row
+
+    # 100 rows, constant-heavy key -> duplicate boundaries -> empty buckets
+    rows = [Row(k=5 if i < 90 else i, v=f"x{i}") for i in range(100)]
+    src = spark.createDataFrame(rows)
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src, out, buckets=8, cluster_col="k",
+                      chunk_rows=16)
+    man = Manifest(out)
+    phash = man.read_table_meta()["plan_hash"]
+    assert man.committed_buckets(phash) == set(range(8))  # empties committed
+    empties = [r for r in man.read_commits(phash) if r["n_rows"] == 0]
+    assert empties, "expected zero-row commits for empty quantile intervals"
+    dec = engine.decode_table(spark, out)
+    assert dec.count() == 100
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
