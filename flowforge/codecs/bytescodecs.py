@@ -41,13 +41,22 @@ def parts_to_arrow(lengths: np.ndarray, data: bytes) -> pa.Array:
 
 
 def arrow_to_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
-    """Null-free binary-ish array -> (lengths, data)."""
+    """Null-free binary-ish array -> (lengths, data).
+
+    ``data`` is a ZERO-COPY memoryview over the Arrow data buffer (the
+    selector trial-encodes each chunk with several codecs, and a bytes()
+    materialization here cost one full-blob copy — with this sandbox's
+    contended page faults, a large slice of encode CPU — per trial). Every
+    codec consumes it via the buffer protocol (np.frombuffer, py_buffer,
+    join); only the FSST family, which needs bytes.replace, materializes
+    real bytes, and does so itself exactly when it runs."""
     arr = arr.cast(pa.large_binary())
     # offset-aware read: the offsets buffer holds absolute positions into the
     # data buffer, valid for sliced arrays too
     offsets = np.frombuffer(arr.buffers()[1], dtype=_I64, count=len(arr) + 1, offset=arr.offset * 8)
     data_buf = arr.buffers()[2]
-    data = data_buf.to_pybytes()[offsets[0] : offsets[-1]] if data_buf is not None else b""
+    data = (memoryview(data_buf).cast("B")[offsets[0]: offsets[-1]]
+            if data_buf is not None else b"")
     lengths = np.diff(offsets).astype(_I64)
     return lengths, data
 
@@ -408,6 +417,8 @@ def fsst_encode(lengths: np.ndarray, data: bytes):
     ordinary bytes for round k+1, so effective symbol length compounds
     (Re-Pair-like) — this is what catches the long repeats that single-round
     8-byte symbols cannot."""
+    if not isinstance(data, bytes):
+        data = bytes(data)  # bytes.replace needs real bytes (see arrow_to_parts)
     lp, lm = _encode_lengths(lengths)
     rounds: list[tuple[bytes, bytes, list[bytes]]] = []
     blob = data

@@ -101,3 +101,40 @@ def test_multitype_query_shape(spark):
     assert types == {"conn", "dns", "http"}
     assert all(r["event_year"] is None for r in rows if r["log_type"] == "http")
     assert all(r["event_year"] is not None for r in rows if r["log_type"] != "http")
+
+
+def test_demux_plan_pushes_filters_and_stays_bounded(spark, tmp_path):
+    """Plan pin for the 18-type registry demux over a parquet source
+    (round-2 verdict, wrong #4): every branch's `log_type = t` filter is
+    pushed to the scan (the union IS a demux, not 18 full scans), and the
+    flattened one-select-per-branch build keeps the analyzed plan at
+    exactly one Project per branch instead of hundreds of chained
+    withColumn Projects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    reg = LogTypeRegistry.from_reference_configs(REF_SCHEMA, REF_NORM)
+    types = reg.known_types()
+    assert len(types) == 18
+    src = tmp_path / "mixed.parquet"
+    pq.write_table(pa.table({
+        "log_type": pa.array([types[i % len(types)] for i in range(100)]),
+        "raw": pa.array(['{"ts": 1767225600.0, "uid": "U%d"}' % i
+                         for i in range(100)]),
+    }), str(src))
+    df = spark.read.parquet(str(src))
+    out = reg.demux_normalize(df)
+
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # <= 3 Projects per branch (normalize select + drop(type_col) +
+    # unionByName alignment); the chained-withColumn build produced one
+    # Project PER FIELD per branch (~30x more)
+    assert analyzed.count("Project") <= 3 * len(types), analyzed.count("Project")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for t in types:
+        assert f"EqualTo(log_type,{t})" in plan, f"filter for {t} not pushed"
+    # bounded plan text as a cheap analyzer-bloat tripwire
+    assert len(analyzed) < 200_000, len(analyzed)
+
+    assert out.count() == 100  # all 18 types known -> nothing dropped
