@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events_fingerprint": Q.q_roundtrip_events_fingerprint,
         "roundtrip_pruned_scan": Q.q_roundtrip_pruned_scan,
         "decode_lang_filter": Q.q_decode_lang_filter,
+        "decode_source_prefix": Q.q_decode_source_prefix,
         "roundtrip_clustered_prune": Q.q_roundtrip_clustered_prune,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
@@ -136,6 +137,12 @@ def oracle_sql() -> dict[str, str]:
         "decode_lang_filter": (
             "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents "
             "WHERE lang = 'en'"
+        ),
+        # string-prefix pushdown: byte-range zone maps + dictionary prefix
+        # short-circuit; oracle LIKE-filters the source
+        "decode_source_prefix": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE source LIKE 'src1%'"
         ),
         # time-clustered store: engine decodes a 2-day window with >90% of
         # buckets pruned off commit zone maps; oracle filters the source

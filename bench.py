@@ -40,11 +40,14 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = "/tmp/flowforge_bench"
-# measured optimum on the web-text corpus (round 3): 8192-row chunks beat
-# 16384 on BOTH steady-state wall (5.8 vs 8.1 s at local[32]/sf0.1) and
-# ratio (0.1069 vs 0.1117) - smaller per-chunk temporaries fault less under
-# 32-way page-fault contention, and dictionary locality improves
-CHUNK_ROWS = 8192
+# measured optimum on the web-text corpus (round 3, after the selector's
+# two-stage FSST gate removed the per-chunk sample-trial fixed cost):
+# 16384-row chunks win steady-state throughput at every parallelism level
+# (local[32]: 4.8 s / 0.45 GB/s vs 5.3 s at 8192; local[4]: 0.141 vs
+# 0.116 GB/s); 8192 trades ~9% throughput for 4.3% smaller output
+# (ratio 0.1069 vs 0.1117) - size is already far under the snappy bar,
+# so throughput wins
+CHUNK_ROWS = 16384
 
 
 def _sf() -> float:

@@ -170,12 +170,37 @@ def probe_in_zone(probe: bytes, bmin_t: bytes, bmax_t: bytes) -> bool:
     return not (probe < bmin_t or probe[:ZONE_PREFIX] > bmax_t)
 
 
-def dict_may_contain(payload: bytes, meta: dict, probes: list[bytes]) -> bool | None:
-    """Dictionary short-circuit for equality/IN predicates: for dict-coded
-    chunks, decode ONLY the (small) dictionary value store and test probe
-    membership — no code-stream unpack, no take(). Returns None when the
-    codec has no value-level dictionary (worddict's dictionary is token-
-    level, not value-level, so membership there proves nothing)."""
+def prefix_in_zone(prefix: bytes, bmin_t: bytes, bmax_t: bytes) -> bool:
+    """Could any value starting with ``prefix`` exist in the zone? The
+    prefix denotes the byte range [prefix, next(prefix)): prune when
+    next(prefix) <= bmin_t (<= bmin, so every value is above the range)
+    or prefix[:L] > bmax_t (=> prefix > bmax, every value below it)."""
+    nxt = _prefix_upper(prefix)
+    if nxt is not None and nxt <= bmin_t:
+        return False
+    return not prefix[:ZONE_PREFIX] > bmax_t
+
+
+def _prefix_upper(prefix: bytes) -> bytes | None:
+    """Smallest byte string greater than every string starting with
+    ``prefix`` (increment the last non-0xFF byte); None if unbounded."""
+    b = bytearray(prefix)
+    while b and b[-1] == 0xFF:
+        b.pop()
+    if not b:
+        return None
+    b[-1] += 1
+    return bytes(b)
+
+
+def dict_may_contain(payload: bytes, meta: dict, probes: list[bytes],
+                     prefix: bool = False) -> bool | None:
+    """Dictionary short-circuit for equality/IN/prefix predicates: for
+    dict-coded chunks, decode ONLY the (small) dictionary value store and
+    test probe membership (or prefix match) — no code-stream unpack, no
+    take(). Returns None when the codec has no value-level dictionary
+    (worddict's dictionary is token-level, not value-level, so membership
+    there proves nothing)."""
     if meta.get("codec") not in ("dict", "dictfsst"):
         return None
     from . import bytescodecs
@@ -186,8 +211,11 @@ def dict_may_contain(payload: bytes, meta: dict, probes: list[bytes]) -> bool | 
     m = meta["m"]
     _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
     d_lens, d_data = sub_dec(dict_payload, m["dict"], int(m["ndv"]))
-    values = set(bytescodecs.parts_to_arrow(d_lens, d_data).to_pylist())
-    return any(p in values for p in probes)
+    values = bytescodecs.parts_to_arrow(d_lens, d_data).to_pylist()
+    if prefix:
+        return any(v.startswith(p) for p in probes for v in values)
+    vset = set(values)
+    return any(p in vset for p in probes)
 
 
 def _spread_nulls(valid_arr: pa.Array, mask: np.ndarray) -> pa.Array:

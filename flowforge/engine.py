@@ -738,8 +738,8 @@ def run_encode_path(spark: SparkSession, src: str | list[str], out_dir: str, **k
 
 def _chunk_survives(meta: dict, spec: tuple) -> bool:
     """Zone-map chunk test for a normalized predicate spec (see
-    _normalize_predicates): ("range", lo, hi) against int min/max,
-    ("in", probes_bytes, _) against truncated bytes prefixes."""
+    _normalize_predicates): ("range", lo, hi) against int min/max;
+    ("in"/"prefix", probes_bytes, _) against truncated bytes prefixes."""
     if spec[0] == "range":
         if "min" not in meta or "max" not in meta:
             return True  # no zone map -> cannot prune
@@ -747,7 +747,8 @@ def _chunk_survives(meta: dict, spec: tuple) -> bool:
     if "bmin" not in meta or "bmax" not in meta:
         return True
     bmin, bmax = chunklib.b64d(meta["bmin"]), chunklib.b64d(meta["bmax"])
-    return any(chunklib.probe_in_zone(p, bmin, bmax) for p in spec[1])
+    zone = chunklib.prefix_in_zone if spec[0] == "prefix" else chunklib.probe_in_zone
+    return any(zone(p, bmin, bmax) for p in spec[1])
 
 
 def _chunk_mask(arrs: dict, predicates: dict):
@@ -763,6 +764,15 @@ def _chunk_mask(arrs: dict, predicates: dict):
                 pc.greater_equal(a, pa.scalar(spec[1], type=a.type)),
                 pc.less_equal(a, pa.scalar(spec[2], type=a.type)),
             )
+        elif spec[0] == "prefix":
+            # byte-wise prefix test works for strings and binary alike
+            # (UTF-8 order == Spark string order); null prefixes stay null
+            ab = a.cast(pa.large_binary())
+            cm = None
+            for p in spec[1]:
+                pm = pc.equal(pc.binary_slice(ab, 0, len(p)),
+                              pa.scalar(p, type=pa.large_binary()))
+                cm = pm if cm is None else pc.or_kleene(cm, pm)
         else:  # "in": SQL semantics — null never matches
             cm = pc.is_in(a, value_set=pa.array(spec[2], type=a.type))
         mask = cm if mask is None else pc.and_kleene(mask, cm)
@@ -842,10 +852,11 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
                         skip = False
                         for c in pred_cols:
                             spec = predicates[c]
-                            if spec[0] == "in":
+                            if spec[0] in ("in", "prefix"):
                                 m, _ = col_meta[c][s]
                                 may = chunklib.dict_may_contain(
-                                    pred_payloads[c][s], m, spec[1])
+                                    pred_payloads[c][s], m, spec[1],
+                                    prefix=spec[0] == "prefix")
                                 if may is False:
                                     skip = True
                                     break
@@ -919,7 +930,8 @@ def _bucket_survives(st: dict, spec: tuple) -> bool:
     if "bmin" not in st or "bmax" not in st:
         return True
     bmin, bmax = chunklib.b64d(st["bmin"]), chunklib.b64d(st["bmax"])
-    return any(chunklib.probe_in_zone(p, bmin, bmax) for p in spec[1])
+    zone = chunklib.prefix_in_zone if spec[0] == "prefix" else chunklib.probe_in_zone
+    return any(zone(p, bmin, bmax) for p in spec[1])
 
 
 def _prune_buckets(commits: list[dict], predicates: dict) -> list[int]:
@@ -940,28 +952,37 @@ def _normalize_predicates(predicates: dict, by_name: dict[str, str]) -> dict:
 
     - ``col: (lo, hi)`` int range on an int-ordered column ->
       ``("range", lo, hi)``
-    - ``col: ("in", [v, ...])`` / ``col: ("eq", v)`` on a string/binary
-      column -> ``("in", [probe bytes...], [typed values...])`` (probe
-      bytes drive zone-map/dictionary pruning; typed values drive the
-      exact pc.is_in row filter — UTF-8 byte order equals Spark's string
-      comparison order, so prefix pruning is sound for strings too)
+    - ``col: ("in", [v, ...])`` / ``col: ("eq", v)`` /
+      ``col: ("prefix", p)`` (or a list of prefixes) on a string/binary
+      column -> ``("in"|"prefix", [probe bytes...], [typed values...])``
+      (probe bytes drive zone-map/dictionary pruning; the exact row
+      filter is pc.is_in / byte-prefix equality — UTF-8 byte order equals
+      Spark's string comparison order, so prefix pruning is sound for
+      strings too)
     """
     norm: dict[str, tuple] = {}
     for c, spec in predicates.items():
         if c not in by_name:
             raise ValueError(f"predicate on unknown column {c!r}")
         t = by_name[c]
-        if isinstance(spec, tuple) and len(spec) == 2 and spec[0] in ("in", "eq"):
-            vals = list(spec[1]) if spec[0] == "in" else [spec[1]]
+        if (isinstance(spec, tuple) and len(spec) == 2
+                and spec[0] in ("in", "eq", "prefix")):
+            many = isinstance(spec[1], (list, tuple))
+            vals = list(spec[1]) if many else [spec[1]]
             if t not in ("string", "binary"):
                 raise ValueError(
                     f"'{spec[0]}' predicates need a string/binary column; "
                     f"{c!r} is {t} (use an int range instead)")
             if not vals:
-                raise ValueError(f"empty IN set for column {c!r}")
+                raise ValueError(f"empty value set for column {c!r}")
+            if spec[0] == "in" and not many:
+                raise ValueError(
+                    f"'in' takes a list of values for column {c!r} "
+                    f"(use ('eq', v) for a single value)")
             probes = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
                       for v in vals]
-            norm[c] = ("in", probes, vals)
+            kind = "prefix" if spec[0] == "prefix" else "in"
+            norm[c] = (kind, probes, vals)
         else:
             if not _is_predicate_type(t):
                 raise ValueError(
@@ -996,8 +1017,10 @@ def decode_table(
     - int-ordered columns (int/timestamp/date): inclusive ``(lo, hi)``
       ranges (timestamps in the column's epoch unit);
     - string/binary columns: ``("eq", value)`` / ``("in", [values...])``
-      equality predicates — the url/lang filters a real user runs
-      constantly (round-2 verdict, missing #3).
+      equality predicates and ``("prefix", p)`` (or a list of prefixes)
+      — the url/lang filters a real user runs constantly (round-2
+      verdict, missing #3). A prefix is pruned as the byte range
+      ``[p, next(p))``.
 
     Zone maps recorded at encode (int min/max; truncated byte prefixes for
     bytes columns) prune whole buckets driver-side and whole chunks

@@ -224,6 +224,18 @@ def q_decode_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", F.md5("text").alias("text_md5"))
 
 
+def q_decode_source_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-prefix predicate pushdown: decode only source LIKE 'src1%'
+    documents (matches src1 + src10..src19 — a real prefix, not an
+    equality) from a source-clustered direct store; byte-range zone maps
+    + the dictionary prefix short-circuit prune, starts_with makes it
+    exact, and the oracle LIKE-filters the source table."""
+    out = _ensure_store_direct(spark, sf_dir, "documents", sort_col="source")
+    d = engine.decode_table(spark, out, columns=["doc_id", "source", "n_chars"],
+                            predicates={"source": ("prefix", "src1")})
+    return d
+
+
 def q_roundtrip_events_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = decoded(spark, sf_dir, "events", "event_id")
     return d.select(

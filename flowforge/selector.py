@@ -29,6 +29,13 @@ from .codecs import bytescodecs, chunk, intcodecs
 
 _SAMPLE_BYTES = 1 << 16
 _FSST_TRY_THRESHOLD = 0.95  # try full FSST only if sample ratio beats best by this
+# skip even the SAMPLE trial when a cheap codec already compressed below
+# this ratio: the FSST family's best observed ratios on byte-level symbol
+# tables sit well above the dict/worddict winners it would have to beat
+# (url 0.16, text 0.37 on the bench corpus), so a sub-0.25 incumbent makes
+# the per-chunk sample trial pure fixed cost — measured as the dominant
+# per-chunk overhead at small chunk sizes (round-3)
+_FSST_SKIP_BELOW = 0.25
 
 
 def _entropy(data: bytes) -> float:
@@ -152,8 +159,12 @@ def encode_best(arr: pa.Array) -> tuple[bytes, dict]:
         raw = data_len + 8 * n_rows
         plain_gate = data_len + 2 * n_rows + 32   # realistic size estimate
         plain_floor = data_len + 16               # provable lower bound
-        # FSST family is expensive: gate on a bounded sample trial
-        if stats["data_bytes"] > 0 and stats["entropy"] < 7.6:
+        # FSST family is expensive: two-stage gate — an incumbent ratio
+        # below _FSST_SKIP_BELOW retires FSST without even the sample
+        # trial; otherwise a bounded sample trial gates the full encode
+        best_ratio = (len(best[0]) / max(1, raw)) if best else 1.0
+        if (stats["data_bytes"] > 0 and stats["entropy"] < 7.6
+                and best_ratio >= _FSST_SKIP_BELOW):
             sample_ratio = _fsst_sample_ratio(valid)
             bench = min(len(best[0]) if best else plain_gate, plain_gate)
             if sample_ratio < (bench / max(1, raw)) * _FSST_TRY_THRESHOLD:

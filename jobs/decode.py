@@ -3,11 +3,15 @@
 Usage:
     spark-submit --py-files flowforge.zip jobs/decode.py \
         --store <chunk store dir> --out <parquet dir> \
-        [--columns url,text] [--predicate ts:LO:HI] [--partial]
+        [--columns url,text] [--predicate ts:LO:HI] \
+        [--eq lang:en] [--in lang:en,de] [--prefix url:https://host3.] \
+        [--partial]
 
 --predicate col:lo:hi (repeatable) pushes an inclusive int-domain range
 into the store: zone maps prune whole buckets and chunks before any
 decoding (timestamps take epoch values in the column's unit).
+--eq/--in/--prefix (repeatable) push string/binary equality, IN, and
+prefix filters (bytes zone maps + dictionary short-circuit).
 """
 
 from __future__ import annotations
@@ -30,6 +34,12 @@ def main() -> None:
     ap.add_argument("--predicate", action="append", default=[],
                     metavar="COL:LO:HI",
                     help="inclusive int-domain range filter (repeatable)")
+    ap.add_argument("--eq", action="append", default=[], metavar="COL:VALUE",
+                    help="string equality filter (repeatable)")
+    ap.add_argument("--in", dest="isin", action="append", default=[],
+                    metavar="COL:V1,V2", help="string IN filter (repeatable)")
+    ap.add_argument("--prefix", action="append", default=[],
+                    metavar="COL:PREFIX", help="string prefix filter")
     ap.add_argument("--partial", action="store_true",
                     help="decode the committed part of an incomplete store")
     args = ap.parse_args()
@@ -42,6 +52,15 @@ def main() -> None:
             plo, phi = predicates[col]
             lo, hi = max(lo, plo), min(hi, phi)
         predicates[col] = (lo, hi)
+    for spec in args.eq:
+        col, v = spec.split(":", 1)
+        predicates[col] = ("eq", v)
+    for spec in args.isin:
+        col, vs = spec.split(":", 1)
+        predicates[col] = ("in", vs.split(","))
+    for spec in args.prefix:
+        col, p = spec.split(":", 1)
+        predicates[col] = ("prefix", p)
     columns = args.columns.split(",") if args.columns else None
 
     spark = SparkSession.builder.appName("flowforge-decode").getOrCreate()

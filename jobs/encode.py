@@ -25,9 +25,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mode", choices=["direct", "salted"], default="direct",
+    ap.add_argument("--mode", choices=["direct", "salted", "clustered"],
+                    default="direct",
                     help="direct: no-shuffle scan-task encode (default); "
-                         "salted: one shuffle onto url-hash buckets")
+                         "salted: one shuffle onto url-hash buckets; "
+                         "clustered: one shuffle onto quantile range "
+                         "buckets of --cluster-col (tight zone maps)")
     ap.add_argument("--buckets", type=int, default=None)
     # None = adopt an existing store's plan on resume (explicit values
     # must match the stored plan or the job refuses)
@@ -35,6 +38,9 @@ def main() -> None:
     ap.add_argument("--salt-col", default=None)
     ap.add_argument("--sort-col", default=None,
                     help="direct mode: optional per-bucket re-cluster column")
+    ap.add_argument("--cluster-col", default=None,
+                    help="clustered mode: int-ordered column (e.g. warc_ts) "
+                         "whose quantiles define the bucket ranges")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -53,7 +59,8 @@ def main() -> None:
         metrics = engine.run_encode(
             spark, df, args.out,
             buckets=args.buckets, chunk_rows=args.chunk_rows,
-            salt_col=args.salt_col, resume=not args.no_resume,
+            salt_col=args.salt_col, cluster_col=args.cluster_col,
+            resume=not args.no_resume,
         )
     wall = time.time() - t0
 

@@ -455,3 +455,43 @@ def test_clustered_mode_empty_buckets_commit(spark, tmpdir_clean):
     dec = engine.decode_table(spark, out)
     assert dec.count() == 100
     assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+
+def test_prefix_predicate_pushdown(spark, tmpdir_clean, tmp_path_factory):
+    """('prefix', p) predicates: byte-range zone pruning on a url-sorted
+    store + dict-store prefix short-circuit + exact starts_with row
+    filter; result equals the source LIKE 'p%' filter."""
+    from flowforge.codecs import chunk as chunklib
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("prefix_src")
+    src = datagen.write_webpages(str(d), ROWS, row_group_size=512)
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode_path(spark, src, out, target_rows=512,
+                           sort_col="url", chunk_rows=64)
+    df = spark.read.parquet(src)
+
+    p = "https://host12."
+    got = engine.decode_table(spark, out, columns=["url", "lang"],
+                              predicates={"url": ("prefix", p)})
+    want = df.filter(F.col("url").startswith(p)).select("url", "lang")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # multiple prefixes OR together
+    got2 = engine.decode_table(
+        spark, out, columns=["url"],
+        predicates={"url": ("prefix", ["https://host3.", "https://host7."])})
+    want2 = df.filter(F.col("url").startswith("https://host3.")
+                      | F.col("url").startswith("https://host7.")).select("url")
+    assert got2.count() == want2.count() > 0
+    assert got2.exceptAll(want2).count() == 0
+
+    # zone primitive edge cases: 0xFF-run prefixes have no upper bound
+    assert chunklib._prefix_upper(b"ab") == b"ac"
+    assert chunklib._prefix_upper(b"a\xff\xff") == b"b"
+    assert chunklib._prefix_upper(b"\xff\xff") is None
+    assert chunklib.prefix_in_zone(b"\xff\xff", b"a" * 24, b"\xff" * 24)
+    assert not chunklib.prefix_in_zone(b"z", b"a" * 24, b"m" * 24)
+    assert not chunklib.prefix_in_zone(b"A", b"a" * 24, b"m" * 24)
