@@ -1,0 +1,104 @@
+"""Property tests for the decode-predicate primitives (hypothesis).
+
+The invariants that make pushdown SAFE, checked on adversarial data
+(random bytes incl. >0x7F, values longer than the 24-byte zone prefix,
+nulls, empty strings):
+
+1. zone-map soundness: if `_chunk_survives` says prune, NO row matches;
+2. dict short-circuit soundness: `dict_may_contain(...) is False` =>
+   no row matches (and None only for non-dict codecs);
+3. mask exactness: `_chunk_mask` equals the obvious per-row reference
+   for eq/in/prefix/range, with SQL null semantics (null never matches).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flowforge import engine
+from flowforge.codecs import chunk as chunklib
+
+# values stress the ZONE_PREFIX=24 truncation boundary and byte ordering
+_value = st.one_of(
+    st.none(),
+    st.binary(min_size=0, max_size=40),
+    st.just(b"\xff" * 30),
+    st.just(b"\x00"),
+)
+_values = st.lists(_value, min_size=1, max_size=60)
+_probe = st.binary(min_size=0, max_size=30)
+_codec = st.sampled_from(["plain", "dict", "dictfsst", "rle", "fsst", "worddict"])
+
+
+def _matches(v: bytes | None, spec: tuple) -> bool:
+    if v is None:
+        return False
+    kind = spec[0]
+    if kind == "in":
+        return v in spec[1]
+    if kind == "prefix":
+        return any(v.startswith(p) for p in spec[1])
+    raise AssertionError(kind)
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=_values, probes=st.lists(_probe, min_size=1, max_size=3),
+       kind=st.sampled_from(["in", "prefix"]), codec=_codec)
+def test_zone_dict_and_mask_soundness(values, probes, kind, codec):
+    arr = pa.array(values, type=pa.large_binary())
+    payload, meta = chunklib.encode_array(arr, codec)
+    spec = (kind, probes, probes)
+
+    expect = [_matches(v, spec) for v in values]
+    any_match = any(expect)
+
+    # 1. zone map never prunes a matching chunk
+    if not engine._chunk_survives(meta, spec):
+        assert not any_match, (values, probes, kind, meta)
+
+    # 2. dict short-circuit never skips a matching chunk
+    may = chunklib.dict_may_contain(payload, meta, probes,
+                                    prefix=(kind == "prefix"))
+    if may is None:
+        assert meta["codec"] not in ("dict", "dictfsst")
+    elif may is False:
+        assert not any_match, (values, probes, kind)
+
+    # 3. exact row mask == reference (decode then mask)
+    decoded = chunklib.decode_array(payload, meta, len(values))
+    mask = engine._chunk_mask({"c": decoded}, {"c": spec})
+    got = [bool(m) if m is not None else False for m in mask.to_pylist()]
+    assert got == expect, (values, probes, kind)
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(st.one_of(st.none(), st.integers(-2**40, 2**40)),
+                       min_size=1, max_size=60),
+       lo=st.integers(-2**40, 2**40), hi=st.integers(-2**40, 2**40),
+       codec=st.sampled_from(["plain", "forbp", "deltazz", "rle", "dict"]))
+def test_int_range_zone_and_mask_soundness(values, lo, hi, codec):
+    arr = pa.array(values, type=pa.int64())
+    payload, meta = chunklib.encode_array(arr, codec)
+    spec = ("range", min(lo, hi), max(lo, hi))
+    expect = [v is not None and spec[1] <= v <= spec[2] for v in values]
+    if not engine._chunk_survives(meta, spec):
+        assert not any(expect)
+    decoded = chunklib.decode_array(payload, meta, len(values))
+    mask = engine._chunk_mask({"c": decoded}, {"c": spec})
+    got = [bool(m) if m is not None else False for m in mask.to_pylist()]
+    assert got == expect
+
+
+@settings(max_examples=300, deadline=None)
+@given(probe=_probe, values=_values)
+def test_prefix_upper_bound_property(probe, values):
+    """next(prefix) really is an upper bound: every string with the
+    prefix sorts strictly below it (when it exists)."""
+    nxt = chunklib._prefix_upper(probe)
+    for v in values:
+        if v is not None and v.startswith(probe):
+            if nxt is not None:
+                assert v < nxt
+            assert v >= probe
