@@ -744,6 +744,10 @@ def _chunk_survives(meta: dict, spec: tuple) -> bool:
         if "min" not in meta or "max" not in meta:
             return True  # no zone map -> cannot prune
         return not (meta["min"] > spec[2] or meta["max"] < spec[1])
+    if spec[0] == "intin":
+        if "min" not in meta or "max" not in meta:
+            return True
+        return any(meta["min"] <= p <= meta["max"] for p in spec[1])
     if "bmin" not in meta or "bmax" not in meta:
         return True
     bmin, bmax = chunklib.b64d(meta["bmin"]), chunklib.b64d(meta["bmax"])
@@ -773,7 +777,7 @@ def _chunk_mask(arrs: dict, predicates: dict):
                 pm = pc.equal(pc.binary_slice(ab, 0, len(p)),
                               pa.scalar(p, type=pa.large_binary()))
                 cm = pm if cm is None else pc.or_kleene(cm, pm)
-        else:  # "in": SQL semantics — null never matches
+        else:  # "in"/"intin": SQL semantics — null never matches
             cm = pc.is_in(a, value_set=pa.array(spec[2], type=a.type))
         mask = cm if mask is None else pc.and_kleene(mask, cm)
     return mask
@@ -927,6 +931,10 @@ def _is_predicate_type(simple: str) -> bool:
 def _bucket_survives(st: dict, spec: tuple) -> bool:
     if spec[0] == "range":
         return not ("min" in st and (st["min"] > spec[2] or st["max"] < spec[1]))
+    if spec[0] == "intin":
+        if "min" not in st or "max" not in st:
+            return True
+        return any(st["min"] <= p <= st["max"] for p in spec[1])
     if "bmin" not in st or "bmax" not in st:
         return True
     bmin, bmax = chunklib.b64d(st["bmin"]), chunklib.b64d(st["bmax"])
@@ -969,16 +977,28 @@ def _normalize_predicates(predicates: dict, by_name: dict[str, str]) -> dict:
                 and spec[0] in ("in", "eq", "prefix")):
             many = isinstance(spec[1], (list, tuple))
             vals = list(spec[1]) if many else [spec[1]]
-            if t not in ("string", "binary"):
-                raise ValueError(
-                    f"'{spec[0]}' predicates need a string/binary column; "
-                    f"{c!r} is {t} (use an int range instead)")
             if not vals:
                 raise ValueError(f"empty value set for column {c!r}")
             if spec[0] == "in" and not many:
                 raise ValueError(
                     f"'in' takes a list of values for column {c!r} "
                     f"(use ('eq', v) for a single value)")
+            if spec[0] in ("in", "eq") and _is_predicate_type(t):
+                # int-domain IN/equality: zone test is membership against
+                # the chunk/bucket [min, max] (epoch-unit for timestamps)
+                try:
+                    probes = sorted(int(v) for v in vals)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"'{spec[0]}' on int-ordered column {c!r} needs "
+                        f"integer values (timestamps in the column's epoch "
+                        f"unit), got {vals!r}") from None
+                norm[c] = ("intin", probes, probes)
+                continue
+            if t not in ("string", "binary"):
+                raise ValueError(
+                    f"'{spec[0]}' predicates need a string/binary or "
+                    f"int-ordered column; {c!r} is {t}")
             probes = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
                       for v in vals]
             kind = "prefix" if spec[0] == "prefix" else "in"
@@ -1015,7 +1035,8 @@ def decode_table(
     ``predicates`` supports two forms (mixable across columns):
 
     - int-ordered columns (int/timestamp/date): inclusive ``(lo, hi)``
-      ranges (timestamps in the column's epoch unit);
+      ranges, plus ``("eq", v)`` / ``("in", [v...])`` membership
+      (timestamps take values in the column's epoch unit);
     - string/binary columns: ``("eq", value)`` / ``("in", [values...])``
       equality predicates and ``("prefix", p)`` (or a list of prefixes)
       — the url/lang filters a real user runs constantly (round-2

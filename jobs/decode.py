@@ -10,8 +10,9 @@ Usage:
 --predicate col:lo:hi (repeatable) pushes an inclusive int-domain range
 into the store: zone maps prune whole buckets and chunks before any
 decoding (timestamps take epoch values in the column's unit).
---eq/--in/--prefix (repeatable) push string/binary equality, IN, and
-prefix filters (bytes zone maps + dictionary short-circuit).
+--eq/--in/--prefix (repeatable) push equality, IN, and prefix filters:
+strings/binary use bytes zone maps + the dictionary short-circuit; int
+columns (--eq event_id:42, --in event_id:5,77) use [min,max] membership.
 """
 
 from __future__ import annotations

@@ -495,3 +495,22 @@ def test_prefix_predicate_pushdown(spark, tmpdir_clean, tmp_path_factory):
     assert chunklib.prefix_in_zone(b"\xff\xff", b"a" * 24, b"\xff" * 24)
     assert not chunklib.prefix_in_zone(b"z", b"a" * 24, b"m" * 24)
     assert not chunklib.prefix_in_zone(b"A", b"a" * 24, b"m" * 24)
+
+
+def test_int_in_predicate_pushdown(spark, tmpdir_clean):
+    """('in', [ints]) / ('eq', int) on int-ordered columns: zone membership
+    pruning + exact is_in row filter; timestamps take epoch-unit values."""
+    src_path = "/root/testdata/sf0.001/events.parquet"
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode_path(spark, src_path, out, target_rows=256)
+    df = spark.read.parquet(src_path)
+    ids = [5, 77, 300, 888, 999_999]
+    got = engine.decode_table(spark, out, columns=["event_id", "user_id"],
+                              predicates={"event_id": ("in", ids)})
+    want = df.filter(F.col("event_id").isin(ids)).select("event_id", "user_id")
+    assert got.count() == want.count() == 4
+    assert got.exceptAll(want).count() == 0
+    assert engine.decode_table(spark, out, columns=["event_id"],
+                               predicates={"event_id": ("eq", 42)}).count() == 1
+    with pytest.raises(ValueError, match="integer values"):
+        engine.decode_table(spark, out, predicates={"ts": ("eq", "x")})

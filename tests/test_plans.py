@@ -77,6 +77,22 @@ def test_salted_encode_has_exactly_one_exchange(spark, tmpdir_clean):
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning" in plan, plan
 
 
+def test_clustered_encode_has_exactly_one_exchange(spark, tmpdir_clean):
+    """Clustered mode costs the same single shuffle as salted: the quantile
+    bucket expression is a JVM-side aggregate over a literal boundary
+    array, then one repartition onto bucket->task keys."""
+    from flowforge import engine
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lazy = engine.encode_table(spark, df, tmpdir_clean, cluster_col="ts",
+                               buckets=8)
+    plan = _formatted(lazy)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # no Python in the bucket assignment: the aggregate over boundaries is
+    # a catalyst expression, not a UDF
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_murmur3_matches_spark_hash(spark):
     """The partitioner inversion rests on _murmur3_long == F.hash(long)."""
     import numpy as np

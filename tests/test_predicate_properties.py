@@ -102,3 +102,21 @@ def test_prefix_upper_bound_property(probe, values):
             if nxt is not None:
                 assert v < nxt
             assert v >= probe
+
+
+@settings(max_examples=200, deadline=None)
+@given(values=st.lists(st.one_of(st.none(), st.integers(-2**40, 2**40)),
+                       min_size=1, max_size=60),
+       probes=st.lists(st.integers(-2**40, 2**40), min_size=1, max_size=4),
+       codec=st.sampled_from(["plain", "forbp", "deltazz", "rle", "dict"]))
+def test_int_in_zone_and_mask_soundness(values, probes, codec):
+    arr = pa.array(values, type=pa.int64())
+    payload, meta = chunklib.encode_array(arr, codec)
+    spec = ("intin", sorted(probes), sorted(probes))
+    expect = [v is not None and v in probes for v in values]
+    if not engine._chunk_survives(meta, spec):
+        assert not any(expect)
+    decoded = chunklib.decode_array(payload, meta, len(values))
+    mask = engine._chunk_mask({"c": decoded}, {"c": spec})
+    got = [bool(m) if m is not None else False for m in mask.to_pylist()]
+    assert got == expect
