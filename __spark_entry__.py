@@ -90,7 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_lsh_pairs": Q.q_cosine_lsh_pairs,      # golden oracle
         "ann_lsh_topk": Q.q_ann_lsh_topk,              # golden oracle
         "ann_ivf_topk": Q.q_ann_ivf_topk,              # golden oracle
-        # multimodal plumbing
+        # multimodal: real lib-free decode (P6/WAV) + batch plumbing
+        "multimodal_real_features": Q.q_multimodal_real_features,  # golden
         "multimodal_features": Q.q_multimodal_features,  # golden oracle
         # reference sink/metrics analogs (SURVEY §2 K5, M1)
         "kafka_output_shape": Q.q_kafka_output_shape,    # structurally oracled
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_lsh_pairs": _golden("cosine_lsh_pairs"),
         "doc_fingerprint": _golden("doc_fingerprint"),
         "multimodal_features": _golden("multimodal_features"),
+        "multimodal_real_features": _golden("multimodal_real_features"),
     }
 
 

@@ -2,10 +2,21 @@
 
 The Spark-side plumbing is real and tested — schemas, partition-friendly
 batch iteration (mapInPandas), Arrow batch shapes, deterministic fake
-feature extraction — while the actual media decode is STUBBED behind
-``NotImplementedError`` (no image/audio libraries in this container).
-Swap `_decode_image_real` for a Pillow/ffmpeg call on a real cluster; the
-engine-side contract (signature, batch shape, schema) does not change.
+feature extraction. The media decode itself is REAL for the library-free
+formats (round-3): P6/P5 Netpbm images and RIFF/WAVE PCM16 audio are
+parsed with pure numpy (`decode_ppm` / `decode_wav_pcm16`, both
+round-trip-tested), and `extract_features(real_decode=True)` /
+`resize_images(real_decode=True)` run genuine pixel/sample math
+(histograms, nearest-neighbor resample) over them. Only library-dependent
+codecs (JPEG/PNG/MP4 — Pillow/ffmpeg are not in this container) remain
+behind the declared ``NotImplementedError`` stub; swapping the stub for a
+Pillow call changes nothing in the engine-side contract (signature, batch
+shape, schema).
+
+Per-item Python here is the intended shape: media decode is inherently
+per-payload (so is Pillow); the pixel/sample work inside each payload is
+vectorized numpy. The contract-query fake-feature path stays fully
+batch-vectorized (`_fake_features_batch`).
 """
 
 from __future__ import annotations
@@ -51,10 +62,94 @@ def synth_media(spark, rows: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(data, MEDIA_SCHEMA)
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - stub
+# --- real, library-free media codecs (P6/P5 Netpbm, RIFF/WAVE PCM16) -------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 array (h, w, 3) -> binary P6; (h, w) -> binary P5."""
+    a = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+        h, w = a.shape[:2]
+    elif a.ndim == 2:
+        magic = b"P5"
+        h, w = a.shape
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w) uint8, got {a.shape}")
+    return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6/P5 Netpbm -> uint8 array (h, w, 3) / (h, w). Pure numpy;
+    supports the canonical whitespace/comment grammar."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary P6/P5 Netpbm payload")
+    gray = payload[:2] == b"P5"
+    # header tokens: magic, width, height, maxval; '#' comments to EOL
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":
+            while pos < len(payload) and payload[pos: pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos: pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit Netpbm supported (maxval={maxval})")
+    n = w * h * (1 if gray else 3)
+    body = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return body.reshape((h, w) if gray else (h, w, 3))
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono samples -> minimal RIFF/WAVE (fmt + data chunks)."""
+    import struct
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono -> (int16 samples, sample_rate). Walks the
+    chunk list, so extra chunks (LIST/INFO) are tolerated."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos: pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=size // 2,
+                                 offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, int(rate)
+
+
+def _decode_image_real(payload: bytes):
+    """Real image decode: P6/P5 handled natively; library codecs stubbed."""
+    if payload is not None and payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "real image decode needs Pillow/libvips (not in this container); "
-        "the mapInPandas plumbing below is the real engine-side contract"
+        "real image decode beyond Netpbm (JPEG/PNG) needs Pillow/libvips "
+        "(not in this container); the mapInPandas plumbing is the real "
+        "engine-side contract and P6/P5 exercise it end-to-end"
     )
 
 
@@ -68,6 +163,52 @@ def _fake_feature(payload: bytes | None, dim: int = 16) -> np.ndarray:
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
     return (hist / hist.sum()).astype(np.float32)
+
+
+def synth_media_real(spark, rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic media table whose image/audio payloads are VALID
+    formats (binary P6 Netpbm, RIFF/WAVE PCM16) — the real-decode path's
+    test fixture. Video payloads stay opaque (container decode is the
+    declared stub)."""
+    rng = np.random.default_rng(seed)
+    data = []
+    for i in range(rows):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, mime = encode_ppm(px), "image/x-portable-pixmap"
+            dims, dur = (w, h), None
+        elif kind == "audio":
+            n = int(rng.integers(64, 2048))
+            samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
+            payload, mime = encode_wav_pcm16(samples), "audio/wav"
+            dims, dur = (None, None), n * 1000 // 16_000
+        else:
+            payload = bytes(rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                                         dtype=np.uint8))
+            mime, dims, dur = "video/mp4", (None, None), int(rng.integers(100, 60000))
+        data.append((i, kind, payload, mime, dims[0], dims[1], dur))
+    return spark.createDataFrame(data, MEDIA_SCHEMA)
+
+
+def _real_feature(kind: str, payload: bytes | None, dim: int = 16) -> np.ndarray:
+    """Feature vector from DECODED media: normalized value histogram of
+    the real pixels/samples (not the encoded bytes). Per-item decode by
+    nature (as with Pillow); the histogram math is vectorized numpy."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    if kind == "image":
+        pixels = _decode_image_real(payload)
+        vals = pixels.reshape(-1).astype(np.int64) * dim // 256
+    elif kind == "audio":
+        samples, _ = decode_wav_pcm16(payload)
+        vals = (samples.astype(np.int64) + 32768) * dim // 65536
+    else:
+        raise NotImplementedError(
+            "video container decode needs ffmpeg (not in this container)")
+    hist = np.bincount(vals, minlength=dim).astype(np.float64)
+    return (hist / max(1, hist.sum())).astype(np.float32)
 
 
 def _fake_features_batch(payloads: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
@@ -100,13 +241,21 @@ def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_decode:
-                pdf["payload"].map(_decode_image_real)  # declared stub
-            lengths, feats = _fake_features_batch(pdf["payload"], 16)
+                # genuine decode per payload (P6/P5 / WAV native; library
+                # formats raise the declared stub), histograms of the
+                # decoded values
+                lengths, _ = _fake_features_batch(pdf["payload"], 16)
+                feats = [_real_feature(k, p)
+                         for k, p in zip(pdf["kind"], pdf["payload"])]
+                feat_series = pd.Series(feats, index=pdf.index)
+            else:
+                lengths, f = _fake_features_batch(pdf["payload"], 16)
+                feat_series = pd.Series(list(f), index=pdf.index)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pd.Series(lengths.astype("int32"), index=pdf.index),
-                "feature": pd.Series(list(feats), index=pdf.index),
+                "feature": feat_series,
             })
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)
@@ -142,8 +291,8 @@ def resize_images(df: DataFrame, max_w: int = 256, max_h: int = 256,
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
             if real_decode:
-                # decoded pixels would feed the resize; the stub raises
-                pdf = pdf.assign(payload=pdf["payload"].map(_decode_image_real))
+                yield _resize_real(pdf, max_w, max_h)
+                continue
             w = pdf["width"].fillna(max_w).astype("int64").clip(lower=1)
             h = pdf["height"].fillna(max_h).astype("int64").clip(lower=1)
             scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
@@ -179,3 +328,38 @@ def resize_images(df: DataFrame, max_w: int = 256, max_h: int = 256,
             })
 
     return df.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def resample_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of (h, w[, c]) pixels to (new_h, new_w).
+    Index math is the standard center-sample mapping; fully vectorized."""
+    h, w = pixels.shape[:2]
+    ys = ((np.arange(new_h) + 0.5) * h / new_h).astype(np.int64).clip(0, h - 1)
+    xs = ((np.arange(new_w) + 0.5) * w / new_w).astype(np.int64).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def _resize_real(pdf: pd.DataFrame, max_w: int, max_h: int) -> pd.DataFrame:
+    """REAL resize: decode P6/P5, aspect-preserving nearest-neighbor
+    resample, re-encode. Dimensions come from the decoded image, not the
+    metadata columns (which may lie)."""
+    out_w, out_h, payloads, resized_from = [], [], [], []
+    for p in pdf["payload"]:
+        if p is None:
+            out_w.append(0); out_h.append(0)
+            payloads.append(None); resized_from.append(None)
+            continue
+        px = _decode_image_real(p)
+        h, w = px.shape[:2]
+        scale = min(1.0, max_w / w, max_h / h)
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        payloads.append(encode_ppm(resample_nearest(px, nw, nh)))
+        out_w.append(nw); out_h.append(nh)
+        resized_from.append(f"{w}x{h}")
+    return pd.DataFrame({
+        "media_id": pdf["media_id"],
+        "width": pd.Series(out_w, index=pdf.index, dtype="int32"),
+        "height": pd.Series(out_h, index=pdf.index, dtype="int32"),
+        "payload": pd.Series(payloads, index=pdf.index, dtype="object"),
+        "resized_from": pd.Series(resized_from, index=pdf.index, dtype="object"),
+    })

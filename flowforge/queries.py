@@ -459,6 +459,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.floor(F.col("cos") * 1e5).alias("cos_m"))
 
 
+def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (round-3): valid P6 Netpbm / WAV PCM16
+    payloads decoded natively (pure numpy, no libraries), per-row features
+    from the DECODED pixels/samples. Golden-oracled by an independent
+    loop-based parser in tools/make_golden.py."""
+    from .functions import multimodal
+    media = multimodal.synth_media_real(spark, 48)
+    feats = multimodal.extract_features(
+        media.filter(F.col("kind") != "video"), real_decode=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.floor(F.element_at("feature", 1).cast("double") * 1e6).alias("f0_m"),
+        F.floor(F.element_at("feature", 16).cast("double") * 1e6).alias("f15_m"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature-extraction plumbing (rows-only: synthetic media)."""
     from .functions import multimodal

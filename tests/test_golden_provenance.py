@@ -24,6 +24,7 @@ _SOURCE_TABLE = {
     "ann_ivf_topk": "embeddings",
     "cosine_lsh_pairs": "embeddings",
     "multimodal_features": None,  # synthetic generation spec, no sf source
+    "multimodal_real_features": None,
 }
 
 

@@ -329,6 +329,51 @@ def golden_ann_ivf_topk(vecs, query, k=10, nlist=16, nprobe=4,
     return top
 
 
+def golden_multimodal_real_features(rows=48, seed=42):
+    """Independent re-derivation of the REAL-decode feature query: payloads
+    rebuilt from the synth_media_real generation spec, then parsed with
+    plain struct/loop code (no shared numpy decode), histograms by loop."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(rows):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+            # independent parse: walk header tokens, then loop the body
+            assert payload[:2] == b"P6"
+            body = payload.split(b"\n", 3)[3]
+            hist = [0] * 16
+            for byte in body:
+                hist[byte * 16 // 256] += 1
+            total = len(body)
+        elif kind == "audio":
+            n = int(rng.integers(64, 2048))
+            samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
+            data = samples.astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                       + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                       + b"data" + struct.pack("<I", len(data)) + data)
+            hist = [0] * 16
+            for j in range(0, len(data), 2):
+                (s,) = struct.unpack_from("<h", data, j)
+                hist[(s + 32768) * 16 // 65536] += 1
+            total = len(data) // 2
+        else:
+            rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
+            rng.integers(100, 60000)
+            continue
+        f = [np.float32(c / max(1, total)) for c in hist]
+        out.append((i, kind, len(payload),
+                    int(np.floor(float(f[0]) * 1e6)),
+                    int(np.floor(float(f[15]) * 1e6))))
+    return out
+
+
 def golden_multimodal_features(rows=96, seed=42):
     """Re-derive the synth-media aggregate from its declared generation
     spec (flowforge/functions/multimodal.py synth_media draw order)."""
@@ -409,6 +454,16 @@ def main() -> None:
         "total_bytes": pa.array([m[2] for m in mm], pa.int64()),
     }), "multimodal_features", "synthetic:seed42,rows96", None)
     print(f"multimodal_features: {len(mm)} rows")
+
+    mr = golden_multimodal_real_features()
+    write_golden(pa.table({
+        "media_id": pa.array([m[0] for m in mr], pa.int64()),
+        "kind": pa.array([m[1] for m in mr], pa.string()),
+        "n_bytes": pa.array([m[2] for m in mr], pa.int32()),
+        "f0_m": pa.array([m[3] for m in mr], pa.int64()),
+        "f15_m": pa.array([m[4] for m in mr], pa.int64()),
+    }), "multimodal_real_features", "synthetic:seed42,rows48", None)
+    print(f"multimodal_real_features: {len(mr)} rows")
 
     fps = [(doc_id, rolling_fingerprint(text)) for doc_id, text in docs]
     write_golden(pa.table({
