@@ -168,9 +168,13 @@ def test_multimodal_plumbing(spark):
         assert r["n_bytes"] == 0 or abs(total - 1.0) < 1e-5  # normalized histogram
     plan = multimodal.frame_sample_plan(media, every_ms=5000)
     assert plan.filter(F.col("frame_ms") % 5000 != 0).count() == 0
-    # stub decode raises cleanly
+    # stub decode raises cleanly (restrict to image rows: over mixed kinds
+    # whichever task fails first surfaces its own error — image rows raise
+    # the declared NotImplementedError, audio rows a WAV ValueError — and
+    # the winner is a task race, not a semantic)
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        multimodal.extract_features(media, real_decode=True).collect()
+        multimodal.extract_features(media.filter(F.col("kind") == "image"),
+                                    real_decode=True).collect()
 
 
 def test_multimodal_resize(spark):
