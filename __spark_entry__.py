@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": Q.q_window_running,
         "topk_users": Q.q_topk_users,
         "rollup_lang_source": Q.q_rollup_lang_source,
+        "cube_lang_source": Q.q_cube_lang_source,
         "join_orders_by_nation": Q.q_join_orders_by_nation,
         "anti_customers_no_orders": Q.q_anti_customers_no_orders,
         "suppliers_by_region": Q.q_suppliers_by_region,
@@ -244,6 +245,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "cube_lang_source": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY CUBE(lang, source)"
         ),
         "join_orders_by_nation": (
             "SELECT n_name, CAST(count(*) AS BIGINT) AS orders, "

@@ -1111,6 +1111,16 @@ def decode_table(
     )
 
 
+def store_view(spark: SparkSession, out_dir: str, name: str,
+               columns: list[str] | None = None, **decode_kwargs) -> DataFrame:
+    """Register a chunk store as a temp view so plain ``spark.sql`` works
+    over it (the decode job is the view's plan; predicates/columns prune
+    at registration time, and Catalyst handles everything downstream)."""
+    df = decode_table(spark, out_dir, columns=columns, **decode_kwargs)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 # --------------------------------------------------------------------------
 # metrics / lineage / reporting
 # --------------------------------------------------------------------------

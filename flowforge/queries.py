@@ -531,6 +531,15 @@ def q_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets, full lattice: CUBE(lang, source) — rollup's sibling
+    (adds the source-only subtotal stratum)."""
+    d = _table(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim joins: orders -> customer -> nation, aggregated.
 

@@ -514,3 +514,16 @@ def test_int_in_predicate_pushdown(spark, tmpdir_clean):
                                predicates={"event_id": ("eq", 42)}).count() == 1
     with pytest.raises(ValueError, match="integer values"):
         engine.decode_table(spark, out, predicates={"ts": ("eq", "x")})
+
+
+def test_store_view_sql_surface(spark, src_df, tmpdir_clean):
+    """spark.sql over a registered chunk-store view."""
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=4)
+    engine.store_view(spark, out, "pages", columns=["url", "lang", "text"])
+    got = {r["lang"]: r["cnt"] for r in spark.sql(
+        "SELECT lang, count(*) AS cnt FROM pages GROUP BY lang").collect()}
+    want = {r["lang"]: r["cnt"] for r in src_df.groupBy("lang")
+            .agg(F.count("*").alias("cnt")).collect()}
+    assert got == want
+    spark.catalog.dropTempView("pages")
