@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_lang_filter": Q.q_decode_lang_filter,
         "decode_source_prefix": Q.q_decode_source_prefix,
         "roundtrip_clustered_prune": Q.q_roundtrip_clustered_prune,
+        "decode_value_range": Q.q_decode_value_range,
+        "store_sql_filter": Q.q_store_sql_filter,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -145,6 +147,19 @@ def oracle_sql() -> dict[str, str]:
         "decode_source_prefix": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE source LIKE 'src1%'"
+        ),
+        # float-range pushdown: order-preserving-key zone maps (format v5)
+        # prune value chunks; the oracle filters the source
+        "decode_value_range": (
+            "SELECT event_id, value FROM events "
+            "WHERE value >= 10.0 AND value <= 25.0"
+        ),
+        # SQL-surface pushdown: spark.sql WHERE over a registered store
+        # relation reaches the decode zone maps via DataSource pushFilters;
+        # the oracle filters the source
+        "store_sql_filter": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE lang = 'en' AND source LIKE 'src1%'"
         ),
         # time-clustered store: engine decodes a 2-day window with >90% of
         # buckets pruned off commit zone maps; oracle filters the source

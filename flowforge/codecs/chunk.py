@@ -117,8 +117,15 @@ def encode_array(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
             "bytes_in": bytes_in}
     if not is_bytes_type(arr.type) and values.size:
         # zone map: int-domain chunks carry min/max so decode can prune
-        # chunks/buckets against range predicates without decoding them
-        meta["min"], meta["max"] = int(values.min()), int(values.max())
+        # chunks/buckets against range predicates without decoding them.
+        # Float columns store the ORDER-PRESERVING key view (the raw bit
+        # view does not order; format v5) — predicate bounds are keyed the
+        # same way in engine._normalize_predicates
+        if type_str in ("double", "float"):
+            keys = float_order_keys(values, type_str)
+            meta["min"], meta["max"] = int(keys.min()), int(keys.max())
+        else:
+            meta["min"], meta["max"] = int(values.min()), int(values.max())
     elif is_bytes_type(arr.type) and len(valid):
         # bytes zone map: truncated-prefix min/max (see _bytes_zone_map for
         # why prefix comparisons stay sound) enables equality/IN pruning on
@@ -126,6 +133,62 @@ def encode_array(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
         bmin, bmax = _bytes_zone_map(valid)
         meta["bmin"], meta["bmax"] = _b64(bmin), _b64(bmax)
     return payload, meta
+
+
+# --------------------------------------------------------------------------
+# float zone-map keys (format v5)
+# --------------------------------------------------------------------------
+#
+# The stored int64 bit view of a float column does NOT order (negative
+# floats have descending bit patterns), so float zone maps go through the
+# standard order-preserving transform instead: keep non-negative bit
+# patterns, flip the magnitude bits of negative ones. The result is a
+# signed-int64 total order matching Spark's comparison order for every
+# value: -inf < negatives < -0=+0 < positives < +inf < NaN. -0.0 is
+# normalized to +0.0 first so the two compare equal, and every NaN bit
+# pattern (either sign) collapses to the single maximal key — both are
+# Spark semantics, deliberately NOT raw IEEE totalOrder (which would put
+# sign-bit NaNs below -inf and unsoundly prune them under lower bounds).
+
+_ORDER_MASK = np.int64(0x7FFFFFFFFFFFFFFF)
+# bit pattern of -0.0 per logical type, in the stored int64 view
+# (float32 bits are sign-extended int32, see _to_int64)
+_NEG_ZERO_BITS = {"double": np.int64(np.iinfo(np.int64).min),
+                  "float": np.int64(-(1 << 31))}
+# NaN detection masks in the stored view (exponent all-ones + mantissa != 0)
+_NAN_MASKS = {"double": (np.int64(0x7FF0000000000000),
+                         np.int64(0x000FFFFFFFFFFFFF)),
+              "float": (np.int64(0x7F800000), np.int64(0x007FFFFF))}
+_NAN_KEY = np.int64(np.iinfo(np.int64).max)
+
+
+def float_order_keys(values: np.ndarray, type_str: str) -> np.ndarray:
+    """Stored float bit view -> monotone int64 keys (vectorized).
+
+    Spark collapses every NaN bit pattern — positive or NEGATIVE sign —
+    into one value greater than +inf, so all NaN patterns map to the
+    maximal key (the raw transform would put sign-bit NaNs BELOW -inf
+    and a lower-bound predicate would unsoundly prune an all-NaN chunk;
+    pinned in tests/test_float_predicates.py)."""
+    v = np.where(values == _NEG_ZERO_BITS[type_str], np.int64(0), values)
+    exp, man = _NAN_MASKS[type_str]
+    is_nan = ((v & exp) == exp) & ((v & man) != 0)
+    return np.where(is_nan, _NAN_KEY, np.where(v >= 0, v, v ^ _ORDER_MASK))
+
+
+def float_key(x: float, type_str: str) -> int:
+    """Key of one predicate bound, in the column's own precision.
+
+    float32 bounds are conservatively widened by one key step after the
+    float64 -> float32 rounding (keys are dense over bit patterns, so ±1 in
+    key space is exactly one ulp): pruning must never drop a chunk whose
+    float32 values straddle the unrounded float64 bound. Exactness comes
+    from the row mask, which compares in float64."""
+    if type_str == "float":
+        bits = np.array([np.float32(x)], dtype=np.float32).view(np.int32).astype(np.int64)
+    else:
+        bits = np.array([np.float64(x)], dtype=np.float64).view(np.int64)
+    return int(float_order_keys(bits, type_str)[0])
 
 
 # prefix cap for bytes zone maps: long enough to separate url/lang-ish

@@ -49,8 +49,9 @@ DEFAULT_CHUNK_ROWS = 65_536
 # bump whenever any codec's payload layout or the manifest/commit protocol
 # changes — decode refuses a store written by a different format instead of
 # failing deep inside a kernel (v3: plan-stamped commits, compacted
-# manifest; v4: bytes zone maps in chunk meta + commit records)
-FORMAT_VERSION = 4
+# manifest; v4: bytes zone maps in chunk meta + commit records; v5: float
+# zone maps switch from the raw bit view to order-preserving keys)
+FORMAT_VERSION = 5
 
 METRICS_SCHEMA = T.StructType([
     T.StructField("bucket", T.LongType(), False),
@@ -739,8 +740,9 @@ def run_encode_path(spark: SparkSession, src: str | list[str], out_dir: str, **k
 def _chunk_survives(meta: dict, spec: tuple) -> bool:
     """Zone-map chunk test for a normalized predicate spec (see
     _normalize_predicates): ("range", lo, hi) against int min/max;
+    ("frange", klo, khi, ...) against float ORDER-KEY min/max;
     ("in"/"prefix", probes_bytes, _) against truncated bytes prefixes."""
-    if spec[0] == "range":
+    if spec[0] in ("range", "frange"):
         if "min" not in meta or "max" not in meta:
             return True  # no zone map -> cannot prune
         return not (meta["min"] > spec[2] or meta["max"] < spec[1])
@@ -768,6 +770,22 @@ def _chunk_mask(arrs: dict, predicates: dict):
                 pc.greater_equal(a, pa.scalar(spec[1], type=a.type)),
                 pc.less_equal(a, pa.scalar(spec[2], type=a.type)),
             )
+        elif spec[0] == "frange":
+            # Spark float semantics: NaN sorts above +inf, so NaN satisfies
+            # any lower bound and fails any finite upper bound; arrow's raw
+            # comparisons return false for NaN, hence the explicit OR on the
+            # lower leg. float32 values compare in float64 (Spark promotes;
+            # casting the bound down instead would move the boundary)
+            _, _, _, lo, hi = spec
+            a64 = a if a.type == pa.float64() else a.cast(pa.float64())
+            cm = None
+            if lo is not None:
+                cm = pc.or_kleene(
+                    pc.greater_equal(a64, pa.scalar(float(lo), type=pa.float64())),
+                    pc.is_nan(a64))
+            if hi is not None:
+                hm = pc.less_equal(a64, pa.scalar(float(hi), type=pa.float64()))
+                cm = hm if cm is None else pc.and_kleene(cm, hm)
         elif spec[0] == "prefix":
             # byte-wise prefix test works for strings and binary alike
             # (UTF-8 order == Spark string order); null prefixes stay null
@@ -929,7 +947,7 @@ def _is_predicate_type(simple: str) -> bool:
 
 
 def _bucket_survives(st: dict, spec: tuple) -> bool:
-    if spec[0] == "range":
+    if spec[0] in ("range", "frange"):
         return not ("min" in st and (st["min"] > spec[2] or st["max"] < spec[1]))
     if spec[0] == "intin":
         if "min" not in st or "max" not in st:
@@ -1003,12 +1021,34 @@ def _normalize_predicates(predicates: dict, by_name: dict[str, str]) -> dict:
                       for v in vals]
             kind = "prefix" if spec[0] == "prefix" else "in"
             norm[c] = (kind, probes, vals)
+        elif t in ("float", "double"):
+            # float range -> ("frange", key_lo, key_hi, lo, hi): the key
+            # pair drives zone-map pruning in the order-preserving bit
+            # domain (chunk.float_order_keys, format v5); the float pair
+            # drives the exact row mask (None = unbounded side, Spark NaN
+            # semantics — see _chunk_mask)
+            lo, hi = spec
+            if lo is None and hi is None:
+                raise ValueError(f"float range on {c!r} needs a bound")
+            for b in (lo, hi):
+                if b is not None and float(b) != float(b):
+                    raise ValueError(
+                        f"NaN bound on {c!r}; Spark range predicates cannot "
+                        f"select NaN (it sorts above +inf)")
+            widen = 1 if t == "float" else 0  # cover float64->float32 rounding
+            klo = (-(1 << 63) if lo is None
+                   else max(-(1 << 63), chunklib.float_key(float(lo), t) - widen))
+            khi = ((1 << 63) - 1 if hi is None
+                   else min((1 << 63) - 1, chunklib.float_key(float(hi), t) + widen))
+            norm[c] = ("frange", klo, khi,
+                       None if lo is None else float(lo),
+                       None if hi is None else float(hi))
         else:
             if not _is_predicate_type(t):
                 raise ValueError(
                     f"range predicates need an int-ordered column; {c!r} is "
-                    f"{t} (float bit-views don't order; strings take "
-                    f"('in', [...]) / ('eq', v) predicates)")
+                    f"{t} (strings take ('in', [...]) / ('eq', v) "
+                    f"predicates; floats take (lo, hi) float ranges)")
             lo, hi = spec
             norm[c] = ("range", int(lo), int(hi))
     return norm
@@ -1037,6 +1077,11 @@ def decode_table(
     - int-ordered columns (int/timestamp/date): inclusive ``(lo, hi)``
       ranges, plus ``("eq", v)`` / ``("in", [v...])`` membership
       (timestamps take values in the column's epoch unit);
+    - float/double columns: inclusive ``(lo, hi)`` float ranges (either
+      side may be None = unbounded; Spark comparison semantics — NaN sorts
+      above +inf, -0.0 equals +0.0). Zone maps live in the
+      order-preserving key domain (format v5), so float ranges prune
+      buckets/chunks exactly like int ranges;
     - string/binary columns: ``("eq", value)`` / ``("in", [values...])``
       equality predicates and ``("prefix", p)`` (or a list of prefixes)
       — the url/lang filters a real user runs constantly (round-2
