@@ -35,9 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
         decoded = engine.decode_table(spark, out)
         diffs = decoded.exceptAll(src).count() + src.exceptAll(decoded).count()
         report = engine.compression_report(spark, out)
-        return report.withColumn("bit_identical", F.lit(diffs == 0)).select(
+        out_df = report.withColumn("bit_identical", F.lit(diffs == 0)).select(
             "column", "bytes_in", "bytes_out", "ratio", "codecs", "bit_identical"
         )
+        # pin the (5-row, already-aggregated) report eagerly: since r4,
+        # compression_report is LAZY over the store's commit logs, and the
+        # finally below deletes the store before the driver collects
+        return spark.createDataFrame(out_df.collect(), out_df.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -284,15 +284,59 @@ def main() -> None:
             pass
 
     total = round(sum(queries.values()), 3)
-    print(json.dumps({
+    # The driver keeps only the last ~2000 chars of stdout; r03's line blew
+    # that budget (encode trial lists + full scaling legs) and recorded
+    # "parsed": null. The machine line stays SLIM — full encode/scaling
+    # provenance goes to BENCH.md — and a hard length check keeps it
+    # parseable forever.
+    enc_slim = {k: encode_info[k] for k in
+                ("rows", "gbps", "ratio", "wall_trials_sec")
+                if k in encode_info}
+    scal_slim = None
+    if scaling:
+        scal_slim = {
+            "gbps_n": scaling["n"]["gbps"], "gbps_4n": scaling["n4"]["gbps"],
+            "efficiency": scaling["efficiency"],
+            "size_vs_snappy": scaling["n4"].get("size_vs_snappy"),
+            "cached": bool(scaling.get("cached")),
+        }
+    line = json.dumps({
         "metric": "flowforge_bench_total",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        "encode": encode_info,
-        "scaling": scaling,
-    }))
+        "encode": enc_slim,
+        "scaling": scal_slim,
+    })
+    if len(line) > 1900:  # belt-and-braces: never exceed the capture window
+        line = json.dumps({
+            "metric": "flowforge_bench_total", "value": total, "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in queries.items()},
+            "sf": sf,
+        })
+    _append_query_detail_md(queries, encode_info, scaling, sf)
+    print(line)
+
+
+def _append_query_detail_md(queries: dict, encode_info: dict,
+                            scaling, sf) -> None:
+    """Full per-run provenance (everything the slim machine line drops)
+    into BENCH.md's 'Last full run' section, replaced in place per run."""
+    path = os.path.join(REPO, "BENCH.md")
+    marker = "\n## Last full run (auto-written by bench.py)\n"
+    try:
+        with open(path) as f:
+            body = f.read()
+    except OSError:
+        body = "# BENCH\n"
+    body = body.split(marker)[0]
+    detail = {"queries": queries, "encode": encode_info,
+              "scaling": scaling, "sf": sf,
+              "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    with open(path, "w") as f:
+        f.write(body + marker + "\n```json\n"
+                + json.dumps(detail, indent=2) + "\n```\n")
 
 
 def _write_bench_md(rows: int, runs: dict, eff: float, encode_info: dict,

@@ -224,6 +224,10 @@ class Manifest:
             return deltas, absorb, by_bucket
 
         deltas, absorb_logs, by_bucket = self._retry_read(gather)
+        # opportunistic hygiene (even when there's nothing to absorb): reap
+        # staging files orphaned by a crash mid-put. Listings filter them,
+        # so this is cleanup, not correctness.
+        self.store.sweep_tmp(self.out_dir)
         if not deltas and not absorb_logs:
             return 0
         buckets = sorted(by_bucket)

@@ -42,9 +42,16 @@ explicit and swappable.
 from __future__ import annotations
 
 import os
+import re
+import time
 import uuid
 
 _FAKES3_SCHEME = "fakes3://"
+
+# the staging suffix PosixStorage.put_bytes uses; regex-filtered out of every
+# listing, so a crash between write and replace is invisible to readers — but
+# the orphaned file itself needs an eventual sweep (ADVICE r3)
+_TMP_RE = re.compile(r"\.[0-9a-f]{32}\.tmp$")
 
 
 class PosixStorage:
@@ -77,6 +84,32 @@ class PosixStorage:
 
     def read_path(self, path: str) -> str:
         return path
+
+    def sweep_tmp(self, root: str, older_than_sec: float = 3600.0) -> int:
+        """Remove orphaned put_bytes staging files under ``root`` (recursive).
+
+        A crash between the tmp write and os.replace strands a
+        ``<name>.<uuid32>.tmp`` file; listings already regex-filter them so
+        correctness never depended on this, but they accumulate. Only files
+        older than ``older_than_sec`` go — a concurrent writer's in-flight
+        staging file is seconds old and is never touched. Returns the count
+        removed. On a real object backend PUT has no staging object, so
+        this is a no-op there by construction.
+        """
+        removed = 0
+        cutoff = time.time() - older_than_sec
+        for dirpath, _dirs, names in os.walk(root):
+            for name in names:
+                if not _TMP_RE.search(name):
+                    continue
+                p = os.path.join(dirpath, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed += 1
+                except OSError:
+                    pass  # already gone / racing writer finished its replace
+        return removed
 
 
 class ObjectStorage(PosixStorage):
@@ -114,6 +147,9 @@ class ObjectStorage(PosixStorage):
 
     def read_path(self, path: str) -> str:
         return self._local(path)
+
+    def sweep_tmp(self, root: str, older_than_sec: float = 3600.0) -> int:
+        return super().sweep_tmp(self._local(root), older_than_sec)
 
 
 def storage_for(path: str):

@@ -46,21 +46,39 @@ def main() -> None:
     args = ap.parse_args()
 
     predicates = {}
+    # The decode engine holds ONE spec per column, so mixing flag kinds on
+    # the same column (or repeating --eq/--in/--prefix for it) cannot be
+    # expressed; last-one-wins would silently widen the result. Only
+    # --predicate repeats combine (ranges intersect) — anything else errors.
+    def _claim(col: str, kind: str) -> None:
+        prev = pred_kinds.get(col)
+        if prev is not None and not (prev == kind == "--predicate"):
+            ap.error(
+                f"conflicting filters for column {col!r}: {prev} and {kind} "
+                "(only repeated --predicate ranges combine; a single column "
+                "takes at most one of --eq / --in / --prefix)")
+        pred_kinds[col] = kind
+
+    pred_kinds: dict[str, str] = {}
     for spec in args.predicate:
         col, lo, hi = spec.rsplit(":", 2)
         lo, hi = int(lo), int(hi)
+        _claim(col, "--predicate")
         if col in predicates:  # repeated column: intersect the ranges
             plo, phi = predicates[col]
             lo, hi = max(lo, plo), min(hi, phi)
         predicates[col] = (lo, hi)
     for spec in args.eq:
         col, v = spec.split(":", 1)
+        _claim(col, "--eq")
         predicates[col] = ("eq", v)
     for spec in args.isin:
         col, vs = spec.split(":", 1)
+        _claim(col, "--in")
         predicates[col] = ("in", vs.split(","))
     for spec in args.prefix:
         col, p = spec.split(":", 1)
+        _claim(col, "--prefix")
         predicates[col] = ("prefix", p)
     columns = args.columns.split(",") if args.columns else None
 

@@ -527,3 +527,130 @@ def test_store_view_sql_surface(spark, src_df, tmpdir_clean):
             .agg(F.count("*").alias("cnt")).collect()}
     assert got == want
     spark.catalog.dropTempView("pages")
+
+
+def test_bucket_search_expr_matches_linear_fold(spark):
+    """The binary-search CASE tree (ADVICE r3) must agree with the linear
+    fold it replaced: bucket = #{i : boundaries[i] <= v}, nulls -> 0.
+    Covers duplicates, below-all, above-all, and exact boundary hits."""
+    from pyspark.sql import Row
+
+    boundaries = [-5, 0, 0, 7, 7, 7, 100]
+    vals = [None, -(2 ** 62), -6, -5, -4, -1, 0, 1, 6, 7, 8, 99, 100,
+            101, 2 ** 62]
+    df = spark.createDataFrame([Row(i=i, v=v) for i, v in enumerate(vals)],
+                               schema="i long, v long")
+    expr = engine._bucket_search_expr(F.col("v"), boundaries)
+    got = {r["i"]: r["b"] for r in
+           df.select("i", expr.alias("b")).collect()}
+    want = {i: (0 if v is None else sum(1 for b in boundaries if b <= v))
+            for i, v in enumerate(vals)}
+    assert got == want
+
+
+def test_bucket_search_expr_udf_fallback_parity(spark, monkeypatch):
+    """Past _BUCKET_EXPR_MAX_BOUNDARIES the assignment switches to a
+    vectorized searchsorted pandas UDF; same answers, including nulls and
+    int64 extremes (the nullable-long float64 trap is dodged via the
+    sentinel coalesce)."""
+    from pyspark.sql import Row
+
+    boundaries = list(range(0, 1000, 7))
+    big = 2 ** 62 + 12345  # not float64-representable exactly
+    vals = [None, -1, 0, 1, 6, 7, 500, 993, 994, big, -(2 ** 63) + 1]
+    df = spark.createDataFrame([Row(i=i, v=v) for i, v in enumerate(vals)],
+                               schema="i long, v long")
+    want = {i: (0 if v is None else sum(1 for b in boundaries if b <= v))
+            for i, v in enumerate(vals)}
+
+    monkeypatch.setattr(engine, "_BUCKET_EXPR_MAX_BOUNDARIES", 8)
+    expr = engine._bucket_search_expr(F.col("v"), boundaries)
+    got = {r["i"]: r["b"] for r in
+           df.select("i", expr.alias("b")).collect()}
+    assert got == want
+
+
+def test_finalize_store_completes_lazy_encode(spark, tmpdir_clean):
+    """ADVICE r3: the lazy API (encode_table().collect()) on a store with
+    empty planned buckets used to leave it incomplete forever. decode now
+    points at finalize_store, and finalize_store commits the empties."""
+    from pyspark.sql import Row
+
+    # constant-heavy key -> duplicate quantile boundaries -> empty buckets
+    rows = [Row(k=5 if i < 90 else i, v=f"x{i}") for i in range(100)]
+    src = spark.createDataFrame(rows)
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.encode_table(spark, src, out, buckets=8, cluster_col="k",
+                        chunk_rows=16).collect()
+    with pytest.raises(ValueError, match="finalize_store"):
+        engine.decode_table(spark, out)
+    engine.finalize_store(out)
+    engine.finalize_store(out)  # idempotent
+    dec = engine.decode_table(spark, out)
+    assert dec.count() == 100
+    assert dec.exceptAll(src).count() == 0 and src.exceptAll(dec).count() == 0
+
+
+def test_decode_cli_rejects_conflicting_filters(tmp_path):
+    """ADVICE r3: --eq/--in/--prefix on the same column silently overwrote
+    each other (and any --predicate range); now it's an argparse error."""
+    import sys
+    from unittest import mock
+
+    from jobs import decode as decode_cli
+
+    base = ["decode.py", "--store", str(tmp_path), "--out", str(tmp_path)]
+    bad = [
+        ["--eq", "lang:en", "--in", "lang:en,de"],
+        ["--predicate", "ts:0:10", "--eq", "ts:5"],
+        ["--prefix", "url:https://a", "--prefix", "url:https://b"],
+        ["--eq", "lang:en", "--eq", "lang:de"],
+    ]
+    for extra in bad:
+        with mock.patch.object(sys, "argv", base + extra), \
+                pytest.raises(SystemExit) as exc:
+            decode_cli.main()
+        assert exc.value.code == 2, extra
+    # repeated --predicate on one column is the documented intersect path
+    ok = base + ["--predicate", "ts:0:10", "--predicate", "ts:5:20"]
+    with mock.patch.object(sys, "argv", ok), pytest.raises(Exception) as exc:
+        decode_cli.main()
+    assert not isinstance(exc.value, SystemExit)  # got past argparse
+
+
+def test_metrics_table_distributed_no_driver_parse(spark, src_df,
+                                                   tmpdir_clean, monkeypatch):
+    """Round-3 verdict wrong #1: metrics_table must read the commit logs
+    distributively. Parity vs a read_commits-derived oracle on a store
+    holding BOTH a compacted log and a fresh delta that supersedes one of
+    its records (max_by dedup = _newer), and the driver JSON path must not
+    run at all."""
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=4)  # compacts at the end
+    man = Manifest(out)
+    phash = man.read_table_meta()["plan_hash"]
+    # re-encode one bucket WITHOUT compacting: a delta now shadows the
+    # compacted record for that bucket (newer committed_at wins)
+    man.uncommit_bucket(2)
+    engine.encode_table(spark, src_df, out).collect()
+    names = man.store.list(man.dir)
+    assert any(n.startswith("compacted-") for n in names)
+    assert any(n.startswith("commit-2-") for n in names), names
+
+    oracle = []
+    for rec in man.read_commits(phash):
+        for c, st in rec["columns"].items():
+            oracle.append((rec["bucket"], c, rec["n_rows"], rec["n_chunks"],
+                           st["bytes_in"], st["bytes_out"], st["wall_ms"],
+                           st["codecs"], st.get("errors", 0)))
+
+    monkeypatch.setattr(
+        Manifest, "read_commits",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("metrics_table materialized commits driver-side")))
+    m = engine.metrics_table(spark, out)
+    assert [f.name for f in m.schema.fields] == [
+        "bucket", "column", "n_rows", "n_chunks", "bytes_in", "bytes_out",
+        "wall_ms", "codecs", "errors"]
+    got = sorted(tuple(r) for r in m.collect())
+    assert got == sorted(oracle)

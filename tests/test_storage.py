@@ -49,3 +49,54 @@ def test_no_stray_tmp_objects_after_put(tmp_path):
         st.put_bytes(f"fakes3://{tmp_path}/obj-{i}", b"x" * i)
     names = sorted(os.listdir(tmp_path))
     assert names == sorted(f"obj-{i}" for i in range(20))
+
+
+@pytest.mark.parametrize("scheme", ["", "fakes3://"])
+def test_sweep_tmp_reaps_only_stale_staging_files(tmp_path, scheme):
+    """A crash between tmp-write and replace strands <name>.<uuid>.tmp;
+    sweep_tmp removes stale ones, never fresh ones or real objects."""
+    import uuid
+
+    root = f"{scheme}{tmp_path}"
+    st = storage_for(root)
+    st.put_bytes(os.path.join(root, "_manifest", "table.json"), b"{}")
+    mdir = tmp_path / "_manifest"
+    stale = mdir / f"commit-1-abc.json.{uuid.uuid4().hex}.tmp"
+    fresh = mdir / f"commit-2-abc.json.{uuid.uuid4().hex}.tmp"
+    notmine = mdir / "keep.tmp"  # not the staging pattern (no uuid32)
+    for p in (stale, fresh, notmine):
+        p.write_bytes(b"partial")
+    old = os.path.getmtime(stale) - 7200
+    os.utime(stale, (old, old))
+    removed = st.sweep_tmp(root, older_than_sec=3600)
+    assert removed == 1
+    assert not stale.exists()
+    assert fresh.exists() and notmine.exists()
+    assert (mdir / "table.json").exists()
+
+
+def test_compact_sweeps_stale_tmp(tmp_path, spark):
+    """Manifest.compact opportunistically reaps orphaned staging files
+    anywhere under the store root (ADVICE r3)."""
+    import uuid
+
+    from flowforge import datagen, engine
+
+    out = str(tmp_path / "store")
+    df = spark.createDataFrame(datagen.make_webpages(50).to_pandas())
+    engine.run_encode(spark, df, out, buckets=2)
+    # crash-orphaned staging files in both trees, old enough to reap
+    stranded = [
+        tmp_path / "store" / "_manifest" / f"x.json.{uuid.uuid4().hex}.tmp",
+        tmp_path / "store" / "chunks" / f"c.bin.{uuid.uuid4().hex}.tmp",
+    ]
+    for p in stranded:
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"partial")
+        old = os.path.getmtime(p) - 7200
+        os.utime(p, (old, old))
+    engine._compact_store(out)
+    for p in stranded:
+        assert not p.exists()
+    # store still reads fine after the sweep
+    assert engine.decode_table(spark, out, columns=["url"]).count() == 50
