@@ -494,10 +494,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end (round-3): valid P6 Netpbm / WAV PCM16
-    payloads decoded natively (pure numpy, no libraries), per-row features
-    from the DECODED pixels/samples. Golden-oracled by an independent
-    loop-based parser in tools/make_golden.py."""
+    """REAL media decode end-to-end: valid P6 Netpbm / 8-bit PNG (all
+    color types, all five scanline filters — round 4) / WAV PCM16 payloads
+    decoded natively (pure numpy + stdlib zlib, no libraries), per-row
+    features from the DECODED pixels/samples. Golden-oracled by an
+    independent loop-based parser/writer in tools/make_golden.py."""
     from .functions import multimodal
     media = multimodal.synth_media_real(spark, 48)
     feats = multimodal.extract_features(

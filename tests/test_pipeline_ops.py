@@ -261,14 +261,61 @@ def test_multimodal_real_decode_end_to_end(spark):
                multimodal.resize_images(media, max_w=16, max_h=16,
                                         real_decode=True).collect()}
     for mid, r in resized.items():
-        px_src = multimodal.decode_ppm(bytes(src[mid]["payload"])) if mid in src and src[mid]["kind"] == "image" else None
-        if px_src is None:
+        if mid not in src or src[mid]["kind"] != "image":
             continue
+        payload = bytes(src[mid]["payload"])
+        px_src = multimodal._decode_image_real(payload)  # P6 or PNG
         h, w = px_src.shape[:2]
         scale = min(1.0, 16 / w, 16 / h)
         nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
         assert (r["width"], r["height"]) == (nw, nh)
-        got_px = multimodal.decode_ppm(bytes(r["payload"]))
+        # resize re-encodes in the source family (PNG stays PNG)
+        got_px = multimodal._decode_image_real(bytes(r["payload"]))
+        assert bytes(r["payload"])[:8].startswith(
+            multimodal._PNG_SIG if payload[:8] == multimodal._PNG_SIG
+            else b"P6")
         want_px = multimodal.resample_nearest(px_src, nw, nh)
-        np.testing.assert_array_equal(got_px, want_px)
+        np.testing.assert_array_equal(got_px.reshape(want_px.shape), want_px)
         assert r["resized_from"] == f"{w}x{h}"
+
+
+def test_png_codec_roundtrip_all_types_and_filters():
+    """Round-4: real 8-bit PNG via stdlib zlib + numpy unfilter. Exact
+    round-trip for every color type (gray/graya/RGB/RGBA) under every
+    scanline filter (0-4), chunk CRCs verified, and unsupported shapes
+    (16-bit, interlace) refuse loudly."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        for _ in range(3):
+            h, w = int(rng.integers(1, 48)), int(rng.integers(1, 48))
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            filters = [int(rng.integers(0, 5)) for _ in range(h)]
+            enc = multimodal.encode_png(px, filters=filters)
+            dec = multimodal.decode_png(enc)
+            np.testing.assert_array_equal(dec.reshape(px.shape), px)
+    # every filter type forced on one image (worst-case unfilter mix)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        enc = multimodal.encode_png(px, filters=[f] * 5)
+        np.testing.assert_array_equal(multimodal.decode_png(enc), px)
+    # _decode_image_real dispatches on the PNG signature
+    np.testing.assert_array_equal(multimodal._decode_image_real(enc), px)
+    # corrupted CRC refuses
+    bad = bytearray(multimodal.encode_png(px))
+    bad[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    # 16-bit depth refuses (declared scope: 8-bit only)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit"):
+        multimodal.decode_png(deep)
+    # JPEG stays the declared stub
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        multimodal._decode_image_real(b"\xff\xd8\xff\xe0JFIF")

@@ -329,10 +329,67 @@ def golden_ann_ivf_topk(vecs, query, k=10, nlist=16, nprobe=4,
     return top
 
 
+def _golden_png_bytes(px, filters):
+    """Independent pure-Python PNG encoder (loop-per-byte filter math, no
+    shared code with the engine's vectorized encode_png): must produce
+    byte-identical output for the same pixels/filters, because both sides
+    write the canonical stream (one IDAT, zlib level 6) — so golden
+    ``n_bytes`` checks the engine's encoder, and the generation-spec pixel
+    histogram checks its decoder."""
+    import struct
+    import zlib
+
+    h = len(px)
+    w = len(px[0])
+    ch = len(px[0][0])
+    lines = bytearray()
+    for y in range(h):
+        f = filters[y]
+        lines.append(f)
+        for x in range(w):
+            for k in range(ch):
+                cur = px[y][x][k]
+                left = px[y][x - 1][k] if x > 0 else 0
+                up = px[y - 1][x][k] if y > 0 else 0
+                upleft = px[y - 1][x - 1][k] if x > 0 and y > 0 else 0
+                if f == 0:
+                    d = cur
+                elif f == 1:
+                    d = cur - left
+                elif f == 2:
+                    d = cur - up
+                elif f == 3:
+                    d = cur - (left + up) // 2
+                else:  # Paeth
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = upleft
+                    d = cur - pred
+                lines.append(d & 0xFF)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+            + chunk(b"IEND", b""))
+
+
 def golden_multimodal_real_features(rows=48, seed=42):
     """Independent re-derivation of the REAL-decode feature query: payloads
     rebuilt from the synth_media_real generation spec, then parsed with
-    plain struct/loop code (no shared numpy decode), histograms by loop."""
+    plain struct/loop code (no shared numpy decode), histograms by loop.
+    PNG images (odd image ordinals since r4) histogram the GENERATION-SPEC
+    pixels directly — the engine's decode must invert its encode exactly —
+    while n_bytes comes from an independent loop-based PNG writer."""
     import struct
 
     rng = np.random.default_rng(seed)
@@ -341,15 +398,31 @@ def golden_multimodal_real_features(rows=48, seed=42):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
-            # independent parse: walk header tokens, then loop the body
-            assert payload[:2] == b"P6"
-            body = payload.split(b"\n", 3)[3]
-            hist = [0] * 16
-            for byte in body:
-                hist[byte * 16 // 256] += 1
-            total = len(body)
+            img_i = i // 3
+            if img_i % 2 == 0:
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                # independent parse: walk header tokens, then loop the body
+                # (exact for the generation spec's header; a format-grammar
+                # oracle would tokenize instead)
+                assert payload[:2] == b"P6"
+                body = payload.split(b"\n", 3)[3]
+                hist = [0] * 16
+                for byte in body:
+                    hist[byte * 16 // 256] += 1
+                total = len(body)
+            else:
+                ch = [1, 2, 3, 4][(img_i // 2) % 4]
+                px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+                pxl = [[[int(px[y][x][k]) for k in range(ch)]
+                        for x in range(w)] for y in range(h)]
+                payload = _golden_png_bytes(pxl, [y % 5 for y in range(h)])
+                hist = [0] * 16
+                for row in pxl:
+                    for pix in row:
+                        for v in pix:
+                            hist[v * 16 // 256] += 1
+                total = h * w * ch
         elif kind == "audio":
             n = int(rng.integers(64, 2048))
             samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
