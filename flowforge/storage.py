@@ -152,13 +152,152 @@ class ObjectStorage(PosixStorage):
         return super().sweep_tmp(self._local(root), older_than_sec)
 
 
+class PyArrowFSStorage:
+    """Five-call backend over any ``pyarrow.fs.FileSystem`` (S3/GCS/local).
+
+    This is the production cloud binding the fakes3 contract suite was
+    built to stand in for: ``put_bytes`` is one whole-object write stream
+    (on ``pyarrow.fs.S3FileSystem`` the object becomes visible atomically
+    when the stream closes — S3's single-PUT / completed-multipart
+    semantics), ``list`` is one LIST call, ``delete`` one DELETE, and
+    ``read_path`` hands back the full ``s3://`` URI so Spark/pyarrow read
+    chunk parquet straight from the object store on every executor. No
+    rename is ever issued against S3.
+
+    For filesystems that expose non-atomic in-place writes (LocalFileSystem
+    — used by the tests to drive this exact code path network-free) the
+    write is staged to a ``.tmp`` key and moved into place, emulating PUT
+    atomicity *internally*, same as :class:`PosixStorage`; on S3 the stream
+    itself is atomic and no staging object ever exists.
+    """
+
+    def __init__(self, fs, base_uri_prefix: str = ""):
+        # base_uri_prefix: what to strip from incoming paths to get fs keys
+        # and to re-add for read_path URIs (e.g. "s3://" -> keys are
+        # "bucket/key"; "" for a local filesystem).
+        self.fs = fs
+        self.prefix = base_uri_prefix
+        # S3-style stores have atomic whole-object PUT; local fs does not.
+        self._atomic_put = type(fs).__name__ not in ("LocalFileSystem",
+                                                     "SubTreeFileSystem")
+
+    def _key(self, path: str) -> str:
+        if self.prefix and path.startswith(self.prefix):
+            rest = path[len(self.prefix):]
+            # object stores key as "bucket/key"; a local fs wants the
+            # absolute "/path" back
+            return rest.lstrip("/") if self._atomic_put \
+                else "/" + rest.lstrip("/")
+        return path
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        key = self._key(path)
+        parent = key.rsplit("/", 1)[0] if "/" in key else ""
+        if self._atomic_put:
+            with self.fs.open_output_stream(key) as f:
+                f.write(data)
+            return
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        tmp = f"{key}.{uuid.uuid4().hex}.tmp"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(data)
+        self.fs.move(tmp, key)
+
+    def get_bytes(self, path: str) -> bytes:
+        # pyarrow maps a missing key to FileNotFoundError on every fs,
+        # which is exactly the contract callers expect
+        with self.fs.open_input_stream(self._key(path)) as f:
+            return f.read()
+
+    def list(self, dirpath: str) -> list[str]:
+        import pyarrow.fs as pafs
+
+        try:
+            infos = self.fs.get_file_info(
+                pafs.FileSelector(self._key(dirpath), recursive=False))
+        except (FileNotFoundError, OSError):
+            return []
+        return [info.base_name for info in infos
+                if info.type == pafs.FileType.File]
+
+    def delete(self, path: str) -> None:
+        try:
+            self.fs.delete_file(self._key(path))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def exists(self, path: str) -> bool:
+        import pyarrow.fs as pafs
+
+        info = self.fs.get_file_info(self._key(path))
+        return info.type != pafs.FileType.NotFound
+
+    def read_path(self, path: str) -> str:
+        key = self._key(path)
+        # object store: hand back the full URI for pyarrow's native reader;
+        # local fs: the absolute path IS openable as-is
+        return f"{self.prefix}{key}" if (self.prefix and self._atomic_put) \
+            else key
+
+    def sweep_tmp(self, root: str, older_than_sec: float = 3600.0) -> int:
+        """Reap orphaned staging objects (non-atomic-PUT filesystems only —
+        an S3 PUT has no staging object, so there the sweep is a no-op by
+        construction, exactly as PosixStorage.sweep_tmp documents)."""
+        if self._atomic_put:
+            return 0
+        import pyarrow.fs as pafs
+
+        removed = 0
+        cutoff = time.time() - older_than_sec
+        try:
+            infos = self.fs.get_file_info(
+                pafs.FileSelector(self._key(root), recursive=True))
+        except (FileNotFoundError, OSError):
+            return 0
+        for info in infos:
+            if info.type != pafs.FileType.File:
+                continue
+            if not _TMP_RE.search(info.base_name):
+                continue
+            mtime = info.mtime.timestamp() if info.mtime else 0.0
+            if mtime < cutoff:
+                try:
+                    self.fs.delete_file(info.path)
+                    removed += 1
+                except (FileNotFoundError, OSError):
+                    pass
+        return removed
+
+
+_PAFS_LOCAL_SCHEME = "pafs://"  # test scheme: PyArrowFSStorage over local fs
+
+
 def storage_for(path: str):
     """Resolve a store root to its backend by URI scheme.
 
-    Plain paths -> POSIX; ``fakes3://`` -> the object-semantics backend.
-    (A real ``s3://`` binding would slot in here; this sandbox has no
-    network, so the object contract is exercised through fakes3.)
+    Plain paths -> POSIX; ``fakes3://`` -> the object-semantics backend;
+    ``s3://`` -> :class:`PyArrowFSStorage` over ``pyarrow.fs.S3FileSystem``
+    (region/credentials resolved the standard AWS way by pyarrow — env,
+    profile, instance role). ``pafs://<abs-path>`` is the network-free test
+    scheme that drives the same PyArrowFSStorage code path over
+    ``pyarrow.fs.LocalFileSystem`` so the commit-protocol contract suite
+    exercises the production cloud binding in this sandbox.
     """
     if path.startswith(_FAKES3_SCHEME):
         return ObjectStorage()
+    if path.startswith("s3://"):
+        import pyarrow.fs as pafs
+
+        # from_uri resolves region from the bucket; fall back to a plain
+        # S3FileSystem() (env-configured) when resolution needs no network.
+        try:
+            fs, _ = pafs.FileSystem.from_uri(path)
+        except Exception:
+            fs = pafs.S3FileSystem()
+        return PyArrowFSStorage(fs, "s3://")
+    if path.startswith(_PAFS_LOCAL_SCHEME):
+        import pyarrow.fs as pafs
+
+        return PyArrowFSStorage(pafs.LocalFileSystem(), _PAFS_LOCAL_SCHEME)
     return PosixStorage()

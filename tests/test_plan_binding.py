@@ -33,11 +33,17 @@ def src_df(spark, tmp_path_factory):
     return spark.read.parquet(datagen.write_webpages(str(d), ROWS))
 
 
-@pytest.fixture(params=["posix", "fakes3"])
+@pytest.fixture(params=["posix", "fakes3", "pafs"])
 def tmpdir_clean(request):
-    """Store root on either backend; sources stay on local paths."""
+    """Store root on any backend; sources stay on local paths.
+
+    ``pafs`` drives the production PyArrowFSStorage cloud binding (the
+    exact code path an s3:// store uses) over pyarrow's LocalFileSystem,
+    so the whole commit/resume/concurrency suite certifies the S3 binding
+    network-free.
+    """
     d = tempfile.mkdtemp(prefix=f"flowforge_{request.param}_")
-    yield d if request.param == "posix" else f"fakes3://{d}"
+    yield d if request.param == "posix" else f"{request.param}://{d}"
     shutil.rmtree(d, ignore_errors=True)
 
 
