@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_clustered_prune": Q.q_roundtrip_clustered_prune,
         "decode_value_range": Q.q_decode_value_range,
         "store_sql_filter": Q.q_store_sql_filter,
+        "store_count_window": Q.q_store_count_window,
+        "store_group_counts": Q.q_store_group_counts,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -164,6 +166,19 @@ def oracle_sql() -> dict[str, str]:
         "store_sql_filter": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE lang = 'en' AND source LIKE 'src1%'"
+        ),
+        # aggregate pushdown (round-4): COUNT(*) over a ts window answered
+        # from commit metadata for interior buckets + a predicate-only
+        # kernel at the boundaries; oracle counts the filtered source
+        "store_count_window": (
+            "SELECT count(*) AS cnt FROM events "
+            f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 5 * 86_400_000_000} "
+            f"AND {1_704_067_200_000_000 + 20 * 86_400_000_000}"
+        ),
+        # GROUP BY pushed to the codec layer (dictionary bincount / RLE run
+        # lengths); oracle GROUP BYs the source
+        "store_group_counts": (
+            "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
         ),
         # time-clustered store: engine decodes a 2-day window with >90% of
         # buckets pruned off commit zone maps; oracle filters the source

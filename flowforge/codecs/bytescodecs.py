@@ -108,8 +108,16 @@ def dict_encode(lengths: np.ndarray, data: bytes, sub: str = "plain",
         codes = rank[codes]
         dictionary = dictionary.take(pa.array(sort_idx))
     d_lens, d_data = arrow_to_parts(dictionary)
-    sub_enc, _ = BYTES_CODECS[sub]
-    dict_payload, dict_meta = sub_enc(d_lens, d_data)
+    if sub == "fsst":
+        # dictionary stores get the full-width sim: their gains concentrate
+        # in template runs spread across the store (html), where the narrow
+        # chunk sim halves the realized ratio — measured 29 KB vs 56 KB on
+        # a bench html chunk's 709 KB store
+        dict_payload, dict_meta = fsst_encode(d_lens, d_data,
+                                              sim_bytes=_SAMPLE)
+    else:
+        sub_enc, _ = BYTES_CODECS[sub]
+        dict_payload, dict_meta = sub_enc(d_lens, d_data)
     width = bitpack.bit_width(codes)
     sections = [dict_payload, bitpack.pack(codes, width)]
     meta = {"ndv": int(len(dictionary)), "width": width, "dict": dict_meta, "sub": sub}
@@ -153,8 +161,13 @@ def rle_encode(lengths: np.ndarray, data: bytes, sub: str = "plain"):
     arr = parts_to_arrow(lengths, data)
     run_vals = arr.take(pa.array(starts)) if starts.size else arr.slice(0, 0)
     v_lens, v_data = arrow_to_parts(run_vals)
-    sub_enc, _ = BYTES_CODECS[sub]
-    val_payload, val_meta = sub_enc(v_lens, v_data)
+    if sub == "fsst":
+        # run-value stores are dictionary-like: template gains spread across
+        # the store, so keep the full-width sim (same tradeoff as dictfsst)
+        val_payload, val_meta = fsst_encode(v_lens, v_data, sim_bytes=_SAMPLE)
+    else:
+        sub_enc, _ = BYTES_CODECS[sub]
+        val_payload, val_meta = sub_enc(v_lens, v_data)
     len_u = run_lens.astype(_U64) - _U64(1)
     len_width = bitpack.bit_width(len_u)
     sections = [val_payload, bitpack.pack(len_u, len_width)]
@@ -335,48 +348,78 @@ def _window_counts(sample: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
-                  min_gain: int | None = None) -> list[bytes]:
+                  min_gain: int | None = None,
+                  sim_bytes: int | None = None) -> list[bytes]:
     """Greedy symbol selection with overlap-aware simulation on the sample.
 
-    Candidate n-grams are ranked by standalone gain, then accepted only if
-    they still pay on the sample *after* earlier replacements — overlapping
-    candidates (periodic text) die off naturally, as in FSST's iterative
-    symbol-table generations.
+    Candidate n-grams are ranked by standalone gain (counted vectorized on
+    the FULL sample), then accepted only if they still pay on a bounded
+    simulation slice *after* earlier replacements — overlapping candidates
+    (periodic text) die off naturally, as in FSST's iterative symbol-table
+    generations. ``sim_bytes`` bounds the slice the per-candidate
+    count/replace simulation runs on: that loop is the selector's dominant
+    wall cost (hundreds of candidates x a bytes.count each), and a prefix
+    slice with a proportionally scaled acceptance bar keeps the choice
+    nearly identical on chunk-local data while cutting the scanning 4x.
+    Dictionary stores pass the full width — their gains concentrate in
+    template runs spread across the store, where the narrow sim mis-ranks.
     """
     sarr = np.frombuffer(sample, dtype=np.uint8)
-    cands: list[tuple[int, bytes]] = []  # (-gain, symbol)
-    for L in _SYM_LENGTHS:
-        uniq, counts = _window_counts(sarr, L)
-        gains = counts * (L - 1)
-        keep = gains >= 16
-        if not keep.any():
-            continue
-        order = np.argsort(gains[keep], kind="stable")[::-1][: max_syms * 3]
-        u, g = uniq[keep][order], gains[keep][order]
-        raw = u.astype("<u8").tobytes()
-        for i in range(u.size):
-            cands.append((-int(g[i]), raw[i * 8 : i * 8 + L]))
-    cands.sort()
-    sim = sample
-    out: list[bytes] = []
-    seen = set()
     if min_gain is None:
         min_gain = max(8, len(sample) >> 10)
-    for _, s in cands:
+    # one 8-byte packing pass serves every symbol length (mask down for
+    # L<8) — the per-L sliding-window copy was the selector's hottest
+    # numpy cost at 5 lengths per round
+    n8 = sarr.size
+    cands: list[tuple[int, bytes]] = []  # (-gain, symbol)
+    if n8 > 0:
+        padded = np.concatenate([sarr, np.zeros(8, dtype=np.uint8)])
+        win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n8]
+        packed8 = win.copy().view(_U64).ravel()
+        for L in _SYM_LENGTHS:
+            m = n8 - L + 1
+            if m <= 0:
+                continue
+            packed = packed8[:m]
+            if L < 8:
+                packed = packed & _U64((1 << (8 * L)) - 1)
+            uniq, counts = np.unique(packed, return_counts=True)
+            gains = counts * (L - 1)
+            # standalone gain below the acceptance bar can never pass the
+            # sim check (replacements only shrink counts), so prefilter at
+            # min_gain, not a fixed floor
+            keep = gains >= min_gain
+            if not keep.any():
+                continue
+            order = np.argsort(gains[keep], kind="stable")[::-1][: max_syms * 3]
+            u, g = uniq[keep][order], gains[keep][order]
+            raw = u.astype("<u8").tobytes()
+            for i in range(u.size):
+                cands.append((-int(g[i]), raw[i * 8 : i * 8 + L]))
+    cands.sort()
+    sim = sample if not sim_bytes else sample[:sim_bytes]
+    scale = len(sample) / max(1, len(sim))
+    sim_gain = min_gain if scale <= 1.0 else max(4, int(min_gain / scale))
+    out: list[bytes] = []
+    seen = set()
+    for neg_gain, s in cands:
         if len(out) >= max_syms:
             break
+        if -neg_gain < min_gain:
+            break  # sorted: every later standalone gain is smaller still
         if s in seen:
             continue
         seen.add(s)
         cnt = sim.count(s)
-        if cnt * (len(s) - 1) < min_gain:
+        if cnt * (len(s) - 1) < sim_gain:
             continue
         sim = sim.replace(s, bytes([codes[len(out)]]))
         out.append(s)
     return out
 
 
-def _fsst_round_encode(data: bytes) -> tuple[bytes, bytes, bytes, list[bytes]]:
+def _fsst_round_encode(data: bytes, sim_bytes: int | None = None
+                       ) -> tuple[bytes, bytes, bytes, list[bytes]]:
     """One symbol-table round: (blob, code_space_bytes, present_bytes, symbols)."""
     hist = _byte_histogram(data)
     code_space = _choose_code_space(hist, _MAX_SYMS)
@@ -391,7 +434,8 @@ def _fsst_round_encode(data: bytes) -> tuple[bytes, bytes, bytes, list[bytes]]:
     # measured: text (17 MB) gets faster AND slightly smaller, url (<1 MB)
     # keeps its deep symbol table
     min_gain = max(8, len(sample) >> (9 if len(data) > (4 << 20) else 10))
-    symbols = _pick_symbols(sample, _MAX_SYMS, code_space[1:], min_gain)
+    symbols = _pick_symbols(sample, _MAX_SYMS, code_space[1:], min_gain,
+                            sim_bytes)
     blob = escaped
     for i, sym in enumerate(symbols):
         blob = blob.replace(sym, bytes([code_space[1 + i]]))
@@ -409,9 +453,12 @@ def _fsst_round_decode(blob: bytes, space_b: bytes, present_b: bytes,
 
 
 _FSST_MAX_ROUNDS = 4
+# per-candidate sim slice for in-chunk blobs; dictionary stores use the full
+# _SAMPLE width (see _pick_symbols docstring for the measured tradeoff)
+_SIM_CHUNK = 1 << 14
 
 
-def fsst_encode(lengths: np.ndarray, data: bytes):
+def fsst_encode(lengths: np.ndarray, data: bytes, sim_bytes: int = _SIM_CHUNK):
     """Recursive FSST-style encoding: repeat symbol-table rounds while each
     round still shrinks the blob meaningfully. Round k's codes become
     ordinary bytes for round k+1, so effective symbol length compounds
@@ -423,7 +470,8 @@ def fsst_encode(lengths: np.ndarray, data: bytes):
     rounds: list[tuple[bytes, bytes, list[bytes]]] = []
     blob = data
     while data and len(rounds) < _FSST_MAX_ROUNDS:
-        new_blob, space_b, present_b, symbols = _fsst_round_encode(blob)
+        new_blob, space_b, present_b, symbols = _fsst_round_encode(
+            blob, sim_bytes)
         table_cost = len(space_b) + sum(len(s) + 8 for s in symbols) + 16
         # first round must pay >3%; later rounds must pay >10% — each extra
         # round is a full memory pass, so marginal gains aren't worth the

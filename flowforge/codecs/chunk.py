@@ -19,7 +19,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from . import bytescodecs, intcodecs
+from . import bitpack, bytescodecs, intcodecs
 from .framing import pack_sections, pack_validity, unpack_sections, unpack_validity
 
 _I64 = np.int64
@@ -279,6 +279,80 @@ def dict_may_contain(payload: bytes, meta: dict, probes: list[bytes],
         return any(v.startswith(p) for p in probes for v in values)
     vset = set(values)
     return any(p in vset for p in probes)
+
+
+def _bytes_logical_cast(arr: pa.Array, t: pa.DataType) -> pa.Array:
+    """Dictionary/run value store -> the column's logical type (same cast
+    chain decode_array uses)."""
+    arr = arr.cast(
+        pa.large_string() if t in (pa.string(), pa.large_string())
+        else pa.large_binary())
+    return arr.cast(t)
+
+
+def chunk_value_counts(payload: bytes, meta: dict, n: int) -> pa.Table:
+    """Partial ``(value, cnt)`` pairs for one chunk — GROUP BY pushed to
+    the codec layer (engine.value_counts_table is the reduce side).
+
+    Fast paths never materialize the n-row column:
+
+    - dict/dictfsst: decode only the (small) dictionary store and bincount
+      the bit-packed code stream against it;
+    - rle/hybrid: the run values WITH their run lengths already ARE a
+      partial count (values may repeat across runs — the caller's groupBy
+      sums them, so no per-chunk combine is needed);
+    - anything else: full decode + Arrow value_counts (vectorized).
+
+    Null rows surface as a null-value row (SQL GROUP BY groups nulls).
+    Counts are partial per chunk by contract.
+    """
+    import pyarrow.compute as pc
+
+    codec = meta["codec"]
+    nulls = int(meta["nulls"])
+    n_valid = n - nulls
+    t = parse_type(meta["type"])
+    m = meta["m"]
+    values: pa.Array | None = None
+    counts: np.ndarray | None = None
+    if is_bytes_type(t) and codec in ("dict", "dictfsst") and n_valid:
+        _, body = unpack_sections(payload)
+        dict_payload, code_payload = unpack_sections(body)
+        _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
+        d_lens, d_data = sub_dec(dict_payload, m["dict"], int(m["ndv"]))
+        codes = bitpack.unpack(code_payload, int(m["width"]), n_valid)
+        counts = np.bincount(codes.astype(np.int64), minlength=int(m["ndv"]))
+        values = _bytes_logical_cast(
+            bytescodecs.parts_to_arrow(d_lens, d_data), t)
+        keep = counts > 0
+        if not keep.all():
+            values = values.filter(pa.array(keep))
+            counts = counts[keep]
+    elif is_bytes_type(t) and codec in ("rle", "hybrid") and n_valid:
+        _, body = unpack_sections(payload)
+        val_payload, len_payload = unpack_sections(body)
+        n_runs = int(m["n_runs"])
+        _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
+        v_lens, v_data = sub_dec(val_payload, m["vals"], n_runs)
+        counts = bitpack.unpack(
+            len_payload, int(m["len_width"]), n_runs).astype(np.int64) + 1
+        values = _bytes_logical_cast(
+            bytescodecs.parts_to_arrow(v_lens, v_data), t)
+    else:
+        arr = decode_array(payload, meta, n)
+        vc = pc.value_counts(arr.drop_null() if arr.null_count else arr)
+        values = vc.field("values")
+        counts = np.asarray(vc.field("counts"), dtype=np.int64)
+    out_vals = [values] if len(values) else []
+    out_cnts = [pa.array(np.asarray(counts, dtype=np.int64))] if len(values) else []
+    if nulls:
+        out_vals.append(pa.array([None], type=t))
+        out_cnts.append(pa.array([nulls], type=pa.int64()))
+    if not out_vals:
+        return pa.table({"value": pa.array([], type=t),
+                         "cnt": pa.array([], type=pa.int64())})
+    return pa.table({"value": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_vals]),
+                     "cnt": pa.concat_arrays(out_cnts)})
 
 
 def _spread_nulls(valid_arr: pa.Array, mask: np.ndarray) -> pa.Array:

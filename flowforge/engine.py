@@ -51,8 +51,10 @@ DEFAULT_CHUNK_ROWS = 65_536
 # changes — decode refuses a store written by a different format instead of
 # failing deep inside a kernel (v3: plan-stamped commits, compacted
 # manifest; v4: bytes zone maps in chunk meta + commit records; v5: float
-# zone maps switch from the raw bit view to order-preserving keys)
-FORMAT_VERSION = 5
+# zone maps switch from the raw bit view to order-preserving keys; v6:
+# commit records carry per-column null totals so count_table can prove
+# all-match buckets from metadata alone)
+FORMAT_VERSION = 6
 
 METRICS_SCHEMA = T.StructType([
     T.StructField("bucket", T.LongType(), False),
@@ -212,9 +214,14 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
     per_col: dict[str, dict] = {
         c: {"rows": [], "bytes_in": 0, "bytes_out": 0, "codecs": set(),
             "wall_ms": 0.0, "errors": 0, "min": None, "max": None,
-            "bmin": None, "bmax": None}
+            "bmin": None, "bmax": None, "nulls": 0}
         for c in columns
     }
+    # per-bucket codec memo: lets the selector skip the FSST sample trial
+    # once a column's previous chunk proved the full encode wins (see
+    # selector.encode_best docstring; resets per bucket, so determinism
+    # is per-bucket and independent of task scheduling)
+    codec_memo: dict[str, str] = {}
     for seq in range(n_chunks):
         lo = seq * chunk_rows
         sl = tbl.slice(lo, min(chunk_rows, n - lo))
@@ -222,7 +229,8 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
             arr = sl.column(c).combine_chunks()
             t0 = time.perf_counter()
             try:
-                payload, meta = selector.encode_best(arr)
+                payload, meta = selector.encode_best(arr, codec_memo.get(c))
+                codec_memo[c] = meta["codec"]
             except Exception as exc:  # M2: count + throttled log + fallback
                 _log_codec_error(c, seq, exc)
                 per_col[c]["errors"] += 1
@@ -237,6 +245,9 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
             st["bytes_out"] += len(payload)
             st["codecs"].add(meta["codec"])
             st["wall_ms"] += dt
+            # bucket-level null totals (format v6): lets count_table prove
+            # all-match off the commit record alone (_zone_all_match)
+            st["nulls"] += int(meta.get("nulls", 0))
             if "min" in meta:  # bucket-level zone map from chunk zone maps
                 st["min"] = meta["min"] if st["min"] is None else min(st["min"], meta["min"])
                 st["max"] = meta["max"] if st["max"] is None else max(st["max"], meta["max"])
@@ -265,7 +276,7 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
         })
         commit_cols[c] = {"bytes_in": st["bytes_in"], "bytes_out": st["bytes_out"],
                           "codecs": codecs, "wall_ms": round(st["wall_ms"], 3),
-                          "errors": st["errors"]}
+                          "errors": st["errors"], "nulls": st["nulls"]}
         if st["min"] is not None:
             commit_cols[c]["min"], commit_cols[c]["max"] = st["min"], st["max"]
         if st["bmin"] is not None:
@@ -1126,6 +1137,302 @@ def _normalize_predicates(predicates: dict, by_name: dict[str, str]) -> dict:
     return norm
 
 
+def _plan_store(out_dir: str, require_complete: bool = True
+                ) -> tuple[dict, list[dict]]:
+    """Shared read-path preamble: validate format/plan, enforce
+    completeness, and return ``(table_meta, nonempty_commit_records)``.
+    Zero-row commits (provably-empty planned buckets, clustered/salted
+    modes) satisfy completeness but have no chunk files — they are
+    filtered out of the returned records."""
+    manifest = Manifest(out_dir)
+    meta = manifest.read_table_meta()
+    fmt = int(meta.get("format", 1))
+    if fmt != FORMAT_VERSION:
+        raise ValueError(
+            f"chunk store at {out_dir} has format v{fmt}; this build reads "
+            f"v{FORMAT_VERSION} — re-encode the store"
+        )
+    plan = meta["plan"]
+    phash = meta["plan_hash"]
+    foreign = manifest.commit_hashes() - {phash}
+    if foreign:
+        raise StorePlanError(
+            f"chunk store at {out_dir} holds commits from foreign bucket "
+            f"plan(s) {sorted(foreign)} alongside plan {phash}; a mixed-plan "
+            f"store cannot decode consistently — wipe and re-encode"
+        )
+    committed_set = manifest.committed_buckets(phash)
+    if require_complete and plan.get("mode") != "streaming":
+        missing = set(range(int(plan["buckets"]))) - committed_set
+        if missing:
+            raise ValueError(
+                f"chunk store at {out_dir} is incomplete: {len(missing)} of "
+                f"{plan['buckets']} buckets uncommitted. Resume the encode "
+                f"(run_encode resumes and also commits provably-empty "
+                f"planned buckets); if the encode action already completed, "
+                f"call engine.finalize_store(out_dir) — a clustered/salted "
+                f"plan can leave empty buckets only the post-completion "
+                f"epilogue can commit. Or pass require_complete=False to "
+                f"decode the committed part."
+            )
+    nonempty = [r for r in manifest.read_commits(phash)
+                if int(r["bucket"]) in committed_set and int(r["n_rows"]) > 0]
+    return meta, nonempty
+
+
+def _zone_all_match(st: dict, spec: tuple) -> bool:
+    """Sound proof that EVERY row of a zone (bucket commit stats or chunk
+    meta — same key names) matches ``spec``, so a count can take the zone's
+    n_rows without touching payload bytes. Predicate semantics exclude
+    nulls, so a zone with any null — or one whose null count is unknown
+    (pre-v6 bucket records) — is never proven. Conservative by design:
+    a False here only means "fall through to the exact row mask".
+
+    Soundness notes per spec kind:
+
+    - int ``range``: chunk/bucket min/max are exact -> [min, max] inside
+      [lo, hi] proves every (non-null) row matches.
+    - ``intin``: a constant zone (min == max) whose value is a probe.
+    - bytes ``in``: zone maps are ZONE_PREFIX-truncated, but bmin is a
+      truncation of min (bmin <= min) and bmax of max (bmax <= max!), so
+      only ``bmin == bmax == probe`` with ``len(probe) < ZONE_PREFIX``
+      proves a constant zone: a sub-ZONE_PREFIX bmax can only equal max
+      itself (truncation would have produced a full-length prefix).
+    - single ``prefix`` p: both bounds starting with p proves it for every
+      value between them (v >= bmin rules out v[:|p|] < p, v <= bmax rules
+      out v[:|p|] > p); truncation is harmless because min/max start with
+      p whenever their truncations do (|p| <= ZONE_PREFIX, enforced by
+      startswith on the truncated bounds).
+    - ``frange``: never proven — float predicate keys are widened by one
+      ulp for float32 rounding (chunk.float_key), which is sound for
+      MAY-match pruning but unsound for an ALL-match proof at the
+      boundary; the exact float64 mask handles these rows.
+    """
+    if st.get("nulls") != 0:
+        return False
+    kind = spec[0]
+    if kind == "range":
+        return "min" in st and st["min"] >= spec[1] and st["max"] <= spec[2]
+    if kind == "intin":
+        return "min" in st and st["min"] == st["max"] and st["min"] in spec[1]
+    if kind == "frange" or "bmin" not in st or "bmax" not in st:
+        return False
+    bmin, bmax = chunklib.b64d(st["bmin"]), chunklib.b64d(st["bmax"])
+    if kind == "in":
+        return (bmin == bmax and bmin in spec[1]
+                and len(bmin) < chunklib.ZONE_PREFIX)
+    if kind == "prefix" and len(spec[1]) == 1:
+        p = spec[1][0]
+        return bmin.startswith(p) and bmax.startswith(p)
+    return False
+
+
+def count_plan(out_dir: str, predicates: dict) -> dict:
+    """Driver-side bucket classification for :func:`count_table`:
+    ``{"full": [...], "partial": [...], "pruned": [...], "full_rows": N}``.
+    ``full`` buckets are proven all-match off the commit zone maps and
+    contribute their n_rows with ZERO task I/O — on a ts-clustered store a
+    time-window count touches chunk files only at the two boundary
+    buckets, the shape that matters at 10^12 rows."""
+    meta, nonempty = _plan_store(out_dir)
+    spark_schema = T.StructType.fromJson(meta["spark_schema"])
+    by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    preds = _normalize_predicates(predicates, by_name)
+    full, partial, pruned, full_rows = [], [], [], 0
+    for rec in nonempty:
+        b = int(rec["bucket"])
+        cols = rec["columns"]
+        if not all(_bucket_survives(cols.get(c, {}), s)
+                   for c, s in preds.items()):
+            pruned.append(b)
+        elif all(_zone_all_match(cols.get(c, {}), s)
+                 for c, s in preds.items()):
+            full.append(b)
+            full_rows += int(rec["n_rows"])
+        else:
+            partial.append(b)
+    return {"full": full, "partial": partial, "pruned": pruned,
+            "full_rows": full_rows, "predicates": preds}
+
+
+_COUNT_SCHEMA = T.StructType([T.StructField("cnt", T.LongType(), False)])
+
+
+def _make_count_kernel(out_dir: str, predicates: dict):
+    """COUNT(*) with predicate pushdown, never materializing matched rows:
+    metas-only zone pruning, then per chunk either (a) skip, (b) the
+    all-match proof takes n_rows with no payload read, or (c) decode ONLY
+    the predicate columns and sum the mask. Non-predicate columns are
+    never read at all."""
+    pred_cols = list(predicates)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        manifest = Manifest(out_dir)
+        for batch in batches:
+            for bucket in batch.column("bucket").to_pylist():
+                total = 0
+                col_meta: dict[str, dict[int, tuple[dict, int]]] = {}
+                keep_seqs: set[int] | None = None
+                for c in pred_cols:
+                    t = pq.read_table(manifest.chunk_read_path(c, bucket),
+                                      columns=["chunk_seq", "meta", "n_rows"])
+                    rows = {
+                        int(s): (json.loads(m), int(nr))
+                        for s, m, nr in zip(
+                            t.column("chunk_seq").to_pylist(),
+                            t.column("meta").to_pylist(),
+                            t.column("n_rows").to_pylist(),
+                        )
+                    }
+                    ok = {s for s, (m, _) in rows.items()
+                          if _chunk_survives(m, predicates[c])}
+                    keep_seqs = ok if keep_seqs is None else keep_seqs & ok
+                    col_meta[c] = rows
+                need = []
+                for s in sorted(keep_seqs or ()):
+                    if all(_zone_all_match(col_meta[c][s][0], predicates[c])
+                           for c in pred_cols):
+                        total += col_meta[pred_cols[0]][s][1]
+                    else:
+                        need.append(s)
+                payloads = {
+                    c: _read_chunk_payloads(manifest, c, bucket, need)
+                    for c in pred_cols
+                } if need else {}
+                for s in need:
+                    skip = False
+                    for c in pred_cols:
+                        spec = predicates[c]
+                        if spec[0] in ("in", "prefix"):
+                            m, _ = col_meta[c][s]
+                            may = chunklib.dict_may_contain(
+                                payloads[c][s], m, spec[1],
+                                prefix=spec[0] == "prefix")
+                            if may is False:
+                                skip = True
+                                break
+                    if skip:
+                        continue
+                    arrs = {
+                        c: chunklib.decode_array(
+                            payloads[c][s], *col_meta[c][s])
+                        for c in pred_cols
+                    }
+                    mask = _chunk_mask(arrs, predicates)
+                    total += int(pc.sum(
+                        mask.cast(pa.int32()).fill_null(0)).as_py() or 0)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([total], pa.int64())], names=["cnt"])
+
+    return kernel
+
+
+def count_table(spark: SparkSession, out_dir: str,
+                predicates: dict | None = None) -> DataFrame:
+    """``SELECT COUNT(*) [WHERE ...]`` pushed into the chunk store; returns
+    a one-row DataFrame ``(cnt long)``.
+
+    Three cost tiers, best first:
+
+    - no predicates: pure metadata — the commit logs are scanned by
+      executors (same distributed path as metrics_table) and n_rows summed;
+      no chunk file is ever opened.
+    - predicates, proven buckets: buckets whose commit zone maps prove
+      all-match (``count_plan``) contribute n_rows driver-side with zero
+      task I/O; proven-no-match buckets are dropped.
+    - boundary buckets: a count kernel decodes ONLY predicate columns for
+      chunks the all-match/no-match proofs cannot decide (see
+      ``_make_count_kernel``).
+
+    Reference analog: the reference answers count-style health queries from
+    its metrics channel without rereading parquet (main.go metrics loop);
+    here the same holds with predicates, against the commit records.
+    """
+    if not predicates:
+        meta, _ = _plan_store(out_dir)
+        recs = _lineage_records_df(spark, Manifest(out_dir),
+                                   meta["plan_hash"])
+        if recs is None:
+            return spark.createDataFrame([(0,)], _COUNT_SCHEMA)
+        return recs.select(
+            F.get_json_object("record", "$.n_rows").cast("long").alias("n")
+        ).agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("cnt"))
+    plan = count_plan(out_dir, predicates)
+    preds, full_rows = plan["predicates"], plan["full_rows"]
+    if not plan["partial"]:
+        return spark.createDataFrame([(full_rows,)], _COUNT_SCHEMA)
+    buckets_df = spark.createDataFrame(
+        [(b,) for b in plan["partial"]],
+        T.StructType([T.StructField("bucket", T.LongType(), False)])
+    ).repartition(max(1, len(plan["partial"])))
+    part = buckets_df.mapInArrow(_make_count_kernel(out_dir, preds),
+                                 _COUNT_SCHEMA)
+    return part.agg(
+        (F.coalesce(F.sum("cnt"), F.lit(0)) + F.lit(full_rows))
+        .cast("long").alias("cnt"))
+
+
+def _make_value_counts_kernel(out_dir: str, column: str):
+    """Per-bucket partial (value, cnt) pairs at the codec layer — the
+    map-side combine of a GROUP BY: dict-coded chunks bincount the packed
+    code stream against the small dictionary store (the n-row column is
+    never materialized), RLE chunks emit run values with run lengths, and
+    only other codecs decode fully (chunk.chunk_value_counts)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        manifest = Manifest(out_dir)
+        for batch in batches:
+            for bucket in batch.column("bucket").to_pylist():
+                t = pq.read_table(manifest.chunk_read_path(column, bucket))
+                parts = [
+                    chunklib.chunk_value_counts(p, json.loads(m), int(nr))
+                    for m, p, nr in zip(t.column("meta").to_pylist(),
+                                        t.column("payload").to_pylist(),
+                                        t.column("n_rows").to_pylist())
+                ]
+                if parts:
+                    out = pa.concat_tables(parts)
+                    yield from out.rename_columns(
+                        [column, "cnt"]).to_batches()
+
+    return kernel
+
+
+def value_counts_table(spark: SparkSession, out_dir: str,
+                       column: str) -> DataFrame:
+    """``SELECT col, COUNT(*) GROUP BY col`` pushed to the codec layer;
+    returns ``(column, cnt long)`` with SQL GROUP BY semantics (null is a
+    group). Partial counts come out of each bucket's codecs (dictionary
+    bincount / RLE run lengths — see ``_make_value_counts_kernel``) and the
+    tiny per-bucket partials shuffle into the final groupBy-sum: a proper
+    partial aggregation whose shuffle volume is O(buckets x ndv), not
+    O(rows). For a filtered GROUP BY, compose ``decode_table`` with
+    predicates and aggregate the result instead."""
+    if column == "cnt":
+        raise ValueError("column name 'cnt' collides with the count alias")
+    meta, nonempty = _plan_store(out_dir)
+    if column not in meta["columns"]:
+        raise ValueError(
+            f"unknown column {column!r}; store has {meta['columns']}")
+    spark_schema = T.StructType.fromJson(meta["spark_schema"])
+    field = {f.name: f for f in spark_schema.fields}[column]
+    out_schema = T.StructType([
+        T.StructField(column, field.dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+    committed = sorted(int(r["bucket"]) for r in nonempty)
+    buckets_df = spark.createDataFrame(
+        [(b,) for b in committed],
+        T.StructType([T.StructField("bucket", T.LongType(), False)])
+    ).repartition(max(1, len(committed)))
+    partials = buckets_df.mapInArrow(
+        _make_value_counts_kernel(out_dir, column), out_schema)
+    return partials.groupBy(column).agg(
+        F.sum("cnt").cast("long").alias("cnt"))
+
+
 def decode_table(
     spark: SparkSession, out_dir: str, columns: list[str] | None = None,
     *, require_complete: bool = True,
@@ -1172,37 +1479,7 @@ def decode_table(
     column the zone maps are wide and pruning falls back to the
     dictionary short-circuit + row filter.
     """
-    manifest = Manifest(out_dir)
-    meta = manifest.read_table_meta()
-    fmt = int(meta.get("format", 1))
-    if fmt != FORMAT_VERSION:
-        raise ValueError(
-            f"chunk store at {out_dir} has format v{fmt}; this build reads "
-            f"v{FORMAT_VERSION} — re-encode the store"
-        )
-    plan = meta["plan"]
-    phash = meta["plan_hash"]
-    foreign = manifest.commit_hashes() - {phash}
-    if foreign:
-        raise StorePlanError(
-            f"chunk store at {out_dir} holds commits from foreign bucket "
-            f"plan(s) {sorted(foreign)} alongside plan {phash}; a mixed-plan "
-            f"store cannot decode consistently — wipe and re-encode"
-        )
-    committed_set = manifest.committed_buckets(phash)
-    if require_complete and plan.get("mode") != "streaming":
-        missing = set(range(int(plan["buckets"]))) - committed_set
-        if missing:
-            raise ValueError(
-                f"chunk store at {out_dir} is incomplete: {len(missing)} of "
-                f"{plan['buckets']} buckets uncommitted. Resume the encode "
-                f"(run_encode resumes and also commits provably-empty "
-                f"planned buckets); if the encode action already completed, "
-                f"call engine.finalize_store(out_dir) — a clustered/salted "
-                f"plan can leave empty buckets only the post-completion "
-                f"epilogue can commit. Or pass require_complete=False to "
-                f"decode the committed part."
-            )
+    meta, nonempty = _plan_store(out_dir, require_complete)
     all_columns = meta["columns"]
     columns = columns or all_columns
     unknown = [c for c in columns if c not in all_columns]
@@ -1215,10 +1492,6 @@ def decode_table(
     # for any reordered projection
     field_by_name = {f.name: f for f in spark_schema.fields}
     out_schema = T.StructType([field_by_name[c] for c in columns])
-    # zero-row commits (provably-empty planned buckets, clustered/salted
-    # modes) satisfy completeness but have no chunk files — skip them
-    nonempty = [r for r in manifest.read_commits(phash)
-                if int(r["bucket"]) in committed_set and int(r["n_rows"]) > 0]
     if predicates:
         by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
         predicates = _normalize_predicates(predicates, by_name)

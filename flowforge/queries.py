@@ -249,6 +249,31 @@ def q_decode_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                                predicates={"value": (10.0, 25.0)})
 
 
+def q_store_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) pushdown (round-4): a 15-day window count over the
+    ts-clustered events store answered WITHOUT materializing rows —
+    interior buckets are proven all-match off commit zone maps + null
+    totals (zero task I/O, engine.count_plan), boundary buckets count via
+    a predicate-column-only kernel with per-chunk all-match shortcuts.
+    The 10^12-row shape: a time-window count touches chunk files at the
+    two boundary buckets only. Plan classification pinned in
+    tests/test_engine.py; the oracle counts the filtered source."""
+    out = _ensure_store_clustered(spark, sf_dir, "events", "ts")
+    lo = 1_704_067_200_000_000 + 5 * 86_400_000_000   # 2024-01-06T00:00:00Z us
+    hi = 1_704_067_200_000_000 + 20 * 86_400_000_000  # 15-day window
+    return engine.count_table(spark, out, predicates={"ts": (lo, hi)})
+
+
+def q_store_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY pushdown to the codec layer (round-4): lang value counts
+    from the documents store where dict-coded chunks bincount the packed
+    code stream against the dictionary store — the n-row lang column is
+    never materialized, per-bucket partials (O(buckets x ndv) rows) shuffle
+    into the final groupBy-sum. The oracle GROUP BYs the source."""
+    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
+    return engine.value_counts_table(spark, out, "lang")
+
+
 def q_store_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface predicate pushdown (round-3 verdict, missing #1): the
     user types plain SQL over a registered chunk-store relation and the

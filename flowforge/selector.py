@@ -135,10 +135,21 @@ def _fsst_sample_ratio(arr: pa.Array) -> float:
     return len(payload) / max(1, raw)
 
 
-def encode_best(arr: pa.Array) -> tuple[bytes, dict]:
+def encode_best(arr: pa.Array, hint: str | None = None) -> tuple[bytes, dict]:
     """Encode one Arrow array with the best codec; returns (payload, meta).
 
     meta carries the winning codec name plus the stats that drove the choice.
+
+    ``hint`` is the codec that won the SAME column's previous chunk in this
+    bucket (engine passes a per-bucket memo). It never decides the winner —
+    every encoded candidate still competes on actual payload size — it only
+    short-circuits the FSST *sample trial* when the previous chunk already
+    proved the full encode wins: chunks of one column in one bucket are
+    statistically near-identical, so the trial re-derives the same verdict
+    at ~40% of a full encode's cost. Worst case (distribution drift inside
+    a bucket) the full encode runs and loses on size — a bounded waste,
+    never a wrong choice. Determinism holds: the memo resets per bucket and
+    chunk order within a bucket is fixed.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -165,9 +176,13 @@ def encode_best(arr: pa.Array) -> tuple[bytes, dict]:
         best_ratio = (len(best[0]) / max(1, raw)) if best else 1.0
         if (stats["data_bytes"] > 0 and stats["entropy"] < 7.6
                 and best_ratio >= _FSST_SKIP_BELOW):
-            sample_ratio = _fsst_sample_ratio(valid)
-            bench = min(len(best[0]) if best else plain_gate, plain_gate)
-            if sample_ratio < (bench / max(1, raw)) * _FSST_TRY_THRESHOLD:
+            run_full = hint in ("fsst", "hybrid")
+            if not run_full:
+                sample_ratio = _fsst_sample_ratio(valid)
+                bench = min(len(best[0]) if best else plain_gate, plain_gate)
+                run_full = sample_ratio < \
+                    (bench / max(1, raw)) * _FSST_TRY_THRESHOLD
+            if run_full:
                 fsst_name = "hybrid" if stats["run_frac"] < 0.5 else "fsst"
                 payload, meta = chunk.encode_array(arr, fsst_name)
                 if best is None or len(payload) < len(best[0]):

@@ -1,0 +1,269 @@
+"""Aggregate pushdown: count_table / count_plan / value_counts_table.
+
+Reference analog: the reference answers count-style health questions from
+its metrics channel without rereading parquet (core/main.go metrics loop);
+here COUNT(*) with predicates is answered from commit metadata + a
+predicate-column-only kernel, and GROUP BY counts come out of the codec
+layer (dictionary bincount / RLE run lengths) without materializing the
+column. Oracle in every test is an exact Spark computation on the source.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flowforge import datagen, engine
+from flowforge.codecs import chunk as chunklib
+
+ROWS = 4_000
+
+
+@pytest.fixture(scope="module")
+def src_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("aggsrc")
+    path = datagen.write_webpages(str(d), ROWS)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def store(spark, src_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aggstore")) + "/enc"
+    engine.run_encode(spark, src_df, out, buckets=8)
+    return out
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    """Sorted int 'ts' column (0..N) + a categorical — clustered-mode
+    bucket zone maps are tight, so a range count gets interior buckets
+    proven all-match off metadata."""
+    n = 5_000
+    rows = [(i, i * 10, ["a", "b", "c"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, "event_id long, ts long, kind string")
+
+
+@pytest.fixture(scope="module")
+def ts_store(spark, ts_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aggts")) + "/enc"
+    engine.run_encode(spark, ts_df, out, buckets=16, cluster_col="ts")
+    return out
+
+
+# --------------------------------------------------------------------------
+# count_table
+# --------------------------------------------------------------------------
+
+
+def test_count_no_predicates_is_metadata_only(spark, store, src_df,
+                                              monkeypatch):
+    """Tier 1: bare COUNT(*) reads commit logs only — no chunk file opens
+    (pinned by poisoning the payload reader) and no driver-side commit
+    parse (read_commits stays uncalled on the distributed path)."""
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("chunk payload read on a metadata-only count")
+
+    monkeypatch.setattr(engine, "_read_chunk_payloads", boom)
+    got = engine.count_table(spark, store).collect()[0]["cnt"]
+    assert got == ROWS
+
+
+def test_count_int_range_matches_exact(spark, ts_store, ts_df):
+    lo, hi = 12_340, 33_330
+    got = engine.count_table(spark, ts_store,
+                             predicates={"ts": (lo, hi)}).collect()[0]["cnt"]
+    want = ts_df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    assert got == want > 0
+
+
+def test_count_plan_classifies_interior_buckets_full(ts_store):
+    """A wide window on the clustered column must prove interior buckets
+    all-match from commit metadata (zero task I/O) and prune buckets
+    outside the window; only boundary buckets stay partial."""
+    lo, hi = 12_340, 33_330
+    plan = engine.count_plan(ts_store, {"ts": (lo, hi)})
+    assert len(plan["full"]) >= 4          # interior buckets proven
+    assert len(plan["pruned"]) >= 4        # outside-window buckets dropped
+    assert len(plan["partial"]) <= 2       # at most the two boundaries
+    assert plan["full_rows"] > 0
+    total = plan["full_rows"]
+    # full buckets' rows + partials' rows bound the window count
+    assert total <= (hi - lo) // 10 + 1
+
+
+def test_count_all_match_needs_no_kernel(spark, ts_store, ts_df,
+                                         monkeypatch):
+    """A window covering everything is answered 100% from metadata."""
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("kernel ran though all buckets were proven")
+
+    monkeypatch.setattr(engine, "_make_count_kernel", boom)
+    got = engine.count_table(
+        spark, ts_store,
+        predicates={"ts": (0, 10 * 5_000)}).collect()[0]["cnt"]
+    assert got == ts_df.count()
+
+
+def test_count_string_eq(spark, store, src_df):
+    got = engine.count_table(
+        spark, store, predicates={"lang": ("eq", "en")}).collect()[0]["cnt"]
+    assert got == src_df.filter(F.col("lang") == "en").count() > 0
+
+
+def test_count_prefix_and_range_combined(spark, ts_store, ts_df):
+    got = engine.count_table(
+        spark, ts_store,
+        predicates={"kind": ("eq", "b"), "ts": (1_000, 20_000)},
+    ).collect()[0]["cnt"]
+    want = ts_df.filter(
+        (F.col("kind") == "b") & F.col("ts").between(1_000, 20_000)).count()
+    assert got == want > 0
+
+
+def test_count_empty_result(spark, ts_store):
+    got = engine.count_table(
+        spark, ts_store,
+        predicates={"ts": (10_000_000, 20_000_000)}).collect()[0]["cnt"]
+    assert got == 0
+
+
+# --------------------------------------------------------------------------
+# value_counts_table
+# --------------------------------------------------------------------------
+
+
+def test_value_counts_matches_groupby(spark, store, src_df):
+    got = {r["lang"]: r["cnt"]
+           for r in engine.value_counts_table(spark, store, "lang").collect()}
+    want = {r["lang"]: r["count"]
+            for r in src_df.groupBy("lang").count().collect()}
+    assert got == want
+
+
+def test_value_counts_int_column(spark, ts_store, ts_df):
+    got = {r["kind"]: r["cnt"]
+           for r in engine.value_counts_table(spark, ts_store, "kind").collect()}
+    want = {r["kind"]: r["count"]
+            for r in ts_df.groupBy("kind").count().collect()}
+    assert got == want
+
+
+def test_value_counts_nulls_group(spark, tmpdir_clean):
+    """SQL GROUP BY groups nulls — a null-bearing column must surface a
+    null row whose count equals the source's null count."""
+    rows = [(i, ["x", "y", None][i % 3]) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, tag string")
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, df, out, buckets=4, salt_col="id")
+    got = {r["tag"]: r["cnt"]
+           for r in engine.value_counts_table(spark, out, "tag").collect()}
+    assert got == {"x": 300, "y": 300, None: 300}
+
+
+def test_value_counts_rejects_unknown_and_collision(spark, store):
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.value_counts_table(spark, store, "nope")
+    with pytest.raises(ValueError, match="collides"):
+        engine.value_counts_table(spark, store, "cnt")
+
+
+# --------------------------------------------------------------------------
+# chunk_value_counts — codec-layer unit tests
+# --------------------------------------------------------------------------
+
+
+def _counts(payload, meta, n):
+    # pairs are PARTIAL by contract (RLE emits one pair per run, so a value
+    # may repeat) — sum like the engine's reduce-side groupBy does
+    t = chunklib.chunk_value_counts(payload, meta, n)
+    out: collections.Counter = collections.Counter()
+    for v, c in zip(t.column("value").to_pylist(),
+                    t.column("cnt").to_pylist()):
+        out[v] += c
+    return dict(out)
+
+
+@pytest.mark.parametrize("codec", ["dict", "dictfsst", "rle", "hybrid",
+                                   "plain", "fsst"])
+def test_chunk_value_counts_bytes_codecs(codec):
+    vals = (["alpha"] * 40 + ["beta"] * 25 + [None] * 7 + ["gamma"] * 3
+            + ["alpha"] * 10)
+    arr = pa.array(vals, type=pa.large_string())
+    payload, meta = chunklib.encode_array(arr, codec)
+    assert meta["codec"] == codec
+    want = collections.Counter(vals)
+    assert _counts(payload, meta, len(vals)) == dict(want)
+
+
+def test_chunk_value_counts_int_codec():
+    vals = [7] * 30 + [None] * 5 + [9] * 15
+    arr = pa.array(vals, type=pa.int64())
+    payload, meta = chunklib.encode_array(arr, "rle")
+    assert _counts(payload, meta, len(vals)) == {7: 30, 9: 15, None: 5}
+
+
+def test_chunk_value_counts_all_null():
+    arr = pa.array([None] * 12, type=pa.large_string())
+    payload, meta = chunklib.encode_array(arr, "plain")
+    assert _counts(payload, meta, 12) == {None: 12}
+
+
+# --------------------------------------------------------------------------
+# _zone_all_match soundness
+# --------------------------------------------------------------------------
+
+
+def test_zone_all_match_requires_zero_nulls():
+    st = {"min": 5, "max": 9, "nulls": 1}
+    assert not engine._zone_all_match(st, ("range", 0, 100))
+    st["nulls"] = 0
+    assert engine._zone_all_match(st, ("range", 0, 100))
+    # unknown null count (pre-v6 record) is never proven
+    assert not engine._zone_all_match({"min": 5, "max": 9},
+                                      ("range", 0, 100))
+
+
+def test_zone_all_match_bytes_truncation_guard():
+    """A ZONE_PREFIX-length bmax is a truncation of a possibly-longer max —
+    equality with the probe must NOT prove a constant zone."""
+    p = b"a" * chunklib.ZONE_PREFIX
+    st = {"bmin": chunklib._b64(p), "bmax": chunklib._b64(p), "nulls": 0}
+    assert not engine._zone_all_match(st, ("in", [p], [p.decode()]))
+    q = b"en"  # sub-prefix-length bounds are exact
+    st2 = {"bmin": chunklib._b64(q), "bmax": chunklib._b64(q), "nulls": 0}
+    assert engine._zone_all_match(st2, ("in", [q], ["en"]))
+
+
+def test_zone_all_match_frange_never_proven():
+    st = {"min": 0, "max": 10, "nulls": 0}
+    assert not engine._zone_all_match(st, ("frange", -100, 100, -1.0, 1.0))
+
+
+# --------------------------------------------------------------------------
+# codec memo determinism (format v6 encode-path change)
+# --------------------------------------------------------------------------
+
+
+def test_codec_memo_keeps_encode_deterministic(spark, src_df, tmpdir_clean):
+    """The per-bucket FSST-trial memo must not change what gets written:
+    two encodes of the same input produce bytewise-identical chunk files."""
+    outs = [os.path.join(tmpdir_clean, d) for d in ("a", "b")]
+    for out in outs:
+        engine.run_encode(spark, src_df, out, buckets=4)
+
+    def blob(out):
+        files = sorted(glob.glob(os.path.join(out, "chunks", "**", "*.parquet"),
+                                 recursive=True))
+        import pyarrow.parquet as pq
+        return {os.path.relpath(f, out):
+                pq.read_table(f).to_pydict() for f in files}
+
+    a, b = blob(outs[0]), blob(outs[1])
+    assert a.keys() == b.keys()
+    assert a == b

@@ -268,10 +268,10 @@ def test_codec_error_fallback_and_accounting(spark, tmpdir_clean, monkeypatch):
 
     real = selector.encode_best
 
-    def flaky(arr):
+    def flaky(arr, hint=None):
         if chunklib.is_bytes_type(arr.type):
             raise RuntimeError("injected codec failure")
-        return real(arr)
+        return real(arr, hint)
 
     monkeypatch.setattr(selector, "encode_best", flaky)
     monkeypatch.setattr(engine, "_error_logs_left", 2)
