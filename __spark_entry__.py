@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_sql_filter": Q.q_store_sql_filter,
         "store_count_window": Q.q_store_count_window,
         "store_group_counts": Q.q_store_group_counts,
+        "store_agg_window": Q.q_store_agg_window,
+        "store_agg_filtered": Q.q_store_agg_filtered,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -179,6 +181,21 @@ def oracle_sql() -> dict[str, str]:
         # lengths); oracle GROUP BYs the source
         "store_group_counts": (
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        # SUM/MIN/MAX pushdown (format v7): interior window buckets answered
+        # from commit-record exact sums; oracle aggregates the filtered
+        # source (CASTs: DuckDB sum(BIGINT) returns HUGEINT)
+        "store_agg_window": (
+            "SELECT count(*) AS cnt, min(event_id) AS min_id, "
+            "max(event_id) AS max_id, CAST(sum(user_id) AS BIGINT) AS sum_uid "
+            "FROM events "
+            f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 5 * 86_400_000_000} "
+            f"AND {1_704_067_200_000_000 + 20 * 86_400_000_000}"
+        ),
+        "store_agg_filtered": (
+            "SELECT count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents WHERE lang = 'en'"
         ),
         # time-clustered store: engine decodes a 2-day window with >90% of
         # buckets pruned off commit zone maps; oracle filters the source

@@ -126,6 +126,11 @@ def encode_array(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
             meta["min"], meta["max"] = int(keys.min()), int(keys.max())
         else:
             meta["min"], meta["max"] = int(values.min()), int(values.max())
+            # exact sum over non-null values (format v7): lets SUM/AVG
+            # pushdown answer proven-all-match chunks/buckets from metadata
+            # alone (engine.agg_table). Exact by construction — Python ints
+            # are unbounded; only the accumulation strategy varies
+            meta["sum"] = _exact_sum(values, meta["min"], meta["max"])
     elif is_bytes_type(arr.type) and len(valid):
         # bytes zone map: truncated-prefix min/max (see _bytes_zone_map for
         # why prefix comparisons stay sound) enables equality/IN pruning on
@@ -133,6 +138,16 @@ def encode_array(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
         bmin, bmax = _bytes_zone_map(valid)
         meta["bmin"], meta["bmax"] = _b64(bmin), _b64(bmax)
     return payload, meta
+
+
+def _exact_sum(values: np.ndarray, vmin: int, vmax: int) -> int:
+    """Exact int sum of an int64 view. np.sum wraps silently on int64
+    overflow, so the fast path runs only when ``n * max|v|`` provably fits
+    (< 2^62); otherwise accumulate in unbounded Python ints."""
+    maxabs = max(abs(vmin), abs(vmax))
+    if maxabs == 0 or values.size <= (1 << 62) // maxabs:
+        return int(values.sum())
+    return int(values.astype(object).sum())
 
 
 # --------------------------------------------------------------------------

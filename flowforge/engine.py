@@ -53,8 +53,10 @@ DEFAULT_CHUNK_ROWS = 65_536
 # manifest; v4: bytes zone maps in chunk meta + commit records; v5: float
 # zone maps switch from the raw bit view to order-preserving keys; v6:
 # commit records carry per-column null totals so count_table can prove
-# all-match buckets from metadata alone)
-FORMAT_VERSION = 6
+# all-match buckets from metadata alone; v7: chunk metas and commit records
+# carry exact per-column sums for int-domain columns so SUM/AVG pushdown
+# answers proven zones from metadata — agg_table)
+FORMAT_VERSION = 7
 
 METRICS_SCHEMA = T.StructType([
     T.StructField("bucket", T.LongType(), False),
@@ -214,7 +216,7 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
     per_col: dict[str, dict] = {
         c: {"rows": [], "bytes_in": 0, "bytes_out": 0, "codecs": set(),
             "wall_ms": 0.0, "errors": 0, "min": None, "max": None,
-            "bmin": None, "bmax": None, "nulls": 0}
+            "bmin": None, "bmax": None, "nulls": 0, "sum": None}
         for c in columns
     }
     # per-bucket codec memo: lets the selector skip the FSST sample trial
@@ -251,6 +253,8 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
             if "min" in meta:  # bucket-level zone map from chunk zone maps
                 st["min"] = meta["min"] if st["min"] is None else min(st["min"], meta["min"])
                 st["max"] = meta["max"] if st["max"] is None else max(st["max"], meta["max"])
+            if "sum" in meta:  # bucket-level exact sum (format v7, non-float
+                st["sum"] = (st["sum"] or 0) + meta["sum"]  # int domains only)
             if "bmin" in meta:  # bytes zone map (truncated prefixes merge
                 bmin = chunklib.b64d(meta["bmin"])  # exactly, chunk.py)
                 bmax = chunklib.b64d(meta["bmax"])
@@ -279,6 +283,8 @@ def _encode_bucket(out_dir: str, bucket: int, tbl: pa.Table, chunk_rows: int,
                           "errors": st["errors"], "nulls": st["nulls"]}
         if st["min"] is not None:
             commit_cols[c]["min"], commit_cols[c]["max"] = st["min"], st["max"]
+        if st["sum"] is not None:
+            commit_cols[c]["sum"] = st["sum"]
         if st["bmin"] is not None:
             commit_cols[c]["bmin"] = chunklib._b64(st["bmin"])
             commit_cols[c]["bmax"] = chunklib._b64(st["bmax"])
@@ -1238,21 +1244,33 @@ def count_plan(out_dir: str, predicates: dict) -> dict:
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     preds = _normalize_predicates(predicates, by_name)
-    full, partial, pruned, full_rows = [], [], [], 0
+    full, partial, pruned = _classify_records(nonempty, preds)
+    return {"full": [int(r["bucket"]) for r in full],
+            "partial": [int(r["bucket"]) for r in partial],
+            "pruned": [int(r["bucket"]) for r in pruned],
+            "full_rows": sum(int(r["n_rows"]) for r in full),
+            "predicates": preds}
+
+
+def _classify_records(nonempty: list[dict], preds: dict
+                      ) -> tuple[list[dict], list[dict], list[dict]]:
+    """Split commit records into (full, partial, pruned) against normalized
+    predicates: ``pruned`` buckets provably match no row (zone maps),
+    ``full`` buckets provably match EVERY row (:func:`_zone_all_match`),
+    ``partial`` buckets need chunk-level work. With no predicates every
+    bucket is full."""
+    full, partial, pruned = [], [], []
     for rec in nonempty:
-        b = int(rec["bucket"])
         cols = rec["columns"]
         if not all(_bucket_survives(cols.get(c, {}), s)
                    for c, s in preds.items()):
-            pruned.append(b)
+            pruned.append(rec)
         elif all(_zone_all_match(cols.get(c, {}), s)
                  for c, s in preds.items()):
-            full.append(b)
-            full_rows += int(rec["n_rows"])
+            full.append(rec)
         else:
-            partial.append(b)
-    return {"full": full, "partial": partial, "pruned": pruned,
-            "full_rows": full_rows, "predicates": preds}
+            partial.append(rec)
+    return full, partial, pruned
 
 
 _COUNT_SCHEMA = T.StructType([T.StructField("cnt", T.LongType(), False)])
@@ -1372,6 +1390,225 @@ def count_table(spark: SparkSession, out_dir: str,
     return part.agg(
         (F.coalesce(F.sum("cnt"), F.lit(0)) + F.lit(full_rows))
         .cast("long").alias("cnt"))
+
+
+# integral Spark types whose chunk metas carry exact sums usable for SUM
+# pushdown (timestamps/dates also store int sums, but summing them is not a
+# SQL operation; floats store order-KEY min/max and no sum at all)
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
+    if not aggs:
+        raise ValueError("aggs is empty; pass {alias: ('count',) | "
+                         "('sum'|'min'|'max', column)}")
+    for alias, spec in aggs.items():
+        if not isinstance(spec, tuple) or not spec:
+            raise ValueError(f"agg {alias!r}: spec must be a tuple, "
+                             f"got {spec!r}")
+        fn = spec[0]
+        if fn == "count":
+            if len(spec) != 1:
+                raise ValueError(
+                    f"agg {alias!r}: count takes no column (COUNT(*) "
+                    f"semantics; COUNT(col) = count - the column's null "
+                    f"total, not exposed here)")
+            continue
+        if fn not in ("sum", "min", "max") or len(spec) != 2:
+            raise ValueError(
+                f"agg {alias!r}: unknown spec {spec!r}; supported: "
+                f"('count',), ('sum', col), ('min', col), ('max', col)")
+        col = spec[1]
+        if col not in by_name:
+            raise ValueError(f"agg {alias!r}: unknown column {col!r}")
+        if by_name[col] not in _INTEGRAL_TYPES:
+            raise ValueError(
+                f"agg {alias!r}: {fn} pushdown needs an integral column; "
+                f"{col!r} is {by_name[col]} (float sums are order-dependent "
+                f"and have no exact metadata form; decode_table + DataFrame "
+                f"agg handles those)")
+
+
+def _combine_agg(acc: dict, alias: str, fn: str, st: dict, n_rows: int
+                 ) -> None:
+    """Fold one proven-all-match zone's stats (bucket commit cols or chunk
+    meta — same key names) into the accumulator. A zone whose agg column is
+    all-null has no min/sum keys and contributes nothing (SQL agg-ignore-
+    null semantics); count counts rows regardless."""
+    if fn == "count":
+        acc[alias] = (acc[alias] or 0) + n_rows
+        return
+    if "min" not in st:
+        return
+    v = st["sum"] if fn == "sum" else st[fn]
+    if acc[alias] is None:
+        acc[alias] = v
+    elif fn == "sum":
+        acc[alias] += v
+    else:
+        acc[alias] = min(acc[alias], v) if fn == "min" else max(acc[alias], v)
+
+
+def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
+                     out_names: list[str]):
+    """Per-bucket partial aggregates with the same three cost tiers as the
+    count kernel: chunk-level zone pruning on predicate columns, a per-chunk
+    all-match proof that reads agg values off chunk METAS (exact sums /
+    min / max, format v7) with zero payload decode, and an exact path that
+    decodes only predicate + agg columns and aggregates the masked rows."""
+    pred_cols = list(predicates)
+    agg_cols = sorted({spec[1] for spec in aggs.values() if spec[0] != "count"})
+    need_cols = list(dict.fromkeys(pred_cols + agg_cols))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        manifest = Manifest(out_dir)
+        for batch in batches:
+            for bucket in batch.column("bucket").to_pylist():
+                acc: dict[str, int | None] = {a: None for a in aggs}
+                col_meta: dict[str, dict[int, tuple[dict, int]]] = {}
+                keep_seqs: set[int] | None = None
+                for c in need_cols:
+                    t = pq.read_table(manifest.chunk_read_path(c, bucket),
+                                      columns=["chunk_seq", "meta", "n_rows"])
+                    rows = {
+                        int(s): (json.loads(m), int(nr))
+                        for s, m, nr in zip(
+                            t.column("chunk_seq").to_pylist(),
+                            t.column("meta").to_pylist(),
+                            t.column("n_rows").to_pylist(),
+                        )
+                    }
+                    if c in predicates:
+                        ok = {s for s, (m, _) in rows.items()
+                              if _chunk_survives(m, predicates[c])}
+                        keep_seqs = ok if keep_seqs is None else keep_seqs & ok
+                    col_meta[c] = rows
+                if keep_seqs is None:  # no predicates: every chunk counts
+                    keep_seqs = set(col_meta[need_cols[0]])
+                need = []
+                for s in sorted(keep_seqs):
+                    if all(_zone_all_match(col_meta[c][s][0], predicates[c])
+                           for c in pred_cols):
+                        nr = col_meta[need_cols[0]][s][1]
+                        for alias, spec in aggs.items():
+                            st = (col_meta[spec[1]][s][0]
+                                  if spec[0] != "count" else {})
+                            _combine_agg(acc, alias, spec[0], st, nr)
+                    else:
+                        need.append(s)
+                payloads = {
+                    c: _read_chunk_payloads(manifest, c, bucket, need)
+                    for c in need_cols
+                } if need else {}
+                for s in need:
+                    skip = False
+                    for c in pred_cols:
+                        spec = predicates[c]
+                        if spec[0] in ("in", "prefix"):
+                            m, _ = col_meta[c][s]
+                            may = chunklib.dict_may_contain(
+                                payloads[c][s], m, spec[1],
+                                prefix=spec[0] == "prefix")
+                            if may is False:
+                                skip = True
+                                break
+                    if skip:
+                        continue
+                    arrs = {
+                        c: chunklib.decode_array(
+                            payloads[c][s], *col_meta[c][s])
+                        for c in need_cols
+                    }
+                    mask = _chunk_mask(arrs, predicates)
+                    if mask is not None:
+                        matched = int(pc.sum(
+                            mask.cast(pa.int32()).fill_null(0)).as_py() or 0)
+                    else:
+                        matched = col_meta[need_cols[0]][s][1]
+                    if not matched:
+                        continue
+                    for alias, spec in aggs.items():
+                        if spec[0] == "count":
+                            acc[alias] = (acc[alias] or 0) + matched
+                            continue
+                        a = arrs[spec[1]]
+                        if mask is not None:
+                            a = a.filter(mask.fill_null(False))
+                        if spec[0] == "sum":
+                            v = pc.sum(a).as_py()
+                        else:
+                            mm = pc.min_max(a)
+                            v = mm["min" if spec[0] == "min" else "max"].as_py()
+                        if v is not None:
+                            _combine_agg(acc, alias, spec[0],
+                                         {"min": v, "max": v, "sum": v}, 0)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([acc[a]], pa.int64()) for a in out_names],
+                    names=out_names)
+
+    return kernel
+
+
+def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
+              predicates: dict | None = None) -> DataFrame:
+    """``SELECT <aggs> [WHERE ...]`` pushed into the chunk store.
+
+    ``aggs`` maps output alias -> spec: ``("count",)`` (COUNT(*)),
+    ``("sum", col)``, ``("min", col)``, ``("max", col)`` — sum/min/max over
+    integral columns, exact off chunk/commit metadata. Returns a one-row
+    DataFrame with one long column per alias (count 0 / others NULL when no
+    row matches, matching SQL over an empty relation).
+
+    Same three cost tiers as :func:`count_table`, now per aggregate:
+    proven-all-match buckets contribute their commit-record n_rows / exact
+    sum / min / max with ZERO task I/O (format v7); boundary buckets run a
+    kernel that proves chunks off chunk metas first and decodes only
+    predicate + aggregate columns for the rest. On a ts-clustered store a
+    time-window ``sum(x)`` therefore reads chunk bytes at the two boundary
+    buckets only — the 10^12-row shape.
+
+    AVG composes: ``sum/count`` driver-side or in a select over the result.
+    """
+    meta, nonempty = _plan_store(out_dir)
+    spark_schema = T.StructType.fromJson(meta["spark_schema"])
+    by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    _validate_aggs(aggs, by_name)
+    preds = _normalize_predicates(predicates or {}, by_name)
+    full, partial, _ = _classify_records(nonempty, preds)
+    out_names = list(aggs)
+    acc: dict[str, int | None] = {a: None for a in aggs}
+    for rec in full:
+        for alias, spec in aggs.items():
+            st = rec["columns"].get(spec[1], {}) if spec[0] != "count" else {}
+            _combine_agg(acc, alias, spec[0], st, int(rec["n_rows"]))
+    out_schema = T.StructType([
+        T.StructField(a, T.LongType(), True) for a in out_names])
+    driver_row = spark.createDataFrame(
+        [tuple(acc[a] for a in out_names)], out_schema)
+    if not partial:
+        parts = driver_row
+    else:
+        buckets_df = spark.createDataFrame(
+            [(int(r["bucket"]),) for r in partial],
+            T.StructType([T.StructField("bucket", T.LongType(), False)])
+        ).repartition(max(1, len(partial)))
+        parts = buckets_df.mapInArrow(
+            _make_agg_kernel(out_dir, preds, aggs, out_names), out_schema
+        ).unionByName(driver_row)
+    exprs = []
+    for alias, spec in aggs.items():
+        if spec[0] == "count":
+            e = F.coalesce(F.sum(alias), F.lit(0))
+        elif spec[0] == "sum":
+            e = F.sum(alias)
+        elif spec[0] == "min":
+            e = F.min(alias)
+        else:
+            e = F.max(alias)
+        exprs.append(e.cast("long").alias(alias))
+    return parts.agg(*exprs)
 
 
 def _make_value_counts_kernel(out_dir: str, column: str):

@@ -274,6 +274,38 @@ def q_store_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.value_counts_table(spark, out, "lang")
 
 
+def q_store_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/MIN/MAX pushdown (round-4, format v7): a 15-day window aggregate
+    over the ts-clustered events store — interior buckets contribute their
+    commit-record exact sums / min / max / n_rows with zero task I/O,
+    boundary buckets prove chunks off chunk metas first and decode only the
+    ts + agg columns for the rest (engine.agg_table). The oracle aggregates
+    the filtered source."""
+    out = _ensure_store_clustered(spark, sf_dir, "events", "ts")
+    lo = 1_704_067_200_000_000 + 5 * 86_400_000_000   # 2024-01-06T00:00:00Z us
+    hi = 1_704_067_200_000_000 + 20 * 86_400_000_000  # 15-day window
+    return engine.agg_table(
+        spark, out,
+        aggs={"cnt": ("count",), "min_id": ("min", "event_id"),
+              "max_id": ("max", "event_id"), "sum_uid": ("sum", "user_id")},
+        predicates={"ts": (lo, hi)})
+
+
+def q_store_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregate pushdown over a dictionary predicate (round-4):
+    total/min/max characters of English documents, computed without ever
+    materializing matched rows — the lang='en' mask decodes only the lang
+    and n_chars columns at surviving chunks, with dict short-circuits and
+    per-chunk exact-sum proofs ahead of it. The oracle aggregates the
+    filtered source."""
+    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
+    return engine.agg_table(
+        spark, out,
+        aggs={"cnt": ("count",), "sum_chars": ("sum", "n_chars"),
+              "min_chars": ("min", "n_chars"), "max_chars": ("max", "n_chars")},
+        predicates={"lang": ("eq", "en")})
+
+
 def q_store_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface predicate pushdown (round-3 verdict, missing #1): the
     user types plain SQL over a registered chunk-store relation and the

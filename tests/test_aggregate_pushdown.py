@@ -134,6 +134,126 @@ def test_count_empty_result(spark, ts_store):
 
 
 # --------------------------------------------------------------------------
+# agg_table (sum/min/max pushdown, format v7)
+# --------------------------------------------------------------------------
+
+
+_TS_AGGS = {"cnt": ("count",), "sum_id": ("sum", "event_id"),
+            "min_id": ("min", "event_id"), "max_id": ("max", "event_id")}
+
+
+def _ts_oracle(ts_df, lo, hi):
+    return (ts_df.filter(F.col("ts").between(lo, hi))
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("event_id").alias("sum_id"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")).collect()[0])
+
+
+def test_agg_window_matches_exact(spark, ts_store, ts_df):
+    lo, hi = 12_340, 33_330
+    got = engine.agg_table(spark, ts_store, _TS_AGGS,
+                           predicates={"ts": (lo, hi)}).collect()[0]
+    want = _ts_oracle(ts_df, lo, hi)
+    assert got.asDict() == want.asDict()
+    assert got["cnt"] > 0
+
+
+def test_agg_no_predicates_is_metadata_only(spark, ts_store, ts_df,
+                                            monkeypatch):
+    """No predicates -> every bucket classifies full; the kernel (and any
+    payload read) must never run."""
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("kernel ran on a metadata-only aggregate")
+
+    monkeypatch.setattr(engine, "_make_agg_kernel", boom)
+    got = engine.agg_table(spark, ts_store, _TS_AGGS).collect()[0]
+    want = _ts_oracle(ts_df, 0, 10 * 5_000)
+    assert got.asDict() == want.asDict()
+
+
+def test_agg_empty_window_sql_semantics(spark, ts_store):
+    """SQL over zero matched rows: count = 0, sum/min/max = NULL."""
+    got = engine.agg_table(spark, ts_store, _TS_AGGS,
+                           predicates={"ts": (9_000_000, 9_999_999)}
+                           ).collect()[0]
+    assert got["cnt"] == 0
+    assert got["sum_id"] is None and got["min_id"] is None \
+        and got["max_id"] is None
+
+
+def test_agg_string_predicate(spark, ts_store, ts_df):
+    got = engine.agg_table(
+        spark, ts_store,
+        aggs={"cnt": ("count",), "sum_id": ("sum", "event_id"),
+              "min_id": ("min", "event_id"), "max_id": ("max", "event_id")},
+        predicates={"kind": ("eq", "b")}).collect()[0]
+    want = (ts_df.filter(F.col("kind") == "b")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("event_id").alias("sum_id"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")).collect()[0])
+    assert got.asDict() == want.asDict()
+    assert got["cnt"] > 0
+
+
+def test_agg_nulls_in_agg_column(spark, tmpdir_clean):
+    """sum/min/max ignore nulls; count(*) counts the row anyway — including
+    chunks/buckets where the agg column is ALL null."""
+    rows = [(i, None if i % 3 == 0 else i * 7,
+             "a" if i < 600 else "b") for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, v long, tag string")
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, df, out, buckets=4, salt_col="id")
+    got = engine.agg_table(
+        spark, out,
+        aggs={"cnt": ("count",), "s": ("sum", "v"),
+              "lo": ("min", "v"), "hi": ("max", "v")},
+        predicates={"tag": ("eq", "a")}).collect()[0]
+    want = (df.filter(F.col("tag") == "a")
+            .agg(F.count("*").alias("cnt"), F.sum("v").alias("s"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0])
+    assert got.asDict() == want.asDict()
+
+
+def test_agg_negative_values(spark, tmpdir_clean):
+    rows = [(i, (i - 450) * 11) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, df, out, buckets=3, salt_col="id")
+    got = engine.agg_table(
+        spark, out, aggs={"s": ("sum", "v"), "lo": ("min", "v")},
+        predicates={"id": (100, 800)}).collect()[0]
+    want = (df.filter(F.col("id").between(100, 800))
+            .agg(F.sum("v").alias("s"), F.min("v").alias("lo")).collect()[0])
+    assert got.asDict() == want.asDict()
+
+
+def test_agg_validation_errors(spark, store):
+    with pytest.raises(ValueError, match="integral"):
+        engine.agg_table(spark, store, {"s": ("sum", "lang")})
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.agg_table(spark, store, {"s": ("sum", "nope")})
+    with pytest.raises(ValueError, match="unknown spec"):
+        engine.agg_table(spark, store, {"s": ("avg", "warc_ts")})
+    with pytest.raises(ValueError, match="count takes no column"):
+        engine.agg_table(spark, store, {"c": ("count", "lang")})
+    with pytest.raises(ValueError, match="aggs is empty"):
+        engine.agg_table(spark, store, {})
+
+
+def test_exact_sum_overflow_safe():
+    """Chunk sums must stay exact where np.sum's int64 accumulator wraps."""
+    big = (1 << 62) + 12345
+    arr = pa.array([big, big, big, -7], type=pa.int64())
+    _, meta = chunklib.encode_array(arr, "plain")
+    assert meta["sum"] == 3 * big - 7
+    arr2 = pa.array([-big, -big, 9], type=pa.int64())
+    _, meta2 = chunklib.encode_array(arr2, "plain")
+    assert meta2["sum"] == -2 * big + 9
+
+
+# --------------------------------------------------------------------------
 # value_counts_table
 # --------------------------------------------------------------------------
 
