@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_group_counts": Q.q_store_group_counts,
         "store_agg_window": Q.q_store_agg_window,
         "store_agg_filtered": Q.q_store_agg_filtered,
+        "store_group_sums": Q.q_store_group_sums,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -196,6 +197,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
             "FROM documents WHERE lang = 'en'"
+        ),
+        # grouped SUM at the codec layer: dict code streams aggregate
+        # without materializing group values; oracle GROUP BYs the source
+        "store_group_sums": (
+            "SELECT lang, count(*) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
         ),
         # time-clustered store: engine decodes a 2-day window with >90% of
         # buckets pruned off commit zone maps; oracle filters the source

@@ -370,6 +370,73 @@ def chunk_value_counts(payload: bytes, meta: dict, n: int) -> pa.Table:
                      "cnt": pa.concat_arrays(out_cnts)})
 
 
+def chunk_group_sums(g_payload: bytes, g_meta: dict,
+                     a_payload: bytes, a_meta: dict, n: int) -> pa.Table:
+    """Partial ``(value, cnt, sum)`` rows for one chunk — grouped COUNT(*) +
+    SUM(agg) pushed to the codec layer (engine.group_agg_table reduces).
+
+    Dict-coded group chunks aggregate ON THE PACKED CODE STREAM: the agg
+    column decodes (its values are needed regardless) but group values never
+    materialize beyond the small dictionary store — counts are a bincount of
+    the codes, sums an ``np.add.at`` scatter into a per-code accumulator.
+    Any other group codec decodes both columns and uses Arrow's hash
+    aggregation. SQL semantics: nulls form a group; a group whose agg values
+    are all null gets sum NULL; int64 overflow wraps exactly like Spark's
+    non-ANSI sum(long) (wrap-around addition is associative mod 2^64)."""
+    a_arr = decode_array(a_payload, a_meta, n)
+    t = parse_type(g_meta["type"])
+    m = g_meta["m"]
+    nulls = int(g_meta["nulls"])
+    n_valid = n - nulls
+    if is_bytes_type(t) and g_meta["codec"] in ("dict", "dictfsst") and n_valid:
+        g_validity, body = unpack_sections(g_payload)
+        dict_payload, code_payload = unpack_sections(body)
+        _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
+        ndv = int(m["ndv"])
+        d_lens, d_data = sub_dec(dict_payload, m["dict"], ndv)
+        codes = bitpack.unpack(code_payload, int(m["width"]),
+                               n_valid).astype(np.int64)
+        if nulls:  # null group takes code ndv
+            gmask = unpack_validity(g_validity, n)
+            full = np.full(n, ndv, dtype=np.int64)
+            full[gmask] = codes
+            codes = full
+        ngroups = ndv + (1 if nulls else 0)
+        cnt = np.bincount(codes, minlength=ngroups)
+        if a_arr.null_count:
+            a_valid = np.asarray(a_arr.is_valid(), dtype=bool)
+            av = np.asarray(a_arr.fill_null(0), dtype=np.int64)[a_valid]
+            acodes = codes[a_valid]
+        else:
+            av = np.asarray(a_arr, dtype=np.int64)
+            acodes = codes
+        nn = np.bincount(acodes, minlength=ngroups)  # non-null agg per group
+        # int64 accumulation: wrap-around addition is associative mod 2^64,
+        # so on overflow this yields bit-for-bit what Spark's own (non-ANSI)
+        # sum(long) over the decoded rows would — the output column is long,
+        # so a wider exact value would be unrepresentable anyway
+        acc = np.zeros(ngroups, dtype=np.int64)
+        np.add.at(acc, acodes, av)
+        sums = pa.array(acc, type=pa.int64(), mask=nn == 0)
+        values = _bytes_logical_cast(
+            bytescodecs.parts_to_arrow(d_lens, d_data), t)
+        if nulls:
+            values = pa.concat_arrays(
+                [values.combine_chunks() if isinstance(values, pa.ChunkedArray)
+                 else values, pa.array([None], type=t)])
+        keep = cnt > 0
+        out = pa.table({"value": values, "cnt": pa.array(cnt, type=pa.int64()),
+                        "sum": sums})
+        return out.filter(pa.array(keep)) if not keep.all() else out
+    g_arr = decode_array(g_payload, g_meta, n)
+    r = (pa.table({"value": g_arr, "v": a_arr})
+         .group_by("value")
+         .aggregate([("v", "sum"), ([], "count_all")]))
+    return pa.table({"value": r.column("value"),
+                     "cnt": r.column("count_all").cast(pa.int64()),
+                     "sum": r.column("v_sum").cast(pa.int64())})
+
+
 def _spread_nulls(valid_arr: pa.Array, mask: np.ndarray) -> pa.Array:
     """Re-insert nulls: take() with a null-masked index array propagates nulls."""
     idx = np.cumsum(mask, dtype=_I64) - 1

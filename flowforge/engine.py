@@ -1670,6 +1670,90 @@ def value_counts_table(spark: SparkSession, out_dir: str,
         F.sum("cnt").cast("long").alias("cnt"))
 
 
+def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str):
+    """Per-bucket partial (group, cnt, sum) rows at the codec layer — the
+    map-side combine of GROUP BY g -> count(*), sum(a): dict-coded group
+    chunks aggregate on the packed code stream (bincount + np.add.at); the
+    group column never materializes beyond its dictionary store
+    (chunk.chunk_group_sums). Chunk boundaries align across columns, so
+    zipping the two chunk files by chunk_seq is exact."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        manifest = Manifest(out_dir)
+        for batch in batches:
+            for bucket in batch.column("bucket").to_pylist():
+                gt = pq.read_table(manifest.chunk_read_path(group_col, bucket))
+                at = pq.read_table(manifest.chunk_read_path(agg_col, bucket))
+                a_by_seq = {
+                    int(s): (json.loads(m), p)
+                    for s, m, p in zip(at.column("chunk_seq").to_pylist(),
+                                       at.column("meta").to_pylist(),
+                                       at.column("payload").to_pylist())
+                }
+                parts = []
+                for s, gm, gp, nr in zip(gt.column("chunk_seq").to_pylist(),
+                                         gt.column("meta").to_pylist(),
+                                         gt.column("payload").to_pylist(),
+                                         gt.column("n_rows").to_pylist()):
+                    am, ap = a_by_seq[int(s)]
+                    parts.append(chunklib.chunk_group_sums(
+                        gp, json.loads(gm), ap, am, int(nr)))
+                if parts:
+                    out = pa.concat_tables(parts)
+                    yield from out.rename_columns(
+                        [group_col, "cnt", "sum"]).to_batches()
+
+    return kernel
+
+
+def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
+                    agg_col: str) -> DataFrame:
+    """``SELECT g, COUNT(*), SUM(a) GROUP BY g`` pushed to the codec layer;
+    returns ``(group_col, cnt long, sum long)`` with SQL semantics (null is
+    a group; a group whose agg values are all null sums to NULL). AVG per
+    group composes as ``sum / cnt`` over the result.
+
+    Scale shape matches :func:`value_counts_table`: per-bucket partials are
+    O(buckets x ndv) rows into the final groupBy-sum, never O(rows) — the
+    per-language token-total query over 10^12 documents shuffles a few
+    thousand rows. For a filtered grouped aggregate, compose
+    ``decode_table`` with predicates and aggregate the result instead."""
+    for col, role in ((group_col, "group"), (agg_col, "agg")):
+        if col in ("cnt", "sum"):
+            raise ValueError(
+                f"{role} column name {col!r} collides with an output alias")
+    if group_col == agg_col:
+        raise ValueError("group and agg columns must differ")
+    meta, nonempty = _plan_store(out_dir)
+    for col in (group_col, agg_col):
+        if col not in meta["columns"]:
+            raise ValueError(
+                f"unknown column {col!r}; store has {meta['columns']}")
+    spark_schema = T.StructType.fromJson(meta["spark_schema"])
+    by_field = {f.name: f for f in spark_schema.fields}
+    a_type = by_field[agg_col].dataType.simpleString()
+    if a_type not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"sum pushdown needs an integral agg column; {agg_col!r} is "
+            f"{a_type} (float sums are order-dependent; decode_table + "
+            f"DataFrame agg handles those)")
+    out_schema = T.StructType([
+        T.StructField(group_col, by_field[group_col].dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("sum", T.LongType(), True),
+    ])
+    committed = sorted(int(r["bucket"]) for r in nonempty)
+    buckets_df = spark.createDataFrame(
+        [(b,) for b in committed],
+        T.StructType([T.StructField("bucket", T.LongType(), False)])
+    ).repartition(max(1, len(committed)))
+    partials = buckets_df.mapInArrow(
+        _make_group_agg_kernel(out_dir, group_col, agg_col), out_schema)
+    return partials.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("sum").cast("long").alias("sum"))
+
+
 def decode_table(
     spark: SparkSession, out_dir: str, columns: list[str] | None = None,
     *, require_complete: bool = True,

@@ -254,6 +254,90 @@ def test_exact_sum_overflow_safe():
 
 
 # --------------------------------------------------------------------------
+# group_agg_table (grouped count+sum at the codec layer)
+# --------------------------------------------------------------------------
+
+
+def test_group_sums_matches_groupby(spark, ts_store, ts_df):
+    got = {r["kind"]: (r["cnt"], r["sum"])
+           for r in engine.group_agg_table(
+               spark, ts_store, "kind", "event_id").collect()}
+    want = {r["kind"]: (r["cnt"], r["s"])
+            for r in ts_df.groupBy("kind")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("event_id").alias("s")).collect()}
+    assert got == want
+
+
+def test_group_sums_null_semantics(spark, tmpdir_clean):
+    """Null group rows form a group; a group whose agg values are all null
+    sums to NULL but still counts its rows."""
+    rows = []
+    for i in range(1200):
+        tag = ["x", "y", None, "z"][i % 4]
+        v = None if tag == "z" or i % 5 == 0 else i
+        rows.append((i, v, tag))
+    df = spark.createDataFrame(rows, "id long, v long, tag string")
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, df, out, buckets=4, salt_col="id")
+    got = {r["tag"]: (r["cnt"], r["sum"])
+           for r in engine.group_agg_table(spark, out, "tag", "v").collect()}
+    want = {r["tag"]: (r["cnt"], r["s"])
+            for r in df.groupBy("tag")
+            .agg(F.count("*").alias("cnt"), F.sum("v").alias("s")).collect()}
+    assert got == want
+    assert got["z"][1] is None and got["z"][0] == 300
+
+
+def test_group_sums_validation(spark, ts_store):
+    with pytest.raises(ValueError, match="integral"):
+        engine.group_agg_table(spark, ts_store, "event_id", "kind")
+    with pytest.raises(ValueError, match="must differ"):
+        engine.group_agg_table(spark, ts_store, "ts", "ts")
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.group_agg_table(spark, ts_store, "nope", "event_id")
+
+
+def test_chunk_group_sums_dict_fast_path():
+    """Unit: dict-coded group chunk with nulls in BOTH columns — the code-
+    stream path must match a plain pandas groupby."""
+    import collections as _c
+
+    gvals = (["alpha"] * 30 + ["beta"] * 20 + [None] * 10) * 3
+    avals = [None if i % 7 == 0 else (i - 90) * 3 for i in range(len(gvals))]
+    g = pa.array(gvals, type=pa.large_string())
+    a = pa.array(avals, type=pa.int64())
+    gp, gm = chunklib.encode_array(g, "dict")
+    ap, am = chunklib.encode_array(a, "plain")
+    t = chunklib.chunk_group_sums(gp, gm, ap, am, len(gvals))
+    got = {v: (c, s) for v, c, s in zip(t.column("value").to_pylist(),
+                                        t.column("cnt").to_pylist(),
+                                        t.column("sum").to_pylist())}
+    cnt: _c.Counter = _c.Counter(gvals)
+    sums: dict = {}
+    for gv, av in zip(gvals, avals):
+        if av is not None:
+            sums[gv] = sums.get(gv, 0) + av
+    want = {k: (cnt[k], sums.get(k)) for k in cnt}
+    assert got == want
+
+
+def test_chunk_group_sums_large_values_exact():
+    """Near-bound int64 values that still fit must sum exactly; overflow
+    beyond int64 wraps like Spark's non-ANSI sum(long) by design (see
+    chunk_group_sums docstring)."""
+    big = (1 << 61) + 99
+    g = pa.array(["a"] * 3 + ["b"] * 2, type=pa.large_string())
+    a = pa.array([big, big, -7, -big, -big], type=pa.int64())
+    gp, gm = chunklib.encode_array(g, "dict")
+    ap, am = chunklib.encode_array(a, "plain")
+    t = chunklib.chunk_group_sums(gp, gm, ap, am, 5)
+    got = dict(zip(t.column("value").to_pylist(),
+                   t.column("sum").to_pylist()))
+    assert got == {"a": 2 * big - 7, "b": -2 * big}
+
+
+# --------------------------------------------------------------------------
 # value_counts_table
 # --------------------------------------------------------------------------
 
