@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_parts_shipped": Q.q_semi_parts_shipped,
         "range_join_late_lines": Q.q_range_join_late_lines,
         "asof_prev_view": Q.q_asof_prev_view,
+        "tpch_pricing": Q.q_tpch_pricing,
+        "tpch_shipping": Q.q_tpch_shipping,
+        "tpch_region_volume": Q.q_tpch_region_volume,
         "except_doc_slices": Q.q_except_doc_slices,
         # training-data pipeline: text analysis
         "token_counts": Q.q_token_counts,
@@ -351,6 +354,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.event_id, p.user_id, v.event_id AS prev_view_id, "
             "v.k AS prev_view_k "
             "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.k <= p.k"
+        ),
+        # TPC-H-shaped queries (Q1/Q3/Q5 analogs): money measures are
+        # floor-scaled cents BIGINTs so fp accumulation order can't skew
+        # the comparison; Q3's ordering key set is total so LIMIT is
+        # deterministic
+        "tpch_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_shipping": (
+            "SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+            "GROUP BY l_orderkey, o_date_ms "
+            "ORDER BY revenue_c DESC, o_date_ms ASC, l_orderkey ASC LIMIT 10"
+        ),
+        "tpch_region_volume": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c, "
+            "count(*) AS n_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+            "GROUP BY n_name"
         ),
         "except_doc_slices": (
             "SELECT lang, source FROM documents WHERE doc_id % 2 = 0 "

@@ -705,6 +705,88 @@ def q_range_join_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report): scan-heavy grouped
+    aggregation with derived measures — the canonical whole-stage-codegen
+    benchmark query. Money sums are floor-scaled to cents BIGINTs so the
+    oracle comparison is fp-association-free (per-row fp expressions are
+    bit-identical across engines; only cross-row accumulation order isn't).
+    Shuffle is 6 groups wide — partial aggregation does all the work
+    map-side."""
+    li = _table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor("l_quantity")).cast("long").alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100))
+            .cast("long").alias("sum_base_c"),
+            F.sum(F.floor(disc * 100)).cast("long").alias("sum_disc_c"),
+            F.sum(F.floor(disc * (1 + F.col("l_tax")) * 100))
+            .cast("long").alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): filtered fact-fact join +
+    broadcast dim + grouped top-10. The customer dim is broadcast; at
+    100 TB the lineitem-orders join is the one real shuffle (bucket both
+    by orderkey to co-locate it). Revenue is cents-scaled BIGINT and the
+    ordering key set (revenue, date, orderkey) is total, so the limit is
+    deterministic on both engines."""
+    c = _table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15")))
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey",
+                 F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                 .alias("o_date_ms"))
+        .agg(F.sum(F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
+            .cast("long").alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("o_date_ms"),
+                 F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): five joins off the lineitem
+    fact — every dim (customer, supplier, nation, region) is broadcast, so
+    the only shuffle is lineitem-orders on orderkey plus the final 5-group
+    aggregation. The c_nationkey = s_nationkey condition applies as a
+    post-join filter, same as the SQL."""
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _table(spark, sf_dir, "nation")
+    c = _table(spark, sf_dir, "customer")
+    s = _table(spark, sf_dir, "supplier")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))))
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
+            .cast("long").alias("revenue_c"),
+            F.count("*").alias("n_lines"))
+    )
+
+
 def q_asof_prev_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (merge-based, no range explosion): each purchase event
     picks the user's most recent prior view. The join key k is made unique

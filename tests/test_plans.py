@@ -230,3 +230,36 @@ def test_semi_and_anti_are_joins_not_products(spark):
 def test_window_and_topk_single_pass(spark, qname):
     plan = _formatted(getattr(Q, qname)(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_pricing_scan_shapes(spark):
+    """Q1 analog: the shipdate filter reaches the parquet scan, the scan
+    prunes to referenced columns, and aggregation is partial+final (the
+    shuffle carries 6 groups, not 60k rows)."""
+    df = Q.q_tpch_pricing(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "LessThanOrEqual(l_shipdate" in plan, plan
+    lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert lines and "l_orderkey" not in lines[0] \
+        and "l_partkey" not in lines[0], lines
+    executed = _executed(df)
+    assert executed.count("HashAggregate") >= 2, executed
+    assert "BatchEvalPython" not in executed, executed
+
+
+def test_tpch_shipping_broadcasts_customer(spark):
+    """Q3 analog: the filtered customer dim broadcasts; the only
+    hash-exchange keys are the fact-fact orderkey join (+ AQE coalesce)."""
+    plan = _formatted(Q.q_tpch_shipping(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+
+
+def test_tpch_region_volume_broadcasts_all_dims(spark):
+    """Q5 analog: customer/supplier/nation/region all broadcast — four
+    BroadcastHashJoins; the fact never hash-shuffles on a dim key."""
+    plan = _formatted(Q.q_tpch_region_volume(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4, plan
+    for key in ("o_custkey", "l_suppkey", "s_nationkey", "n_regionkey"):
+        assert f"Exchange hashpartitioning({key}" not in plan, plan
