@@ -197,8 +197,11 @@ def oracle_sql() -> dict[str, str]:
             f"AND {1_704_067_200_000_000 + 20 * 86_400_000_000}"
         ),
         "store_agg_filtered": (
+            # avg parity is exact: both engines divide the same exact sum by
+            # the same exact count, one double division
             "SELECT count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
-            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
             "FROM documents WHERE lang = 'en'"
         ),
         # grouped SUM at the codec layer: dict code streams aggregate

@@ -1414,10 +1414,14 @@ def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
                     f"semantics; COUNT(col) = count - the column's null "
                     f"total, not exposed here)")
             continue
-        if fn not in ("sum", "min", "max") or len(spec) != 2:
+        if fn not in ("sum", "min", "max", "avg") or len(spec) != 2:
             raise ValueError(
                 f"agg {alias!r}: unknown spec {spec!r}; supported: "
-                f"('count',), ('sum', col), ('min', col), ('max', col)")
+                f"('count',), ('sum'|'min'|'max'|'avg', col)")
+        if alias.startswith("__"):
+            raise ValueError(
+                f"agg alias {alias!r}: the '__' prefix is reserved for "
+                f"internal accumulators")
         col = spec[1]
         if col not in by_name:
             raise ValueError(f"agg {alias!r}: unknown column {col!r}")
@@ -1437,6 +1441,9 @@ def _combine_agg(acc: dict, alias: str, fn: str, st: dict, n_rows: int
     null semantics); count counts rows regardless."""
     if fn == "count":
         acc[alias] = (acc[alias] or 0) + n_rows
+        return
+    if fn == "nncount":  # non-null rows of the column (avg's denominator)
+        acc[alias] = (acc[alias] or 0) + n_rows - int(st.get("nulls", 0))
         return
     if "min" not in st:
         return
@@ -1536,6 +1543,10 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
                         a = arrs[spec[1]]
                         if mask is not None:
                             a = a.filter(mask.fill_null(False))
+                        if spec[0] == "nncount":
+                            acc[alias] = ((acc[alias] or 0)
+                                          + len(a) - a.null_count)
+                            continue
                         if spec[0] == "sum":
                             v = pc.sum(a).as_py()
                         else:
@@ -1556,10 +1567,12 @@ def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
     """``SELECT <aggs> [WHERE ...]`` pushed into the chunk store.
 
     ``aggs`` maps output alias -> spec: ``("count",)`` (COUNT(*)),
-    ``("sum", col)``, ``("min", col)``, ``("max", col)`` — sum/min/max over
-    integral columns, exact off chunk/commit metadata. Returns a one-row
-    DataFrame with one long column per alias (count 0 / others NULL when no
-    row matches, matching SQL over an empty relation).
+    ``("sum", col)``, ``("min", col)``, ``("max", col)``, ``("avg", col)``
+    — over integral columns, exact off chunk/commit metadata (avg is the
+    one double output: exact sum / exact non-null count, divided once at
+    the end). Returns a one-row DataFrame with one column per alias
+    (count 0 / others NULL when no row matches, matching SQL over an
+    empty relation).
 
     Same three cost tiers as :func:`count_table`, now per aggregate:
     proven-all-match buckets contribute their commit-record n_rows / exact
@@ -1569,24 +1582,33 @@ def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
     time-window ``sum(x)`` therefore reads chunk bytes at the two boundary
     buckets only — the 10^12-row shape.
 
-    AVG composes: ``sum/count`` driver-side or in a select over the result.
     """
     meta, nonempty = _plan_store(out_dir)
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     _validate_aggs(aggs, by_name)
+    # avg = exact sum / non-null count, both long accumulators; the division
+    # happens once at the end, so the double result is bit-identical to any
+    # engine dividing the same two exact integers
+    plan_aggs: dict[str, tuple] = {}
+    for alias, spec in aggs.items():
+        if spec[0] == "avg":
+            plan_aggs[f"__{alias}_sum"] = ("sum", spec[1])
+            plan_aggs[f"__{alias}_nn"] = ("nncount", spec[1])
+        else:
+            plan_aggs[alias] = spec
     preds = _normalize_predicates(predicates or {}, by_name)
     full, partial, _ = _classify_records(nonempty, preds)
-    out_names = list(aggs)
-    acc: dict[str, int | None] = {a: None for a in aggs}
+    out_names = list(plan_aggs)
+    acc: dict[str, int | None] = {a: None for a in plan_aggs}
     for rec in full:
-        for alias, spec in aggs.items():
+        for alias, spec in plan_aggs.items():
             st = rec["columns"].get(spec[1], {}) if spec[0] != "count" else {}
             _combine_agg(acc, alias, spec[0], st, int(rec["n_rows"]))
-    out_schema = T.StructType([
+    part_schema = T.StructType([
         T.StructField(a, T.LongType(), True) for a in out_names])
     driver_row = spark.createDataFrame(
-        [tuple(acc[a] for a in out_names)], out_schema)
+        [tuple(acc[a] for a in out_names)], part_schema)
     if not partial:
         parts = driver_row
     else:
@@ -1595,19 +1617,23 @@ def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
             T.StructType([T.StructField("bucket", T.LongType(), False)])
         ).repartition(max(1, len(partial)))
         parts = buckets_df.mapInArrow(
-            _make_agg_kernel(out_dir, preds, aggs, out_names), out_schema
+            _make_agg_kernel(out_dir, preds, plan_aggs, out_names),
+            part_schema
         ).unionByName(driver_row)
     exprs = []
     for alias, spec in aggs.items():
         if spec[0] == "count":
-            e = F.coalesce(F.sum(alias), F.lit(0))
+            e = F.coalesce(F.sum(alias), F.lit(0)).cast("long")
         elif spec[0] == "sum":
-            e = F.sum(alias)
+            e = F.sum(alias).cast("long")
         elif spec[0] == "min":
-            e = F.min(alias)
-        else:
-            e = F.max(alias)
-        exprs.append(e.cast("long").alias(alias))
+            e = F.min(alias).cast("long")
+        elif spec[0] == "max":
+            e = F.max(alias).cast("long")
+        else:  # avg: long / long is fractional division in Spark -> double
+            e = (F.sum(f"__{alias}_sum") / F.sum(f"__{alias}_nn")
+                 ).cast("double")
+        exprs.append(e.alias(alias))
     return parts.agg(*exprs)
 
 

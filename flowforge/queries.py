@@ -302,7 +302,8 @@ def q_store_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.agg_table(
         spark, out,
         aggs={"cnt": ("count",), "sum_chars": ("sum", "n_chars"),
-              "min_chars": ("min", "n_chars"), "max_chars": ("max", "n_chars")},
+              "min_chars": ("min", "n_chars"), "max_chars": ("max", "n_chars"),
+              "avg_chars": ("avg", "n_chars")},
         predicates={"lang": ("eq", "en")})
 
 

@@ -229,17 +229,48 @@ def test_agg_negative_values(spark, tmpdir_clean):
     assert got.asDict() == want.asDict()
 
 
+def test_agg_avg(spark, ts_store, ts_df):
+    """avg = exact sum / exact non-null count, one double division —
+    bit-identical to Spark's own avg over the decoded rows."""
+    lo, hi = 7_000, 41_110
+    got = engine.agg_table(
+        spark, ts_store, {"a": ("avg", "event_id"), "cnt": ("count",)},
+        predicates={"ts": (lo, hi)}).collect()[0]
+    want = (ts_df.filter(F.col("ts").between(lo, hi))
+            .agg(F.avg("event_id").alias("a"),
+                 F.count("*").alias("cnt")).collect()[0])
+    assert got["cnt"] == want["cnt"] > 0
+    assert got["a"] == want["a"]  # exact, not approx: same two ints divided
+
+
+def test_agg_avg_with_nulls_and_empty(spark, tmpdir_clean):
+    rows = [(i, None if i % 4 == 0 else i * 3) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, df, out, buckets=4, salt_col="id")
+    got = engine.agg_table(spark, out, {"a": ("avg", "v")},
+                           predicates={"id": (100, 699)}).collect()[0]
+    want = (df.filter(F.col("id").between(100, 699))
+            .agg(F.avg("v").alias("a")).collect()[0])
+    assert got["a"] == want["a"]
+    empty = engine.agg_table(spark, out, {"a": ("avg", "v")},
+                             predicates={"id": (5_000, 6_000)}).collect()[0]
+    assert empty["a"] is None
+
+
 def test_agg_validation_errors(spark, store):
     with pytest.raises(ValueError, match="integral"):
         engine.agg_table(spark, store, {"s": ("sum", "lang")})
     with pytest.raises(ValueError, match="unknown column"):
         engine.agg_table(spark, store, {"s": ("sum", "nope")})
     with pytest.raises(ValueError, match="unknown spec"):
-        engine.agg_table(spark, store, {"s": ("avg", "warc_ts")})
+        engine.agg_table(spark, store, {"s": ("median", "warc_ts")})
     with pytest.raises(ValueError, match="count takes no column"):
         engine.agg_table(spark, store, {"c": ("count", "lang")})
     with pytest.raises(ValueError, match="aggs is empty"):
         engine.agg_table(spark, store, {})
+    with pytest.raises(ValueError, match="reserved"):
+        engine.agg_table(spark, store, {"__x": ("min", "warc_ts")})
 
 
 def test_exact_sum_overflow_safe():
