@@ -349,8 +349,13 @@ def _window_counts(sample: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
                   min_gain: int | None = None,
-                  sim_bytes: int | None = None) -> list[bytes]:
+                  sim_bytes: int | None = None) -> tuple[list[bytes], float]:
     """Greedy symbol selection with overlap-aware simulation on the sample.
+
+    Returns ``(symbols, sim_ratio)`` where ``sim_ratio`` is the realized
+    shrink of the simulation slice — a deterministic projection of what the
+    full-blob replace passes would achieve, used to skip rounds that
+    clearly will not pay (see :func:`_fsst_round_encode`).
 
     Candidate n-grams are ranked by standalone gain (counted vectorized on
     the FULL sample), then accepted only if they still pay on a bounded
@@ -398,6 +403,7 @@ def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
                 cands.append((-int(g[i]), raw[i * 8 : i * 8 + L]))
     cands.sort()
     sim = sample if not sim_bytes else sample[:sim_bytes]
+    sim0 = max(1, len(sim))
     scale = len(sample) / max(1, len(sim))
     sim_gain = min_gain if scale <= 1.0 else max(4, int(min_gain / scale))
     out: list[bytes] = []
@@ -415,12 +421,23 @@ def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
             continue
         sim = sim.replace(s, bytes([codes[len(out)]]))
         out.append(s)
-    return out
+    return out, len(sim) / sim0
 
 
-def _fsst_round_encode(data: bytes, sim_bytes: int | None = None
+def _fsst_round_encode(data: bytes, sim_bytes: int | None = None,
+                       reject_at: float | None = None
                        ) -> tuple[bytes, bytes, bytes, list[bytes]]:
-    """One symbol-table round: (blob, code_space_bytes, present_bytes, symbols)."""
+    """One symbol-table round: (blob, code_space_bytes, present_bytes, symbols).
+
+    ``reject_at``: if the sample simulation projects a shrink ratio at or
+    above this value, the full-blob replace passes are skipped and the
+    round returns the input blob with an empty symbol list (the caller
+    treats that as "round refused"). The projection is data-derived and
+    deterministic; the margin the caller adds keeps borderline rounds on
+    the exact path. Measured: the terminal refused round previously cost a
+    full ~30 ms attempt per chunk (url/html) just to be discarded by the
+    caller's exact size check.
+    """
     hist = _byte_histogram(data)
     code_space = _choose_code_space(hist, _MAX_SYMS)
     escape = code_space[0]
@@ -434,8 +451,10 @@ def _fsst_round_encode(data: bytes, sim_bytes: int | None = None
     # measured: text (17 MB) gets faster AND slightly smaller, url (<1 MB)
     # keeps its deep symbol table
     min_gain = max(8, len(sample) >> (9 if len(data) > (4 << 20) else 10))
-    symbols = _pick_symbols(sample, _MAX_SYMS, code_space[1:], min_gain,
-                            sim_bytes)
+    symbols, sim_ratio = _pick_symbols(sample, _MAX_SYMS, code_space[1:],
+                                       min_gain, sim_bytes)
+    if reject_at is not None and sim_ratio >= reject_at:
+        return data, bytes(code_space), bytes(present), []
     blob = escaped
     for i, sym in enumerate(symbols):
         blob = blob.replace(sym, bytes([code_space[1 + i]]))
@@ -456,6 +475,12 @@ _FSST_MAX_ROUNDS = 4
 # per-candidate sim slice for in-chunk blobs; dictionary stores use the full
 # _SAMPLE width (see _pick_symbols docstring for the measured tradeoff)
 _SIM_CHUNK = 1 << 14
+# sample-projection safety margin: a round is early-refused only when its
+# sim projects >= threshold + margin. Measured projection error on the web
+# corpus is within +-0.02 of the realized full-blob shrink; 0.01 trades a
+# rare borderline round (bounded size cost: one <=10%-shrink round on one
+# column) for skipping the otherwise-always-wasted terminal round attempt
+_PROJ_MARGIN = 0.01
 
 
 def fsst_encode(lengths: np.ndarray, data: bytes, sim_bytes: int = _SIM_CHUNK):
@@ -470,13 +495,16 @@ def fsst_encode(lengths: np.ndarray, data: bytes, sim_bytes: int = _SIM_CHUNK):
     rounds: list[tuple[bytes, bytes, list[bytes]]] = []
     blob = data
     while data and len(rounds) < _FSST_MAX_ROUNDS:
-        new_blob, space_b, present_b, symbols = _fsst_round_encode(
-            blob, sim_bytes)
-        table_cost = len(space_b) + sum(len(s) + 8 for s in symbols) + 16
         # first round must pay >3%; later rounds must pay >10% — each extra
         # round is a full memory pass, so marginal gains aren't worth the
-        # bandwidth at scale
+        # bandwidth at scale. The round's own sample simulation projects the
+        # shrink first: a round that clearly misses the bar (projection
+        # above threshold + margin) skips its full-blob replace passes
+        # entirely — the terminal refused round is otherwise pure waste.
         threshold = 0.97 if not rounds else 0.90
+        new_blob, space_b, present_b, symbols = _fsst_round_encode(
+            blob, sim_bytes, reject_at=threshold + _PROJ_MARGIN)
+        table_cost = len(space_b) + sum(len(s) + 8 for s in symbols) + 16
         if not symbols or len(new_blob) + table_cost >= len(blob) * threshold:
             break
         rounds.append((space_b, present_b, symbols))
