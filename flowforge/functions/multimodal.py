@@ -5,14 +5,18 @@ batch iteration (mapInPandas), Arrow batch shapes, deterministic fake
 feature extraction. The media decode itself is REAL for the library-free
 formats: P6/P5 Netpbm images and RIFF/WAVE PCM16 audio are parsed with
 pure numpy (`decode_ppm` / `decode_wav_pcm16`, round-trip-tested), and
-since round 4 so is 8-bit PNG — all four color types, all five scanline
-filters, stdlib zlib + numpy unfiltering (`decode_png`/`encode_png`).
+since round 4 so are 8-bit PNG — all four color types, all five scanline
+filters, stdlib zlib + numpy unfiltering (`decode_png`/`encode_png`) —
+and baseline JPEG (pure-numpy DCT/Huffman codec in
+:mod:`flowforge.functions.jpegcodec`: general decoder covering any
+DQT/DHT, 4:4:4/4:2:2/4:2:0 subsampling, DRI/RSTn restarts, grayscale).
 `extract_features(real_decode=True)` / `resize_images(real_decode=True)`
 run genuine pixel/sample math (histograms, nearest-neighbor resample)
-over them. Only truly library-dependent codecs (JPEG/MP4 — Pillow/ffmpeg
-are not in this container) remain behind the declared
-``NotImplementedError`` stub; swapping the stub for a Pillow call changes
-nothing in the engine-side contract (signature, batch shape, schema).
+over them. Only truly library-dependent codecs (MP4 video and exotic
+image formats — ffmpeg/Pillow are not in this container) remain behind
+the declared ``NotImplementedError`` stub; swapping the stub for a
+library call changes nothing in the engine-side contract (signature,
+batch shape, schema).
 
 Per-item Python here is the intended shape: media decode is inherently
 per-payload (so is Pillow); the pixel/sample work inside each payload is
@@ -286,16 +290,21 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def _decode_image_real(payload: bytes):
-    """Real image decode: P6/P5 Netpbm and 8-bit PNG handled natively
-    (pure numpy + stdlib zlib); remaining library codecs stubbed."""
+    """Real image decode: P6/P5 Netpbm, 8-bit PNG, and baseline JPEG all
+    handled natively (pure numpy + stdlib zlib); only exotic library
+    codecs (TIFF/WebP/AVIF...) remain stubbed."""
     if payload is not None and payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload is not None and payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "real image decode beyond Netpbm/PNG (JPEG) needs Pillow/libvips "
-        "(not in this container); the mapInPandas plumbing is the real "
-        "engine-side contract and P6/P5/PNG exercise it end-to-end"
+        "real image decode beyond Netpbm/PNG/baseline-JPEG (TIFF/WebP/...) "
+        "needs Pillow/libvips (not in this container); the mapInPandas "
+        "plumbing is the real engine-side contract and P6/P5/PNG/JPEG "
+        "exercise it end-to-end"
     )
 
 
@@ -323,14 +332,26 @@ def synth_media_real(spark, rows: int, seed: int = 42) -> DataFrame:
         if kind == "image":
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             img_i = i // 3
-            if img_i % 2 == 0:  # even image ordinals: binary P6 Netpbm
+            if img_i % 3 == 0:  # ordinal 0 mod 3: binary P6 Netpbm
                 px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 payload, mime = encode_ppm(px), "image/x-portable-pixmap"
-            else:  # odd: PNG, cycling color type, every filter type used
-                ch = [1, 2, 3, 4][(img_i // 2) % 4]
+            elif img_i % 3 == 1:  # 1 mod 3: PNG, cycling color type + filters
+                ch = [1, 2, 3, 4][(img_i // 3) % 4]
                 px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
                 payload = encode_png(px, filters=[y % 5 for y in range(h)])
                 mime = "image/png"
+            else:  # 2 mod 3: baseline JPEG — grayscale 8x8-constant mosaic,
+                # which survives DCT+quantization bit-exactly (DC-only
+                # blocks; quantization error provably zero), so the same
+                # spec-pixel golden oracle applies; alternate restart
+                # intervals to exercise the DRI/RSTn path end-to-end
+                from .jpegcodec import encode_jpeg
+                tiles = rng.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8),
+                                     dtype=np.uint8)
+                px = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+                payload = encode_jpeg(
+                    px, restart_interval=3 if (img_i // 3) % 2 else 0)
+                mime = "image/jpeg"
             dims, dur = (w, h), None
         elif kind == "audio":
             n = int(rng.integers(64, 2048))
@@ -493,10 +514,11 @@ def resample_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
 
 
 def _resize_real(pdf: pd.DataFrame, max_w: int, max_h: int) -> pd.DataFrame:
-    """REAL resize: decode P6/P5/PNG, aspect-preserving nearest-neighbor
+    """REAL resize: decode P6/P5/PNG/JPEG, aspect-preserving nearest-neighbor
     resample, re-encode in the source family (PNG stays PNG — it may carry
-    alpha/gray+alpha that Netpbm can't). Dimensions come from the decoded
-    image, not the metadata columns (which may lie)."""
+    alpha/gray+alpha that Netpbm can't; JPEG stays JPEG). Dimensions come
+    from the decoded image, not the metadata columns (which may lie)."""
+    from .jpegcodec import encode_jpeg
     out_w, out_h, payloads, resized_from = [], [], [], []
     for p in pdf["payload"]:
         if p is None:
@@ -508,7 +530,12 @@ def _resize_real(pdf: pd.DataFrame, max_w: int, max_h: int) -> pd.DataFrame:
         scale = min(1.0, max_w / w, max_h / h)
         nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
         small = resample_nearest(px, nw, nh)
-        reenc = encode_png if p[:8] == _PNG_SIG else encode_ppm
+        if p[:8] == _PNG_SIG:
+            reenc = encode_png
+        elif p[:2] == b"\xff\xd8":
+            reenc = encode_jpeg
+        else:
+            reenc = encode_ppm
         payloads.append(reenc(small))
         out_w.append(nw); out_h.append(nh)
         resized_from.append(f"{w}x{h}")

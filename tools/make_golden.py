@@ -383,13 +383,109 @@ def _golden_png_bytes(px, filters):
             + chunk(b"IEND", b""))
 
 
+def _golden_jpeg_gray_const(tiles, h, w, restart_interval):
+    """Independent pure-int JPEG writer for the synth spec's grayscale
+    8x8-constant mosaics (no FP anywhere: for a constant block the
+    quantized DCT is exactly DC = v-128, AC = 0, so the whole entropy
+    stream is integer-derivable from the tile values). Must be
+    byte-identical to the engine's encode_jpeg(px, restart_interval=...)
+    on these inputs — golden ``n_bytes`` therefore checks the engine
+    encoder, and the spec-pixel histogram checks its decoder."""
+    import struct
+
+    # zigzag order from its definition (anti-diagonal walk), own loop
+    zz = []
+    for d in range(15):
+        rng_ = range(d + 1)
+        for r in (rng_ if d % 2 else reversed(rng_)):
+            c = d - r
+            if r < 8 and c < 8:
+                zz.append(r * 8 + c)
+    qluma = [8 + 2 * (ri // 8 + ri % 8) for ri in range(64)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + bytes(qluma[zz[k]] for k in range(64))
+    out += b"\xff\xc0" + struct.pack(">H", 11) \
+        + struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12) + b"\x00" \
+        + bytes(dc_bits) + bytes(range(12))
+    ac_syms = sorted([0x00, 0xF0] + [(r << 4) | s
+                                     for r in range(16) for s in range(1, 11)])
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(ac_syms)) \
+        + b"\x10" + bytes(ac_bits) + bytes(ac_syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    # entropy segment: flat tables mean DC size-category s codes as s in
+    # 4 bits and EOB as 0 in 8 bits (canonical codes in huffval order)
+    bits = []  # list of (value, length)
+
+    def emit():
+        stream = bytearray()
+        acc = nb = 0
+        for v, ln in bits:
+            acc = (acc << ln) | (v & ((1 << ln) - 1))
+            nb += ln
+            while nb >= 8:
+                b = (acc >> (nb - 8)) & 0xFF
+                stream.append(b)
+                if b == 0xFF:
+                    stream.append(0x00)
+                nb -= 8
+            acc &= (1 << nb) - 1
+        if nb:
+            pad = 8 - nb
+            acc = (acc << pad) | ((1 << pad) - 1)
+            b = acc & 0xFF
+            stream.append(b)
+            if b == 0xFF:
+                stream.append(0x00)
+        return bytes(stream)
+
+    pred = 0
+    rst = 0
+    th, tw = (h + 7) // 8, (w + 7) // 8
+    bi = 0
+    for by in range(th):
+        for bx in range(tw):
+            if restart_interval and bi and bi % restart_interval == 0:
+                out += emit()
+                bits.clear()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = 0
+            dc = int(tiles[by][bx]) - 128
+            diff = dc - pred
+            pred = dc
+            s = abs(diff).bit_length()
+            bits.append((s, 4))
+            if s:
+                bits.append((diff if diff >= 0 else diff + (1 << s) - 1, s))
+            bits.append((0, 8))  # EOB: all 63 ACs are exactly zero
+            bi += 1
+    out += emit()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def golden_multimodal_real_features(rows=48, seed=42):
     """Independent re-derivation of the REAL-decode feature query: payloads
     rebuilt from the synth_media_real generation spec, then parsed with
     plain struct/loop code (no shared numpy decode), histograms by loop.
-    PNG images (odd image ordinals since r4) histogram the GENERATION-SPEC
-    pixels directly — the engine's decode must invert its encode exactly —
-    while n_bytes comes from an independent loop-based PNG writer."""
+    PNG images (image ordinal 1 mod 3) and JPEG mosaics (2 mod 3)
+    histogram the GENERATION-SPEC pixels directly — the engine's decode
+    must invert its encode exactly (lossless for PNG; bit-exact for the
+    DC-only JPEG mosaics) — while n_bytes comes from independent
+    loop-based PNG/JPEG writers."""
     import struct
 
     rng = np.random.default_rng(seed)
@@ -399,7 +495,7 @@ def golden_multimodal_real_features(rows=48, seed=42):
         if kind == "image":
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             img_i = i // 3
-            if img_i % 2 == 0:
+            if img_i % 3 == 0:
                 px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
                 # independent parse: walk header tokens, then loop the body
@@ -411,8 +507,8 @@ def golden_multimodal_real_features(rows=48, seed=42):
                 for byte in body:
                     hist[byte * 16 // 256] += 1
                 total = len(body)
-            else:
-                ch = [1, 2, 3, 4][(img_i // 2) % 4]
+            elif img_i % 3 == 1:
+                ch = [1, 2, 3, 4][(img_i // 3) % 4]
                 px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
                 pxl = [[[int(px[y][x][k]) for k in range(ch)]
                         for x in range(w)] for y in range(h)]
@@ -423,6 +519,21 @@ def golden_multimodal_real_features(rows=48, seed=42):
                         for v in pix:
                             hist[v * 16 // 256] += 1
                 total = h * w * ch
+            else:
+                # JPEG grayscale 8x8-constant mosaic: bit-exact by
+                # construction (DC-only blocks), so the engine's decode
+                # must reproduce the GENERATION-SPEC pixels exactly and
+                # n_bytes comes from the independent integer JPEG writer
+                tiles = rng.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8),
+                                     dtype=np.uint8)
+                tl = [[int(v) for v in row] for row in tiles]
+                payload = _golden_jpeg_gray_const(
+                    tl, h, w, 3 if (img_i // 3) % 2 else 0)
+                hist = [0] * 16
+                for y in range(h):
+                    for x in range(w):
+                        hist[tl[y // 8][x // 8] * 16 // 256] += 1
+                total = h * w
         elif kind == "audio":
             n = int(rng.integers(64, 2048))
             samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
