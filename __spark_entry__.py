@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": Q.q_ann_ivf_topk,              # golden oracle
         # multimodal: real lib-free decode (P6/WAV) + batch plumbing
         "multimodal_real_features": Q.q_multimodal_real_features,  # golden
+        "multimodal_frame_sample": Q.q_multimodal_frame_sample,  # golden
         "multimodal_features": Q.q_multimodal_features,  # golden oracle
         # reference sink/metrics analogs (SURVEY §2 K5, M1)
         "kafka_output_shape": Q.q_kafka_output_shape,    # structurally oracled
@@ -473,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _golden("doc_fingerprint"),
         "multimodal_features": _golden("multimodal_features"),
         "multimodal_real_features": _golden("multimodal_real_features"),
+        "multimodal_frame_sample": _golden("multimodal_frame_sample"),
     }
 
 

@@ -321,10 +321,11 @@ def _fake_feature(payload: bytes | None, dim: int = 16) -> np.ndarray:
 
 
 def synth_media_real(spark, rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic media table whose image/audio payloads are VALID
-    formats (binary P6 Netpbm, RIFF/WAVE PCM16) — the real-decode path's
-    test fixture. Video payloads stay opaque (container decode is the
-    declared stub)."""
+    """Deterministic media table whose image/audio/video payloads are
+    VALID formats (P6 Netpbm / PNG / baseline JPEG images, RIFF/WAVE PCM16
+    audio, MJPEG-AVI video) — the real-decode path's test fixture. Odd
+    video ordinals stay opaque MP4 bytes so the declared ffmpeg stub keeps
+    a tested trigger."""
     rng = np.random.default_rng(seed)
     data = []
     for i in range(rows):
@@ -359,9 +360,27 @@ def synth_media_real(spark, rows: int, seed: int = 42) -> DataFrame:
             payload, mime = encode_wav_pcm16(samples), "audio/wav"
             dims, dur = (None, None), n * 1000 // 16_000
         else:
-            payload = bytes(rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                                         dtype=np.uint8))
-            mime, dims, dur = "video/mp4", (None, None), int(rng.integers(100, 60000))
+            vid_i = i // 3
+            if vid_i % 2 == 0:  # even video ordinals: REAL MJPEG-AVI whose
+                # frames are the same bit-exact grayscale mosaics as the
+                # JPEG images (DC-only blocks), restarts on every 4th
+                from .avicodec import encode_avi_mjpeg
+                fw, fh = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+                n_frames = int(rng.integers(2, 5))
+                tiles = rng.integers(
+                    0, 256, size=(n_frames, (fh + 7) // 8, (fw + 7) // 8),
+                    dtype=np.uint8)
+                frames = np.repeat(np.repeat(tiles, 8, 1), 8, 2)[:, :fh, :fw]
+                payload = encode_avi_mjpeg(
+                    frames, fps=10,
+                    restart_interval=3 if vid_i % 4 == 2 else 0)
+                mime, dims, dur = "video/x-msvideo", (fw, fh), n_frames * 100
+            else:  # odd: opaque MP4 — the declared ffmpeg stub
+                payload = bytes(rng.integers(0, 256,
+                                             size=int(rng.integers(64, 512)),
+                                             dtype=np.uint8))
+                mime, dims, dur = ("video/mp4", (None, None),
+                                   int(rng.integers(100, 60000)))
         data.append((i, kind, payload, mime, dims[0], dims[1], dur))
     return spark.createDataFrame(data, MEDIA_SCHEMA)
 
@@ -378,9 +397,14 @@ def _real_feature(kind: str, payload: bytes | None, dim: int = 16) -> np.ndarray
     elif kind == "audio":
         samples, _ = decode_wav_pcm16(payload)
         vals = (samples.astype(np.int64) + 32768) * dim // 65536
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .avicodec import decode_avi_mjpeg
+        frames, _ = decode_avi_mjpeg(payload)
+        vals = frames.reshape(-1).astype(np.int64) * dim // 256
     else:
         raise NotImplementedError(
-            "video container decode needs ffmpeg (not in this container)")
+            "video decode beyond MJPEG-AVI (MP4/H.264) needs ffmpeg "
+            "(not in this container)")
     hist = np.bincount(vals, minlength=dim).astype(np.float64)
     return (hist / max(1, hist.sum())).astype(np.float32)
 
@@ -438,14 +462,57 @@ def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp.
 
-    Pure Spark (sequence+explode) — the decode of each planned frame is the
-    stubbed step; the plan/partitioning layer is real."""
+    Pure Spark (sequence+explode) — decoding each planned frame is
+    :func:`sample_frames`' job; the plan/partitioning layer stands alone
+    so a scheduler can co-locate planned work before any byte is decoded."""
     frames = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
                         F.lit(every_ms))
     return (
         df.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_ms"))
     )
+
+
+FRAME_SCHEMA = ("media_id long, frame_ms int, frame_idx int, "
+                "width int, height int, frame binary")
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: decode MJPEG-AVI payloads, pick the frame
+    at each every_ms timestamp (clamped to the last frame), re-encode each
+    sampled frame as a standalone baseline JPEG.
+
+    mapInPandas over video rows — one container decode per payload serves
+    every sampled timestamp (frames are indexed in memory, not re-decoded
+    per sample). MP4 payloads raise the declared ffmpeg stub; filter them
+    out upstream (``mime != 'video/mp4'``) as the contract fixture does.
+    For the synth spec's mosaic frames the JPEG re-encode is bit-exact, so
+    decode(sample_frames(...).frame) equals the source frame pixels."""
+    from .avicodec import decode_avi_mjpeg
+    from .jpegcodec import encode_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            out = {k: [] for k in ("media_id", "frame_ms", "frame_idx",
+                                   "width", "height", "frame")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                frames, fps = decode_avi_mjpeg(bytes(payload))
+                n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+                duration_ms = n * 1000 // fps
+                for ms in range(0, max(duration_ms, 1), every_ms):
+                    idx = min(n - 1, ms * fps // 1000)
+                    out["media_id"].append(mid)
+                    out["frame_ms"].append(ms)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame"].append(encode_jpeg(frames[idx]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
 
 RESIZED_SCHEMA = ("media_id long, width int, height int, "
                   "payload binary, resized_from string")

@@ -566,18 +566,37 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end: valid P6 Netpbm / 8-bit PNG (all
-    color types, all five scanline filters — round 4) / WAV PCM16 payloads
-    decoded natively (pure numpy + stdlib zlib, no libraries), per-row
-    features from the DECODED pixels/samples. Golden-oracled by an
-    independent loop-based parser/writer in tools/make_golden.py."""
+    color types, all five scanline filters) / baseline JPEG mosaics /
+    WAV PCM16 / MJPEG-AVI video payloads decoded natively (pure numpy +
+    stdlib zlib, no libraries — round 4 adds JPEG and video), per-row
+    features from the DECODED pixels/samples/frames. Golden-oracled by
+    independent loop-based parsers/writers in tools/make_golden.py. Only
+    opaque MP4 rows (the declared ffmpeg stub) are excluded."""
     from .functions import multimodal
     media = multimodal.synth_media_real(spark, 48)
     feats = multimodal.extract_features(
-        media.filter(F.col("kind") != "video"), real_decode=True)
+        media.filter(F.col("mime") != "video/mp4"), real_decode=True)
     return feats.select(
         "media_id", "kind", "n_bytes",
         F.floor(F.element_at("feature", 1).cast("double") * 1e6).alias("f0_m"),
         F.floor(F.element_at("feature", 16).cast("double") * 1e6).alias("f15_m"),
+    )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: decode each MJPEG-AVI payload
+    once, pick the frame at every 150 ms (clamped to the last frame),
+    re-encode it as a standalone baseline JPEG. n_bytes + crc32 of the
+    emitted JPEG are pinned byte-exactly by the independent integer
+    writer's golden (mosaic frames re-encode deterministically)."""
+    from .functions import multimodal
+    media = multimodal.synth_media_real(spark, 48)
+    frames = multimodal.sample_frames(
+        media.filter(F.col("mime") == "video/x-msvideo"), every_ms=150)
+    return frames.select(
+        "media_id", "frame_ms", "frame_idx", "width", "height",
+        F.length("frame").alias("n_bytes"),
+        F.crc32("frame").alias("crc"),
     )
 
 

@@ -25,6 +25,7 @@ _SOURCE_TABLE = {
     "cosine_lsh_pairs": "embeddings",
     "multimodal_features": None,  # synthetic generation spec, no sf source
     "multimodal_real_features": None,
+    "multimodal_frame_sample": None,
 }
 
 

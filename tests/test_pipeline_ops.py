@@ -241,20 +241,22 @@ def test_multimodal_real_decode_end_to_end(spark):
     come from decoded pixels/samples, and resize genuinely resamples
     (verified against a reference nearest-neighbor computation)."""
     media = multimodal.synth_media_real(spark, 24)
-    imgs_audio = media.filter(F.col("kind") != "video")
+    decodable = media.filter(F.col("mime") != "video/mp4")
     feats = {r["media_id"]: r for r in
-             multimodal.extract_features(imgs_audio, real_decode=True).collect()}
-    src = {r["media_id"]: r for r in imgs_audio.collect()}
+             multimodal.extract_features(decodable, real_decode=True).collect()}
+    src = {r["media_id"]: r for r in decodable.collect()}
     assert set(feats) == set(src)
+    # the fixture really covers all three modalities incl. MJPEG-AVI video
+    assert {src[m]["kind"] for m in feats} == {"image", "audio", "video"}
     for mid, r in feats.items():
         f = np.array(r["feature"])
         assert abs(f.sum() - 1.0) < 1e-5
         # re-derive the expected histogram from the decoded payload
         want = multimodal._real_feature(src[mid]["kind"], bytes(src[mid]["payload"]))
         np.testing.assert_allclose(f, want, atol=1e-6)
-    # video decode is the declared stub
+    # MP4 video decode is the declared ffmpeg stub
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        multimodal.extract_features(media.filter(F.col("kind") == "video"),
+        multimodal.extract_features(media.filter(F.col("mime") == "video/mp4"),
                                     real_decode=True).collect()
 
     resized = {r["media_id"]: r for r in
@@ -334,3 +336,35 @@ def test_png_codec_roundtrip_all_types_and_filters():
     # unknown library formats (TIFF here) stay the declared stub
     with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal._decode_image_real(b"II*\x00\x08\x00\x00\x00")
+
+
+def test_sample_frames_real_decode(spark):
+    """Round-4: video frame sampling is REAL — one MJPEG-AVI container
+    decode per payload, sampled frames re-encoded as standalone JPEGs
+    that decode back to the exact source frame pixels (mosaic frames are
+    DC-only, hence bit-exact through the JPEG layer)."""
+    from flowforge.functions.avicodec import decode_avi_mjpeg
+
+    media = multimodal.synth_media_real(spark, 24)
+    avi = media.filter(F.col("mime") == "video/x-msvideo")
+    src = {r["media_id"]: bytes(r["payload"]) for r in avi.collect()}
+    out = multimodal.sample_frames(avi, every_ms=150).collect()
+    assert src and out
+    seen = set()
+    for r in out:
+        frames, fps = decode_avi_mjpeg(src[r["media_id"]])
+        assert fps == 10
+        n = frames.shape[0]
+        assert r["frame_idx"] == min(n - 1, r["frame_ms"] * fps // 1000)
+        got = multimodal._decode_image_real(bytes(r["frame"]))
+        np.testing.assert_array_equal(got, frames[r["frame_idx"]])
+        assert (r["width"], r["height"]) == (frames.shape[2], frames.shape[1])
+        seen.add(r["media_id"])
+    assert seen == set(src)  # every AVI row produced samples
+    # sampling covers the whole duration at the requested cadence
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r["frame_ms"])
+    for mid, stamps in per.items():
+        n = decode_avi_mjpeg(src[mid])[0].shape[0]
+        assert sorted(stamps) == list(range(0, n * 100, 150))

@@ -477,6 +477,42 @@ def _golden_jpeg_gray_const(tiles, h, w, restart_interval):
     return bytes(out)
 
 
+def _golden_avi_mjpeg(frame_jpegs, fw, fh, fps):
+    """Independent RIFF/AVI writer around already-encoded JPEG frame bytes
+    (themselves from the independent integer writer). Field-by-field per
+    the AVI spec: avih(56) + strl(strh 56/strf 40) under hdrl, '00dc'
+    chunks (even-padded) under movi, keyframe idx1. Must be byte-identical
+    to the engine's encode_avi_mjpeg on the synth spec's inputs."""
+    import struct
+
+    n = len(frame_jpegs)
+    maxsz = max(len(j) for j in frame_jpegs)
+    movi = bytearray(b"movi")
+    index = bytearray()
+    for j in frame_jpegs:
+        index += b"00dc" + struct.pack("<III", 0x10, len(movi), len(j))
+        movi += b"00dc" + struct.pack("<I", len(j)) + j
+        if len(j) % 2:
+            movi += b"\x00"
+    avih = struct.pack("<10I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1,
+                       maxsz, fw, fh) + b"\x00" * 16
+    strh = (b"vidsMJPG"
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, n, maxsz,
+                          0, 0)
+            + struct.pack("<4h", 0, 0, fw, fh))
+    strf = struct.pack("<IiiHH4sIiiII", 40, fw, fh, 1, 24, b"MJPG",
+                       fw * fh * 3, 0, 0, 0, 0)
+    strl = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+            + b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf)
+    hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl))
+            + b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl)
+    body = (hdrl + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+            + b"idx1" + struct.pack("<I", len(index)) + bytes(index))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
 def golden_multimodal_real_features(rows=48, seed=42):
     """Independent re-derivation of the REAL-decode feature query: payloads
     rebuilt from the synth_media_real generation spec, then parsed with
@@ -548,13 +584,94 @@ def golden_multimodal_real_features(rows=48, seed=42):
                 hist[(s + 32768) * 16 // 65536] += 1
             total = len(data) // 2
         else:
-            rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
-            rng.integers(100, 60000)
-            continue
+            vid_i = i // 3
+            if vid_i % 2 == 0:
+                # MJPEG-AVI: bit-exact mosaic frames — histogram the
+                # generation-spec pixels; n_bytes from the independent
+                # RIFF writer wrapping independent-integer JPEG frames
+                fw, fh = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+                n_frames = int(rng.integers(2, 5))
+                tiles = rng.integers(
+                    0, 256, size=(n_frames, (fh + 7) // 8, (fw + 7) // 8),
+                    dtype=np.uint8)
+                ri = 3 if vid_i % 4 == 2 else 0
+                jpegs = [
+                    _golden_jpeg_gray_const(
+                        [[int(v) for v in row] for row in tiles[fi]],
+                        fh, fw, ri)
+                    for fi in range(n_frames)
+                ]
+                payload = _golden_avi_mjpeg(jpegs, fw, fh, 10)
+                hist = [0] * 16
+                for fi in range(n_frames):
+                    for y in range(fh):
+                        for x in range(fw):
+                            hist[int(tiles[fi][y // 8][x // 8]) * 16 // 256] += 1
+                total = n_frames * fh * fw
+            else:
+                # opaque MP4 rows are excluded by the query (ffmpeg stub);
+                # consume the spec's draws so the rng stream stays aligned
+                rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                             dtype=np.uint8)
+                rng.integers(100, 60000)
+                continue
         f = [np.float32(c / max(1, total)) for c in hist]
         out.append((i, kind, len(payload),
                     int(np.floor(float(f[0]) * 1e6)),
                     int(np.floor(float(f[15]) * 1e6))))
+    return out
+
+
+def golden_frame_sample(rows=48, seed=42, every_ms=150):
+    """Independent re-derivation of REAL video frame sampling: replay the
+    synth_media_real rng walk, and for each MJPEG-AVI row compute the
+    sampled timestamps (fps=10, duration = n_frames*100 ms), the clamped
+    frame index, and the sampled frame's standalone JPEG bytes via the
+    independent integer writer — n_bytes and crc32 pin the engine's
+    re-encode byte-exactly (mosaic frames are DC-only, so re-encode is
+    deterministic and loss-free)."""
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(rows):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            img_i = i // 3
+            if img_i % 3 == 0:
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            elif img_i % 3 == 1:
+                ch = [1, 2, 3, 4][(img_i // 3) % 4]
+                rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            else:
+                rng.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8),
+                             dtype=np.uint8)
+        elif kind == "audio":
+            n = int(rng.integers(64, 2048))
+            rng.integers(-32768, 32768, size=n)
+        else:
+            vid_i = i // 3
+            if vid_i % 2 == 0:
+                fw, fh = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+                n_frames = int(rng.integers(2, 5))
+                tiles = rng.integers(
+                    0, 256, size=(n_frames, (fh + 7) // 8, (fw + 7) // 8),
+                    dtype=np.uint8)
+                duration_ms = n_frames * 100  # fps=10 per the synth spec
+                for ms in range(0, max(duration_ms, 1), every_ms):
+                    idx = min(n_frames - 1, ms * 10 // 1000)
+                    # sample_frames re-encodes standalone (restart_interval
+                    # 0) regardless of the container's DRI setting
+                    jpeg = _golden_jpeg_gray_const(
+                        [[int(v) for v in row] for row in tiles[idx]],
+                        fh, fw, 0)
+                    out.append((i, ms, idx, fw, fh, len(jpeg),
+                                zlib.crc32(jpeg)))
+            else:
+                rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                             dtype=np.uint8)
+                rng.integers(100, 60000)
     return out
 
 
@@ -648,6 +765,18 @@ def main() -> None:
         "f15_m": pa.array([m[4] for m in mr], pa.int64()),
     }), "multimodal_real_features", "synthetic:seed42,rows48", None)
     print(f"multimodal_real_features: {len(mr)} rows")
+
+    fs = golden_frame_sample()
+    write_golden(pa.table({
+        "media_id": pa.array([f[0] for f in fs], pa.int64()),
+        "frame_ms": pa.array([f[1] for f in fs], pa.int32()),
+        "frame_idx": pa.array([f[2] for f in fs], pa.int32()),
+        "width": pa.array([f[3] for f in fs], pa.int32()),
+        "height": pa.array([f[4] for f in fs], pa.int32()),
+        "n_bytes": pa.array([f[5] for f in fs], pa.int32()),
+        "crc": pa.array([f[6] for f in fs], pa.int64()),
+    }), "multimodal_frame_sample", "synthetic:seed42,rows48", None)
+    print(f"multimodal_frame_sample: {len(fs)} rows")
 
     fps = [(doc_id, rolling_fingerprint(text)) for doc_id, text in docs]
     write_golden(pa.table({
