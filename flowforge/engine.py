@@ -762,6 +762,16 @@ def encode_path(
     existing = manifest.try_read_table_meta()
     stored_plan = (existing or {}).get("plan") or {}
     if existing is not None:
+        if stored_plan.get("mode") not in (None, "direct"):
+            # a salted/clustered store resumed through the path API would
+            # otherwise die on the (absent) fingerprint with a misleading
+            # "different source" message
+            raise StorePlanError(
+                f"chunk store at {out_dir} was planned as mode="
+                f"{stored_plan.get('mode')!r}; resume it through run_encode "
+                f"with the same mode (jobs/encode.py --mode "
+                f"{stored_plan.get('mode')}), not the direct path API"
+            )
         if stored_plan.get("src_fingerprint") != fingerprint:
             raise StorePlanError(
                 f"chunk store at {out_dir} was encoded from a different "

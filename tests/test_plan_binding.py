@@ -114,6 +114,20 @@ def test_direct_mode_source_change_refuses(spark, tmpdir_clean, tmp_path_factory
         engine.run_encode_path(spark, str(d), out, target_rows=256)
 
 
+def test_path_resume_of_salted_store_names_the_mode(
+        spark, src_df, tmpdir_clean, tmp_path_factory):
+    """Resuming a salted store through the direct path API must say the
+    MODE is wrong (and how to resume), not blame the source fingerprint —
+    the exact confusion a user hits re-running jobs/encode.py without
+    --mode salted after a crash (round-4 kill-probe finding)."""
+    d = tmp_path_factory.mktemp("salted_src")
+    datagen.write_webpages(str(d), ROWS, row_group_size=256)
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, src_df, out, buckets=8, salt_col="url")
+    with pytest.raises(StorePlanError, match="mode='salted'.*--mode salted"):
+        engine.run_encode_path(spark, str(d), out)
+
+
 def test_direct_mode_resume_adopts_target_rows(spark, tmpdir_clean, tmp_path_factory):
     d = tmp_path_factory.mktemp("direct_src2")
     datagen.write_webpages(str(d), ROWS, row_group_size=256)
