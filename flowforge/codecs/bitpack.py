@@ -70,6 +70,19 @@ def pack(values: np.ndarray, width: int) -> bytes:
     return out.tobytes()[: (n * width + 7) // 8]
 
 
+def unpack_narrow(payload: bytes, width: int, n: int) -> np.ndarray:
+    """Like :func:`unpack` but byte-aligned widths come back as a ZERO-COPY
+    narrow view (u1/u2/u4/u8) instead of widening to uint64. The hot decode
+    consumer is dictionary code streams (``dictionary.take(codes)``) —
+    Arrow takes any integer index type, so widening there was two full
+    stream-sized copies (frombuffer->u64->intp) for nothing. Non-aligned
+    widths fall through to the u64 bulk unpacker."""
+    if n and width in (8, 16, 32, 64):
+        dt = {8: "<u1", 16: "<u2", 32: "<u4", 64: "<u8"}[width]
+        return np.frombuffer(payload, dtype=dt, count=n)
+    return unpack(payload, width, n)
+
+
 def unpack(payload: bytes, width: int, n: int) -> np.ndarray:
     """Inverse of :func:`pack`; returns a uint64 array of length ``n``."""
     if n == 0 or width == 0:

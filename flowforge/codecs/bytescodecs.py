@@ -133,7 +133,8 @@ def dict_decode(payload: bytes, meta: dict, n: int):
     ndv = int(meta["ndv"])
     _, sub_dec = BYTES_CODECS[meta.get("sub", "plain")]
     d_lens, d_data = sub_dec(dict_payload, meta["dict"], ndv)
-    codes = bitpack.unpack(code_payload, int(meta["width"]), n).astype(np.intp)
+    # zero-copy narrow codes: Arrow take() accepts any integer index width
+    codes = bitpack.unpack_narrow(code_payload, int(meta["width"]), n)
     dictionary = parts_to_arrow(d_lens, d_data)
     out = dictionary.take(pa.array(codes))
     return arrow_to_parts(out)

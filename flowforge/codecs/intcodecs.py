@@ -164,7 +164,9 @@ def dict_encode(values: np.ndarray):
 def dict_decode(payload: bytes, meta: dict, n: int) -> np.ndarray:
     dict_payload, code_payload = unpack_sections(payload)
     uniq = forbp_decode(dict_payload, meta["dict"], int(meta["ndv"]))
-    codes = bitpack.unpack(code_payload, int(meta["width"]), n).astype(np.intp)
+    # numpy fancy-indexing takes narrow index dtypes directly; widening the
+    # code stream to intp was a full extra copy per chunk
+    codes = bitpack.unpack_narrow(code_payload, int(meta["width"]), n)
     return uniq[codes]
 
 
