@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_agg_window": Q.q_store_agg_window,
         "store_agg_filtered": Q.q_store_agg_filtered,
         "store_group_sums": Q.q_store_group_sums,
+        "store_sqlagg_route": Q.q_store_sqlagg_route,
+        "store_sqlagg_grouped": Q.q_store_sqlagg_grouped,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
@@ -208,6 +210,20 @@ def oracle_sql() -> dict[str, str]:
         # grouped SUM at the codec layer: dict code streams aggregate
         # without materializing group values; oracle GROUP BYs the source
         "store_group_sums": (
+            "SELECT lang, count(*) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        # SQL-text aggregate routing (flowforge/sqlagg.py): same semantics
+        # the user's statement has, oracled against the source table
+        "store_sqlagg_route": (
+            "SELECT count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
+            "FROM documents WHERE lang IN ('en', 'de') "
+            "AND source LIKE 'src1%' AND n_chars BETWEEN 50 AND 5000"
+        ),
+        "store_sqlagg_grouped": (
             "SELECT lang, count(*) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"

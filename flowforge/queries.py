@@ -320,6 +320,41 @@ def q_store_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "cnt", F.col("sum").alias("sum_chars"))
 
 
+def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface AGGREGATE pushdown (round 4): the user types plain SQL;
+    the analyzed Catalyst plan routes to engine.agg_table, so the mixed
+    WHERE (IN + LIKE-prefix + BETWEEN) prunes off zone maps and the five
+    aggregates come from chunk/commit metadata — no full decode. The query
+    asserts the statement actually ROUTED (a silent fallback would pass the
+    value check while testing nothing)."""
+    from . import sqlagg
+
+    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
+    sql = ("SELECT count(*) AS cnt, sum(n_chars) AS sum_chars, "
+           "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+           "avg(n_chars) AS avg_chars FROM docs "
+           "WHERE lang IN ('en', 'de') AND source LIKE 'src1%' "
+           "AND n_chars BETWEEN 50 AND 5000")
+    if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
+        raise RuntimeError("store_sqlagg_route: statement failed to route")
+    return sqlagg.store_agg_sql(spark, sql, {"docs": out})
+
+
+def q_store_sqlagg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface GROUPED aggregate pushdown: GROUP BY through plain SQL
+    routes to the codec-layer group kernel (packed-code-stream bincount),
+    same result as q_store_group_sums but proven reachable from the SQL
+    text a user actually types."""
+    from . import sqlagg
+
+    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
+    sql = ("SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars "
+           "FROM docs GROUP BY lang")
+    if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
+        raise RuntimeError("store_sqlagg_grouped: statement failed to route")
+    return sqlagg.store_agg_sql(spark, sql, {"docs": out})
+
+
 def q_store_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface predicate pushdown (round-3 verdict, missing #1): the
     user types plain SQL over a registered chunk-store relation and the

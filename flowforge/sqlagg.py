@@ -1,0 +1,348 @@
+"""SQL aggregate routing: ``spark.sql`` text -> metadata-only aggregation.
+
+The Python Data Source API pushes FILTERS into the chunk store
+(:mod:`flowforge.datasource`) but has no aggregate pushdown hook, so
+``SELECT count(*) ... WHERE ts BETWEEN ...`` through a registered view
+still decodes every surviving chunk just to count rows — while
+:func:`flowforge.engine.agg_table` answers the same question from commit/
+chunk metadata with zero task I/O on proven buckets. This module closes
+that gap the way Spark itself would: let Spark PARSE AND ANALYZE the SQL
+(so quoting, case, aliases, timestamp literals are Spark's semantics, not
+a regex's), then walk the analyzed logical plan; if it is exactly the
+shape the engine can answer —
+
+    Aggregate(count(*) / sum / min / max / avg over int columns,
+              [group by one column],
+              [Filter(AND of eq / IN / LIKE-prefix / range)],
+              one registered chunk-store view)
+
+— route it to ``agg_table`` / ``group_agg_table`` / ``value_counts_table``.
+Anything else falls back to the ordinary filter-pushdown execution of the
+same statement, so ``store_agg_sql`` is ALWAYS correct and at worst as
+fast as ``store_sql``. The analyzed plan (not the raw text) is the
+contract: a routable and a fallback run of the same statement return the
+same rows, pinned by tests/test_sqlagg.py against both paths and DuckDB.
+
+Reference analog: the reference has no SQL surface at all (core/*.go is a
+fixed ETL); this is part of the repo's query-engine extension.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datasource, engine
+
+_I64_MIN, _I64_MAX = -(2 ** 63), 2 ** 63 - 1
+
+# aggregate-function class name -> engine agg_table spec head
+_AGG_FNS = {"Count": "count", "Sum": "sum", "Min": "min", "Max": "max",
+            "Average": "avg"}
+
+
+def _cls(o) -> str:
+    return o.getClass().getSimpleName()
+
+
+class _Unroutable(Exception):
+    """Internal: this plan shape is not expressible as an engine pushdown
+    (NOT an error — the caller falls back to ordinary execution)."""
+
+
+def _literal(e):
+    """Unwrap Cast(Literal)/Literal -> Python value (str/int/float).
+
+    Timestamp/date literals surface in the ANALYZED plan already converted
+    to the engine's epoch units (micros / days), so no timezone math
+    happens here. Anything else (null literals, decimals, non-literal
+    expressions) is unroutable."""
+    while _cls(e) == "Cast":
+        e = e.child()
+    if _cls(e) != "Literal":
+        raise _Unroutable(f"non-literal operand {e.sql()}")
+    v = e.value()
+    if v is None:
+        raise _Unroutable("null literal")
+    dt = e.dataType().simpleString()
+    if dt == "string":
+        return str(v)  # py4j surfaces UTF8String as an opaque JavaObject
+    if dt in ("tinyint", "smallint", "int", "bigint", "date",
+              "timestamp", "timestamp_ntz"):
+        return int(str(v))
+    if dt in ("float", "double"):
+        return float(str(v))
+    raise _Unroutable(f"literal type {dt}")
+
+
+def _attr_name(e) -> str:
+    if _cls(e) != "AttributeReference":
+        raise _Unroutable(f"not a plain column: {e.sql()}")
+    return str(e.name())
+
+
+def _flatten_and(cond) -> list:
+    if _cls(cond) == "And":
+        return _flatten_and(cond.left()) + _flatten_and(cond.right())
+    return [cond]
+
+
+def _leaf_to_constraint(c) -> tuple:
+    """One non-AND condition -> ("eq"|"in"|"prefix"|"lo"|"hi", col, value).
+
+    Mirrors datasource.ChunkStoreReader._translate but over analyzed
+    Catalyst expressions instead of DS-API filter objects."""
+    name = _cls(c)
+    if name == "Between":  # RuntimeReplaceable: input BETWEEN lower AND upper
+        col = _attr_name(c.input())
+        return ("between", col, (_literal(c.lower()), _literal(c.upper())))
+    if name == "EqualTo":
+        l, r = c.left(), c.right()
+        if _cls(l) != "AttributeReference":  # literal = col form
+            l, r = r, l
+        return ("eq", _attr_name(l), _literal(r))
+    if name == "In":
+        col = _attr_name(c.value())
+        lst = c.list()
+        return ("in", col, [_literal(lst.apply(i)) for i in range(lst.size())])
+    if name == "Like":
+        col = _attr_name(c.left())
+        pat = _literal(c.right())
+        if (isinstance(pat, str) and pat.endswith("%") and len(pat) > 1
+                and "%" not in pat[:-1] and "_" not in pat and "\\" not in pat):
+            return ("prefix", col, pat[:-1])
+        raise _Unroutable(f"LIKE pattern {pat!r} is not a plain prefix")
+    if name in ("GreaterThan", "GreaterThanOrEqual",
+                "LessThan", "LessThanOrEqual"):
+        l, r = c.left(), c.right()
+        flip = _cls(l) != "AttributeReference"
+        if flip:  # literal <op> col == col <flipped-op> literal
+            l, r = r, l
+        col, v = _attr_name(l), _literal(r)
+        lower = name.startswith("Greater") ^ flip
+        if isinstance(v, float):
+            # strict float bounds have no closed-form inclusive range
+            if name in ("GreaterThan", "LessThan"):
+                raise _Unroutable("strict float bound")
+            return ("lo" if lower else "hi", col, v)
+        if name in ("GreaterThan", "LessThan"):
+            v = v + 1 if lower else v - 1
+            if not _I64_MIN <= v <= _I64_MAX:
+                raise _Unroutable("strict bound overflows int64")
+        return ("lo" if lower else "hi", col, v)
+    raise _Unroutable(f"condition {name}")
+
+
+def _constraints_to_predicates(constraints: list) -> dict:
+    """Merge per-column constraints into engine predicate specs; conflicting
+    or duplicate constraints on one column are unroutable (the engine takes
+    ONE spec per column), never silently dropped."""
+    by_col: dict[str, dict] = {}
+    for kind, col, v in constraints:
+        slot = by_col.setdefault(col, {})
+        if kind == "between":
+            kind_pairs = (("lo", v[0]), ("hi", v[1]))
+        else:
+            kind_pairs = ((kind, v),)
+        for k, val in kind_pairs:
+            if k in slot or (k in ("eq", "in", "prefix") and slot) \
+                    or (k in ("lo", "hi") and not set(slot) <= {"lo", "hi"}):
+                raise _Unroutable(f"multiple constraints on column {col!r}")
+            slot[k] = val
+    preds: dict[str, tuple] = {}
+    for col, slot in by_col.items():
+        if "eq" in slot:
+            preds[col] = ("eq", slot["eq"])
+        elif "in" in slot:
+            preds[col] = ("in", slot["in"])
+        elif "prefix" in slot:
+            preds[col] = ("prefix", slot["prefix"])
+        else:
+            lo, hi = slot.get("lo"), slot.get("hi")
+            if isinstance(lo, float) or isinstance(hi, float):
+                preds[col] = (-math.inf if lo is None else lo,
+                              math.inf if hi is None else hi)
+            else:
+                preds[col] = (_I64_MIN if lo is None else lo,
+                              _I64_MAX if hi is None else hi)
+    return preds
+
+
+def _parse_agg_fn(named) -> tuple[str, tuple]:
+    """Alias(AggregateExpression(fn)) -> (alias, engine agg spec)."""
+    if _cls(named) != "Alias":
+        raise _Unroutable(f"unaliased select item {named.sql()}")
+    alias = str(named.name())
+    ae = named.child()
+    if _cls(ae) != "AggregateExpression" or ae.isDistinct():
+        raise _Unroutable(f"select item {named.sql()}")
+    fn = ae.aggregateFunction()
+    head = _AGG_FNS.get(_cls(fn))
+    if head is None:
+        raise _Unroutable(f"aggregate {_cls(fn)}")
+    args = fn.children()
+    if head == "count":
+        if args.size() == 1 and _cls(args.apply(0)) == "Literal" \
+                and str(args.apply(0).value()) == "1":
+            return alias, ("count",)
+        raise _Unroutable("count over an expression (only count(*))")
+    if args.size() != 1:
+        raise _Unroutable("multi-arg aggregate")
+    return alias, (head, _attr_name(args.apply(0)))
+
+
+def _route(analyzed, stores: dict[str, str]) -> dict:
+    """Analyzed plan -> routing description, or raise _Unroutable."""
+    if _cls(analyzed) != "Aggregate":
+        raise _Unroutable(f"root {_cls(analyzed)}")
+    node = analyzed.child()
+    constraints: list = []
+    if _cls(node) == "Filter":
+        for leaf in _flatten_and(node.condition()):
+            constraints.append(_leaf_to_constraint(leaf))
+        node = node.child()
+    if _cls(node) != "SubqueryAlias":
+        raise _Unroutable(f"relation {_cls(node)}")
+    view = str(node.identifier().toString())
+    if view not in stores:
+        raise _Unroutable(f"view {view!r} is not a registered store")
+
+    ges = analyzed.groupingExpressions()
+    group_col = None
+    if ges.size() > 1:
+        raise _Unroutable("multi-column GROUP BY")
+    if ges.size() == 1:
+        group_col = _attr_name(ges.apply(0))
+
+    aggs: dict[str, tuple] = {}
+    out_cols: list[tuple[str, str]] = []  # (output name, source: alias|group)
+    aes = analyzed.aggregateExpressions()
+    for i in range(aes.size()):
+        e = aes.apply(i)
+        # the group column may appear plain or re-aliased in the SELECT
+        if group_col is not None and _cls(e) == "AttributeReference" \
+                and str(e.name()) == group_col:
+            out_cols.append((group_col, "group"))
+            continue
+        if group_col is not None and _cls(e) == "Alias" \
+                and _cls(e.child()) == "AttributeReference" \
+                and str(e.child().name()) == group_col:
+            out_cols.append((str(e.name()), "group"))
+            continue
+        alias, spec = _parse_agg_fn(e)
+        if alias in aggs:
+            raise _Unroutable(f"duplicate output alias {alias!r}")
+        aggs[alias] = spec
+        out_cols.append((alias, "agg"))
+    if not aggs:
+        raise _Unroutable("no aggregate outputs")
+    # engine pushdown is exact only over integral columns (float sums are
+    # order-dependent); SQL-valid-but-unpushable types fall back
+    meta = datasource._read_meta(stores[view])
+    from pyspark.sql import types as T
+    by_type = {f.name: f.dataType.simpleString()
+               for f in T.StructType.fromJson(meta["spark_schema"]).fields}
+    for alias, spec in aggs.items():
+        if spec[0] != "count" \
+                and by_type.get(spec[1]) not in engine._INTEGRAL_TYPES:
+            raise _Unroutable(
+                f"{spec[0]}({spec[1]}) over type {by_type.get(spec[1])}")
+    if any(alias.startswith("__") for alias in aggs):
+        raise _Unroutable("alias with reserved '__' prefix")
+    predicates = _constraints_to_predicates(constraints)
+    if group_col is not None:
+        # the codec-layer grouped kernels take no predicates and support
+        # count(*) + sum(col) over ONE agg column
+        if predicates:
+            raise _Unroutable("grouped aggregate with WHERE")
+        sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
+        if any(spec[0] not in ("count", "sum") for spec in aggs.values()) \
+                or len(sum_cols) > 1:
+            raise _Unroutable(
+                "grouped aggregate beyond count(*) + sum(one col)")
+    return {
+        "out_dir": stores[view],
+        "group_col": group_col,
+        "aggs": aggs,
+        "predicates": predicates,
+        "out_cols": out_cols,
+    }
+
+
+def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
+    out_dir, group_col = r["out_dir"], r["group_col"]
+    aggs, preds = r["aggs"], r["predicates"]
+    if group_col is None:
+        df = engine.agg_table(spark, out_dir, aggs, predicates=preds or None)
+        # Spark SQL's min/max keep the column's own type; the kernel
+        # accumulates in long — cast back so routed and fallback plans are
+        # schema-identical drop-ins
+        from pyspark.sql import types as T
+        meta = datasource._read_meta(out_dir)
+        by_field = {f.name: f.dataType for f in
+                    T.StructType.fromJson(meta["spark_schema"]).fields}
+        sel = []
+        for name, _ in r["out_cols"]:
+            spec = aggs[name]
+            if spec[0] in ("min", "max"):
+                sel.append(F.col(name).cast(by_field[spec[1]]).alias(name))
+            else:
+                sel.append(F.col(name))
+        return df.select(*sel)
+    sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
+    if sum_cols:
+        base = engine.group_agg_table(spark, out_dir, group_col,
+                                      next(iter(sum_cols)))
+        names = {"count": "cnt", "sum": "sum"}
+    else:
+        base = engine.value_counts_table(spark, out_dir, group_col)
+        names = {"count": "cnt"}
+    sel = []
+    for name, src in r["out_cols"]:
+        if src == "group":
+            sel.append(F.col(group_col).alias(name))
+        else:
+            sel.append(F.col(names[aggs[name][0]]).alias(name))
+    return base.select(*sel)
+
+
+def route_agg_sql(spark: SparkSession, sql: str,
+                  stores: dict[str, str]) -> dict | None:
+    """Dry-run the router: the routing description for ``sql``, or None if
+    it would fall back. Registers the store views (like store_sql) so the
+    statement analyzes. Tests pin routability with this."""
+    datasource.register(spark)
+    for name, out_dir in stores.items():
+        datasource._load(spark, out_dir, None,
+                         pushdown=True).createOrReplaceTempView(name)
+    analyzed = spark.sql(sql)._jdf.queryExecution().analyzed()
+    try:
+        return _route(analyzed, stores)
+    except _Unroutable:
+        return None
+
+
+def store_agg_sql(spark: SparkSession, sql: str, stores: dict[str, str],
+                  columns: dict[str, list[str]] | None = None) -> DataFrame:
+    """Run one SQL statement over chunk stores with aggregate pushdown.
+
+    Routable aggregate shapes are answered from chunk/commit metadata and
+    codec-layer kernels (see module docstring); everything else runs as
+    :func:`flowforge.datasource.store_sql` (full filter pushdown). Always
+    correct; routing only changes the cost."""
+    datasource.register(spark)
+    for name, out_dir in stores.items():
+        cols = (columns or {}).get(name)
+        datasource._load(spark, out_dir, cols,
+                         pushdown=True).createOrReplaceTempView(name)
+    df = spark.sql(sql)
+    try:
+        r = _route(df._jdf.queryExecution().analyzed(), stores)
+        return _execute_route(spark, r)
+    except (_Unroutable, ValueError):
+        # ValueError = an engine-side planning restriction the router did
+        # not pre-check (e.g. a column name colliding with a kernel output
+        # alias); the statement is still valid SQL, so execute it normally
+        return df

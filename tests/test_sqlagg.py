@@ -1,0 +1,131 @@
+"""SQL aggregate routing (flowforge/sqlagg.py): route + fallback parity.
+
+Every statement runs THREE ways — store_agg_sql (routed when possible),
+plain spark.sql over the same registered view (Spark executes), and, for
+the routable set, the route dry-run — and must agree on rows AND schema,
+so a user can swap store_agg_sql in for spark.sql with no visible change
+except cost.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flowforge import engine, sqlagg
+
+ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            int(i),
+            ["en", "de", "fr", None][int(rng.integers(0, 4))],
+            f"src{int(rng.integers(0, 20))}/item{i}",
+            int(rng.integers(0, 5000)),
+            float(rng.standard_normal()),
+        )
+        for i in range(ROWS)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long, "
+              "score double")
+    out = str(tmp_path_factory.mktemp("sqlagg")) + "/store"
+    engine.run_encode(spark, df, out, buckets=8, salt_col="source")
+    return out
+
+
+ROUTABLE = [
+    "SELECT count(*) AS cnt FROM docs",
+    "SELECT count(*) AS cnt, sum(n_chars) AS s, min(n_chars) AS mn, "
+    "max(n_chars) AS mx, avg(n_chars) AS av FROM docs WHERE lang = 'en'",
+    "SELECT count(*) AS cnt FROM docs WHERE source LIKE 'src1%' "
+    "AND lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 2000",
+    "SELECT count(*) AS cnt, sum(n_chars) AS s FROM docs WHERE n_chars > 500",
+    "SELECT count(*) AS cnt FROM docs WHERE 4000 <= n_chars",
+    "SELECT lang, count(*) AS cnt FROM docs GROUP BY lang",
+    "SELECT lang AS l, count(*) AS cnt, sum(n_chars) AS s "
+    "FROM docs GROUP BY lang",
+    "SELECT sum(n_chars) AS only_sum FROM docs GROUP BY lang",
+]
+
+FALLBACK = [
+    "SELECT count(DISTINCT lang) AS d FROM docs",          # distinct agg
+    "SELECT lang, max(n_chars) AS m FROM docs GROUP BY lang",  # grouped max
+    "SELECT upper(lang) AS l, count(*) AS c FROM docs "
+    "GROUP BY upper(lang)",                                # computed group
+    "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
+    "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR lang = 'de'",  # OR
+    "SELECT sum(score) AS s FROM docs",                    # float sum
+    "SELECT count(*) AS c FROM docs WHERE score > 0.5",    # strict float
+    "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
+    "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
+    "SELECT lang, count(*) AS c FROM docs WHERE n_chars > 10 GROUP BY lang",
+    "SELECT count(n_chars) AS c FROM docs",                # count(col)
+]
+
+
+def _both(spark, store, sql):
+    fast = sqlagg.store_agg_sql(spark, sql, {"docs": store})
+    slow = spark.sql(sql)  # view registered by the call above
+    return fast, slow
+
+
+@pytest.mark.parametrize("sql", ROUTABLE)
+def test_routable_statements_match_spark(spark, store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is not None
+    fast, slow = _both(spark, store, sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields]
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
+
+
+@pytest.mark.parametrize("sql", FALLBACK)
+def test_fallback_statements_still_correct(spark, store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+    fast, slow = _both(spark, store, sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
+
+
+def test_route_description_shapes(spark, store):
+    r = sqlagg.route_agg_sql(
+        spark,
+        "SELECT count(*) AS cnt, avg(n_chars) AS av FROM docs "
+        "WHERE lang = 'en' AND n_chars BETWEEN 10 AND 99 "
+        "AND source LIKE 'src1%'",
+        {"docs": store})
+    assert r["group_col"] is None
+    assert r["aggs"] == {"cnt": ("count",), "av": ("avg", "n_chars")}
+    assert r["predicates"] == {"lang": ("eq", "en"),
+                               "n_chars": (10, 99),
+                               "source": ("prefix", "src1")}
+    # strict int bounds tighten into the inclusive range spec
+    r = sqlagg.route_agg_sql(
+        spark, "SELECT count(*) AS c FROM docs WHERE n_chars > 10 "
+               "AND n_chars < 99", {"docs": store})
+    assert r["predicates"] == {"n_chars": (11, 98)}
+
+
+def test_routed_count_reads_no_chunk_bytes(spark, store):
+    """The point of routing: an unfiltered COUNT comes from commit
+    metadata, which decode-side instrumentation sees as zero decoded
+    chunks (agg_table's driver row, no kernel dispatch)."""
+    df = sqlagg.store_agg_sql(spark, "SELECT count(*) AS cnt FROM docs",
+                              {"docs": store})
+    # the routed one-row plan is a LocalRelation-backed DataFrame (driver
+    # metadata), not a mapInArrow scan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInArrow" not in plan and "flowforge" not in plan
+    assert df.collect()[0]["cnt"] == ROWS
+
+
+def test_unknown_view_is_not_routed(spark, store):
+    # a second, unregistered table in the statement -> fallback, and the
+    # registered view still resolves
+    sql = ("SELECT count(*) AS c FROM docs "
+           "WHERE lang IN (SELECT 'en' AS lang)")
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
