@@ -193,11 +193,9 @@ def _parse_agg_fn(named) -> tuple[str, tuple]:
     return alias, (head, _attr_name(args.apply(0)))
 
 
-def _route(analyzed, stores: dict[str, str]) -> dict:
-    """Analyzed plan -> routing description, or raise _Unroutable."""
-    if _cls(analyzed) != "Aggregate":
-        raise _Unroutable(f"root {_cls(analyzed)}")
-    node = analyzed.child()
+def _filter_and_relation(node, stores) -> tuple[list, str]:
+    """[Filter] -> SubqueryAlias chain under an Aggregate/Distinct root ->
+    (constraints, view name)."""
     constraints: list = []
     if _cls(node) == "Filter":
         for leaf in _flatten_and(node.condition()):
@@ -208,6 +206,32 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     view = str(node.identifier().toString())
     if view not in stores:
         raise _Unroutable(f"view {view!r} is not a registered store")
+    return constraints, view
+
+
+def _route(analyzed, stores: dict[str, str]) -> dict:
+    """Analyzed plan -> routing description, or raise _Unroutable."""
+    if _cls(analyzed) == "Distinct":
+        # SELECT DISTINCT col analyzes as Distinct(Project([col])) — same
+        # engine answer as GROUP BY col with the counts dropped
+        proj = analyzed.child()
+        if _cls(proj) != "Project" or proj.projectList().size() != 1:
+            raise _Unroutable("DISTINCT beyond one plain column")
+        item = proj.projectList().apply(0)
+        if _cls(item) == "Alias":
+            out_name, item = str(item.name()), item.child()
+        else:
+            out_name = str(item.name())
+        group_col = _attr_name(item)
+        constraints, view = _filter_and_relation(proj.child(), stores)
+        if constraints:
+            raise _Unroutable("DISTINCT with WHERE")
+        return {"out_dir": stores[view], "group_col": group_col,
+                "aggs": {}, "predicates": {},
+                "out_cols": [(out_name, "group")]}
+    if _cls(analyzed) != "Aggregate":
+        raise _Unroutable(f"root {_cls(analyzed)}")
+    constraints, view = _filter_and_relation(analyzed.child(), stores)
 
     ges = analyzed.groupingExpressions()
     group_col = None
@@ -236,8 +260,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             raise _Unroutable(f"duplicate output alias {alias!r}")
         aggs[alias] = spec
         out_cols.append((alias, "agg"))
-    if not aggs:
+    if not aggs and group_col is None:
         raise _Unroutable("no aggregate outputs")
+    # group-by with no aggregates is how Spark analyzes SELECT DISTINCT col
+    # — routed to the same codec-layer value-counts kernel, counts dropped
     # engine pushdown is exact only over integral columns (float sums are
     # order-dependent); SQL-valid-but-unpushable types fall back
     meta = datasource._read_meta(stores[view])

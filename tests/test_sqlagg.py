@@ -129,3 +129,31 @@ def test_unknown_view_is_not_routed(spark, store):
     sql = ("SELECT count(*) AS c FROM docs "
            "WHERE lang IN (SELECT 'en' AS lang)")
     assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+
+
+DISTINCT_ROUTED = [
+    "SELECT DISTINCT lang FROM docs",
+    "SELECT DISTINCT lang AS l FROM docs",
+    "SELECT lang FROM docs GROUP BY lang",
+]
+
+DISTINCT_FALLBACK = [
+    "SELECT DISTINCT lang, source FROM docs",        # multi-column
+    "SELECT DISTINCT lang FROM docs WHERE n_chars > 10",  # filtered
+]
+
+
+@pytest.mark.parametrize("sql", DISTINCT_ROUTED)
+def test_distinct_routes_to_value_counts(spark, store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is not None
+    fast, slow = _both(spark, store, sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
+
+
+@pytest.mark.parametrize("sql", DISTINCT_FALLBACK)
+def test_distinct_fallback_correct(spark, store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+    fast, slow = _both(spark, store, sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
