@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_agg_filtered": Q.q_store_agg_filtered,
         "store_group_sums": Q.q_store_group_sums,
         "store_sqlagg_route": Q.q_store_sqlagg_route,
+        "store_topk_latest": Q.q_store_topk_latest,
         "store_sqlagg_grouped": Q.q_store_sqlagg_grouped,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
@@ -227,6 +228,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
+        ),
+        # ORDER BY/LIMIT pushdown: the tie-break column makes the 25-row
+        # set deterministic, so the order-insensitive compare is exact
+        "store_topk_latest": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms, user_id FROM events "
+            "ORDER BY ts DESC, event_id LIMIT 25"
         ),
         # time-clustered store: engine decodes a 2-day window with >90% of
         # buckets pruned off commit zone maps; oracle filters the source

@@ -1402,6 +1402,199 @@ def count_table(spark: SparkSession, out_dir: str,
         .cast("long").alias("cnt"))
 
 
+def _topk_cutoff(stats: list[tuple[int, int, int]], k: int,
+                 descending: bool) -> int | None:
+    """Zone-map top-k cutoff over (min, max, n_nonnull) stats.
+
+    Descending: sort by min desc and accumulate row counts; once >= k rows
+    are guaranteed, every unit whose max is below the current min can never
+    place a row in the top k. Returns the cutoff value L (prune units with
+    max < L; ascending mirrors with min > L), or None when fewer than k
+    non-null rows exist in total (no pruning is sound then)."""
+    got = 0
+    # descending sorts by min desc; ascending needs max asc as the guarantee
+    order = sorted(stats, key=lambda s: s[0], reverse=True) if descending \
+        else sorted(stats, key=lambda s: s[1])
+    for lo, hi, n in order:
+        got += n
+        if got >= k:
+            return lo if descending else hi
+    return None
+
+
+_TOPK_POS = "__ff_pos"
+
+
+def _make_topk_kernel(out_dir: str, order_col: str, tie_col: str,
+                      out_names: list[str], k: int, descending: bool):
+    """Per-bucket top-k with late materialization: chunk zone maps on the
+    order column first (same cutoff rule as the driver, per chunk), decode
+    order+tie for surviving chunks, pa.compute.select_k_unstable for the
+    local winners (the tie column makes the order total, so 'unstable' is
+    deterministic), then decode the OTHER requested columns only for
+    chunks that actually hold winners and gather those <= k rows."""
+    key_cols = [order_col, tie_col]
+    rest_cols = [c for c in out_names if c not in key_cols]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        manifest = Manifest(out_dir)
+        for batch in batches:
+            for bucket in batch.column("bucket").to_pylist():
+                metas: dict[str, dict[int, tuple[dict, int]]] = {}
+                for c in key_cols:
+                    t = pq.read_table(manifest.chunk_read_path(c, bucket),
+                                      columns=["chunk_seq", "meta", "n_rows"])
+                    metas[c] = {
+                        int(s): (json.loads(m), int(nr))
+                        for s, m, nr in zip(t.column("chunk_seq").to_pylist(),
+                                            t.column("meta").to_pylist(),
+                                            t.column("n_rows").to_pylist())}
+                stats = []
+                for s, (m, nr) in metas[order_col].items():
+                    if "min" in m:
+                        stats.append((m["min"], m["max"],
+                                      nr - int(m.get("nulls", 0)), s))
+                cut = _topk_cutoff([(lo, hi, n) for lo, hi, n, _ in stats],
+                                   k, descending)
+                live = sorted(
+                    s for lo, hi, n, s in stats
+                    if cut is None or (hi >= cut if descending else lo <= cut))
+                if not live:
+                    continue
+                payloads = {c: _read_chunk_payloads(manifest, c, bucket, live)
+                            for c in key_cols}
+                parts = []
+                for s in live:
+                    cols = {}
+                    for c in key_cols:
+                        m, nr = metas[c][s]
+                        cols[c] = chunklib.decode_array(payloads[c][s], m, nr)
+                    n = len(cols[order_col])
+                    cols["__seq"] = pa.array(np.full(n, s, dtype=np.int64))
+                    cols[_TOPK_POS] = pa.array(np.arange(n, dtype=np.int64))
+                    parts.append(pa.table(cols))
+                tbl = pa.concat_tables(parts)
+                # top-k excludes null order values (documented; SQL parity
+                # via WHERE order_col IS NOT NULL)
+                tbl = tbl.filter(pc.is_valid(tbl.column(order_col)))
+                if tbl.num_rows == 0:
+                    continue
+                keys = [(order_col,
+                         "descending" if descending else "ascending"),
+                        (tie_col, "ascending")]
+                idx = pc.select_k_unstable(tbl, min(k, tbl.num_rows), keys)
+                win = tbl.take(idx)
+                # late materialization: non-key columns only for winner chunks
+                need = sorted(set(win.column("__seq").to_pylist()))
+                seqs = win.column("__seq").to_pylist()
+                poss = win.column(_TOPK_POS).to_pylist()
+                gathered: dict[str, pa.Array] = {}
+                for c in rest_cols:
+                    t = pq.read_table(
+                        manifest.chunk_read_path(c, bucket),
+                        columns=["chunk_seq", "meta", "n_rows", "payload"],
+                        filters=[("chunk_seq", "in", need)])
+                    per_seq = {
+                        int(s): chunklib.decode_array(p, json.loads(m),
+                                                      int(nr))
+                        for s, m, nr, p in zip(
+                            t.column("chunk_seq").to_pylist(),
+                            t.column("meta").to_pylist(),
+                            t.column("n_rows").to_pylist(),
+                            t.column("payload").to_pylist())}
+                    first = per_seq[need[0]]
+                    gathered[c] = pa.array(
+                        [per_seq[sq][pos].as_py()
+                         for sq, pos in zip(seqs, poss)],
+                        type=first.type)
+                arrays = [win.column(c).combine_chunks()
+                          if c in key_cols else gathered[c]
+                          for c in out_names]
+                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return kernel
+
+
+def topk_table(spark: SparkSession, out_dir: str, order_col: str, k: int,
+               *, descending: bool = True, tie_col: str | None = None,
+               columns: list[str] | None = None) -> DataFrame:
+    """``SELECT <columns> ORDER BY order_col [DESC], tie_col LIMIT k``
+    pushed into the chunk store — the "latest N events" query at
+    10^12-row scale.
+
+    Two pruning layers before any payload byte is read: bucket commit
+    zone maps drop buckets that provably cannot place a row in the top k
+    (on a time-clustered store, ORDER BY ts DESC LIMIT k reads ~one
+    bucket), then chunk zone maps repeat the cutoff inside each surviving
+    bucket. Winner rows late-materialize: non-key columns decode only for
+    chunks that hold winners. Per-bucket partials are <= k rows, so the
+    final global sort handles <= k * buckets rows, never O(rows).
+
+    ``order_col`` must be int-ordered (int/bigint/timestamp/date);
+    ``tie_col`` (int-ordered, e.g. the row id) makes the selected row SET
+    deterministic under ties — required when k < n. Rows whose order value
+    is NULL are excluded (SQL parity: add ``WHERE order_col IS NOT NULL``;
+    Spark's default DESC NULLS LAST only surfaces nulls when fewer than k
+    non-null rows exist).
+
+    Reference analog: none — the reference is write-path ETL; this is part
+    of the query-engine extension (SURVEY §2.2 sort/limit/top-k).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    meta, nonempty = _plan_store(out_dir)
+    spark_schema = T.StructType.fromJson(meta["spark_schema"])
+    by_name = {f.name: f for f in spark_schema.fields}
+    use_cols = columns or [f.name for f in spark_schema.fields]
+    for c in use_cols:
+        if c not in by_name:
+            raise ValueError(f"unknown column {c!r}")
+    if not _is_predicate_type(by_name[order_col].dataType.simpleString()):
+        raise ValueError(
+            f"top-k order column must be int-ordered; {order_col!r} is "
+            f"{by_name[order_col].dataType.simpleString()}")
+    if tie_col is None:
+        raise ValueError(
+            "tie_col is required: without a total order the top-k row SET "
+            "at the k-th boundary is nondeterministic (pass the row id)")
+    if not _is_predicate_type(by_name[tie_col].dataType.simpleString()):
+        raise ValueError(f"tie column must be int-ordered; got {tie_col!r}")
+    stats, keep = [], []
+    for rec in nonempty:
+        st = rec["columns"].get(order_col, {})
+        if "min" in st:
+            n_nonnull = int(rec["n_rows"]) - int(st.get("nulls", 0))
+            stats.append((int(st["min"]), int(st["max"]), n_nonnull))
+    cut = _topk_cutoff(stats, k, descending)
+    for rec in nonempty:
+        st = rec["columns"].get(order_col, {})
+        if "min" not in st:
+            continue  # all-null order column in this bucket
+        if cut is not None and (int(st["max"]) < cut if descending
+                                else int(st["min"]) > cut):
+            continue
+        keep.append(int(rec["bucket"]))
+    out_names = list(dict.fromkeys(list(use_cols) + [order_col, tie_col]))
+    out_schema = T.StructType([by_name[c] for c in out_names])
+    if not keep:
+        return spark.createDataFrame([], out_schema).select(*use_cols)
+    buckets_df = spark.createDataFrame(
+        [(b,) for b in sorted(keep)],
+        T.StructType([T.StructField("bucket", T.LongType(), False)])
+    ).repartition(len(keep))
+    partials = buckets_df.mapInArrow(
+        _make_topk_kernel(out_dir, order_col, tie_col, out_names, k,
+                          descending),
+        out_schema)
+    order_exprs = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(tie_col).asc(),
+    ]
+    return partials.orderBy(*order_exprs).limit(k).select(*use_cols)
+
+
 # integral Spark types whose chunk metas carry exact sums usable for SUM
 # pushdown (timestamps/dates also store int sums, but summing them is not a
 # SQL operation; floats store order-KEY min/max and no sum at all)

@@ -320,6 +320,28 @@ def q_store_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "cnt", F.col("sum").alias("sum_chars"))
 
 
+def q_store_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY/LIMIT pushdown (round 4): the 'latest 25 events' query.
+    Typed as SQL, routed through the analyzed plan to engine.topk_table —
+    on the ts-clustered store the bucket zone-map cutoff keeps ~1 of the
+    buckets (pinned in tests/test_topk.py) and winner rows late-materialize
+    (non-key columns decode only for chunks holding winners). Route is
+    asserted; the tie-break column makes the row set deterministic."""
+    from . import sqlagg
+
+    out = _ensure_store_clustered(spark, sf_dir, "events", "ts")
+    sql = ("SELECT event_id, ts, user_id FROM ev "
+           "ORDER BY ts DESC, event_id LIMIT 25")
+    if sqlagg.route_agg_sql(spark, sql, {"ev": out}) is None:
+        raise RuntimeError("store_topk_latest: statement failed to route")
+    d = sqlagg.store_agg_sql(spark, sql, {"ev": out})
+    return d.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "user_id",
+    )
+
+
 def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface AGGREGATE pushdown (round 4): the user types plain SQL;
     the analyzed Catalyst plan routes to engine.agg_table, so the mixed

@@ -209,8 +209,65 @@ def _filter_and_relation(node, stores) -> tuple[list, str]:
     return constraints, view
 
 
+def _route_topk(analyzed, stores: dict[str, str]) -> dict:
+    """GlobalLimit(LocalLimit(Sort(Project(SubqueryAlias)))) ->
+    engine.topk_table routing. Requires exactly (order_col [ASC|DESC],
+    tie_col ASC) sort keys over plain columns, a plain-column projection,
+    no WHERE, and an order column with zero nulls in the store (checked
+    against the commit records — topk_table excludes null order values,
+    so Spark's NULLS FIRST/LAST placement must be moot for parity)."""
+    k_expr = analyzed.limitExpr()
+    if _cls(k_expr) != "Literal":
+        raise _Unroutable("non-literal LIMIT")
+    k = int(str(k_expr.value()))
+    node = analyzed.child()
+    if _cls(node) != "LocalLimit":
+        raise _Unroutable("limit without local limit")
+    node = node.child()
+    if _cls(node) != "Sort":
+        raise _Unroutable("LIMIT without ORDER BY")
+    so = node.order()
+    if so.size() != 2:
+        raise _Unroutable("top-k needs exactly (order, tie) sort keys")
+    order_key, tie_key = so.apply(0), so.apply(1)
+    order_col = _attr_name(order_key.child())
+    tie_col = _attr_name(tie_key.child())
+    if str(tie_key.direction().sql()) != "ASC":
+        raise _Unroutable("tie key must be ASC")
+    descending = str(order_key.direction().sql()) == "DESC"
+    node = node.child()
+    if _cls(node) != "Project":
+        raise _Unroutable(f"top-k over {_cls(node)}")
+    pl = node.projectList()
+    use_cols = [_attr_name(pl.apply(i)) for i in range(pl.size())]
+    constraints, view = _filter_and_relation(node.child(), stores)
+    if constraints:
+        raise _Unroutable("top-k with WHERE")
+    out_dir = stores[view]
+    meta, nonempty = engine._plan_store(out_dir)
+    from pyspark.sql import types as T
+    by_type = {f.name: f.dataType.simpleString()
+               for f in T.StructType.fromJson(meta["spark_schema"]).fields}
+    for col in (order_col, tie_col):
+        if not engine._is_predicate_type(by_type.get(col, "")):
+            raise _Unroutable(
+                f"top-k key {col!r} is {by_type.get(col)} (needs int-ordered)")
+    # parity precondition: null order values change Spark's output order
+    # (NULLS FIRST/LAST) but topk_table drops them — only route when the
+    # store provably has none
+    for col in (order_col, tie_col):
+        if any(int(rec["columns"].get(col, {}).get("nulls", 0))
+               for rec in nonempty):
+            raise _Unroutable(f"store has null {col!r} values")
+    return {"kind": "topk", "out_dir": out_dir, "order_col": order_col,
+            "tie_col": tie_col, "k": k, "descending": descending,
+            "use_cols": use_cols}
+
+
 def _route(analyzed, stores: dict[str, str]) -> dict:
     """Analyzed plan -> routing description, or raise _Unroutable."""
+    if _cls(analyzed) == "GlobalLimit":
+        return _route_topk(analyzed, stores)
     if _cls(analyzed) == "Distinct":
         # SELECT DISTINCT col analyzes as Distinct(Project([col])) — same
         # engine answer as GROUP BY col with the counts dropped
@@ -298,6 +355,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
 
 
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
+    if r.get("kind") == "topk":
+        return engine.topk_table(
+            spark, r["out_dir"], r["order_col"], r["k"],
+            descending=r["descending"], tie_col=r["tie_col"],
+            columns=r["use_cols"])
     out_dir, group_col = r["out_dir"], r["group_col"]
     aggs, preds = r["aggs"], r["predicates"]
     if group_col is None:

@@ -1,0 +1,122 @@
+"""ORDER BY/LIMIT (top-k) pushdown: engine.topk_table + SQL routing.
+
+The scale claim is zone-map pruning: on a ts-clustered store, top-k by ts
+touches ~one bucket; the cutoff rule (accumulate guaranteed rows from the
+best zone until >= k, prune everything provably below) is pinned directly
+and via the kernel. Correctness is pinned against Spark's own ORDER BY
+... LIMIT on the decoded store — identical row LIST (order included),
+both directions, with a tie-heavy fixture.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flowforge import engine, sqlagg
+
+ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def src_df(spark):
+    rng = np.random.default_rng(11)
+    # heavy ties in ts (only 50 distinct values) force tie-break coverage
+    rows = [(int(i), int(rng.integers(0, 50)) * 1000, int(rng.integers(0, 9)),
+             float(rng.standard_normal()))
+            for i in range(ROWS)]
+    return spark.createDataFrame(
+        rows, "event_id long, tsv long, user long, score double")
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, src_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("topk")) + "/clustered"
+    engine.run_encode(spark, src_df, out, buckets=16, cluster_col="tsv")
+    return out
+
+
+@pytest.fixture(scope="module")
+def salted(spark, src_df, tmp_path_factory):
+    # worst case for pruning: every bucket spans the whole ts range
+    out = str(tmp_path_factory.mktemp("topk")) + "/salted"
+    engine.run_encode(spark, src_df, out, buckets=8, salt_col="event_id")
+    return out
+
+
+def _spark_topk(src_df, k, descending):
+    order = F.col("tsv").desc() if descending else F.col("tsv").asc()
+    return [tuple(r) for r in
+            src_df.orderBy(order, F.col("event_id").asc()).limit(k)
+            .select("event_id", "tsv", "user").collect()]
+
+
+@pytest.mark.parametrize("store_fixture", ["clustered", "salted"])
+@pytest.mark.parametrize("descending", [True, False])
+@pytest.mark.parametrize("k", [1, 25, ROWS + 10])
+def test_topk_matches_spark(spark, src_df, request, store_fixture,
+                            descending, k):
+    out = request.getfixturevalue(store_fixture)
+    got = [tuple(r) for r in
+           engine.topk_table(spark, out, "tsv", k, descending=descending,
+                             tie_col="event_id",
+                             columns=["event_id", "tsv", "user"]).collect()]
+    assert got == _spark_topk(src_df, k, descending)
+
+
+def test_cutoff_rule():
+    # three buckets: [0,10]x5 rows, [8,20]x5, [30,40]x5; top-3 descending
+    # is guaranteed inside the [30,40] bucket -> cutoff 30 prunes the rest
+    stats = [(0, 10, 5), (8, 20, 5), (30, 40, 5)]
+    assert engine._topk_cutoff(stats, 3, True) == 30
+    assert engine._topk_cutoff(stats, 6, True) == 8
+    # ascending mirrors on max
+    assert engine._topk_cutoff(stats, 3, False) == 10
+    # fewer rows than k -> no sound cutoff
+    assert engine._topk_cutoff(stats, 99, True) is None
+
+
+def test_clustered_store_prunes_buckets(spark, clustered):
+    _, nonempty = engine._plan_store(clustered)
+    stats = [(int(r["columns"]["tsv"]["min"]), int(r["columns"]["tsv"]["max"]),
+              int(r["n_rows"])) for r in nonempty]
+    cut = engine._topk_cutoff(stats, 10, True)
+    kept = sum(1 for lo, hi, n in stats if hi >= cut)
+    # quantile range buckets: top-10 of 4000 rows lives in the last bucket
+    # (ties at the boundary can keep a neighbor)
+    assert kept <= 2, (kept, len(stats))
+
+
+def test_topk_validation(spark, clustered):
+    with pytest.raises(ValueError, match="tie_col is required"):
+        engine.topk_table(spark, clustered, "tsv", 5)
+    with pytest.raises(ValueError, match="positive"):
+        engine.topk_table(spark, clustered, "tsv", 0, tie_col="event_id")
+    with pytest.raises(ValueError, match="int-ordered"):
+        engine.topk_table(spark, clustered, "score", 5, tie_col="event_id",
+                          columns=["event_id"])
+    with pytest.raises(ValueError, match="int-ordered"):
+        engine.topk_table(spark, clustered, "tsv", 5, tie_col="score",
+                          columns=["event_id"])
+
+
+def test_topk_sql_routing(spark, src_df, clustered):
+    stores = {"ev": clustered}
+    sql = ("SELECT event_id, tsv, user FROM ev "
+           "ORDER BY tsv DESC, event_id LIMIT 25")
+    assert sqlagg.route_agg_sql(spark, sql, stores) is not None
+    got = [tuple(r) for r in
+           sqlagg.store_agg_sql(spark, sql, stores).collect()]
+    assert got == _spark_topk(src_df, 25, True)
+    # not routed: missing tie key, WHERE clause, non-literal limit shape
+    for sql in [
+        "SELECT event_id, tsv FROM ev ORDER BY tsv DESC LIMIT 5",
+        "SELECT event_id, tsv FROM ev WHERE user = 3 "
+        "ORDER BY tsv DESC, event_id LIMIT 5",
+        "SELECT event_id, tsv FROM ev ORDER BY tsv DESC, event_id DESC "
+        "LIMIT 5",
+    ]:
+        assert sqlagg.route_agg_sql(spark, sql, stores) is None
+        fast = [tuple(r) for r in
+                sqlagg.store_agg_sql(spark, sql, stores).collect()]
+        slow = [tuple(r) for r in spark.sql(sql).collect()]
+        assert sorted(fast) == sorted(slow)
