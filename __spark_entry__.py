@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_group_sums": Q.q_store_group_sums,
         "store_sqlagg_route": Q.q_store_sqlagg_route,
         "store_topk_latest": Q.q_store_topk_latest,
+        "store_sqlagg_grouped_where": Q.q_store_sqlagg_grouped_where,
         "store_sqlagg_grouped": Q.q_store_sqlagg_grouped,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
@@ -228,6 +229,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"
+        ),
+        "store_sqlagg_grouped_where": (
+            "SELECT lang, count(*) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "WHERE source LIKE 'src1%' AND n_chars BETWEEN 100 AND 4000 "
+            "GROUP BY lang"
         ),
         # ORDER BY/LIMIT pushdown: the tie-break column makes the 25-row
         # set deterministic, so the order-insensitive compare is exact

@@ -371,7 +371,8 @@ def chunk_value_counts(payload: bytes, meta: dict, n: int) -> pa.Table:
 
 
 def chunk_group_sums(g_payload: bytes, g_meta: dict,
-                     a_payload: bytes, a_meta: dict, n: int) -> pa.Table:
+                     a_payload: bytes, a_meta: dict, n: int,
+                     mask: np.ndarray | None = None) -> pa.Table:
     """Partial ``(value, cnt, sum)`` rows for one chunk — grouped COUNT(*) +
     SUM(agg) pushed to the codec layer (engine.group_agg_table reduces).
 
@@ -382,8 +383,15 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
     Any other group codec decodes both columns and uses Arrow's hash
     aggregation. SQL semantics: nulls form a group; a group whose agg values
     are all null gets sum NULL; int64 overflow wraps exactly like Spark's
-    non-ANSI sum(long) (wrap-around addition is associative mod 2^64)."""
+    non-ANSI sum(long) (wrap-around addition is associative mod 2^64).
+
+    ``mask`` (bool[n], from the predicate machinery) restricts the
+    aggregation to matching rows — filtered grouped aggregates stay at the
+    codec layer: in the dict path the mask indexes the CODE stream, so
+    group values still never materialize per row."""
     a_arr = decode_array(a_payload, a_meta, n)
+    if mask is not None:
+        a_arr = a_arr.filter(pa.array(mask))
     t = parse_type(g_meta["type"])
     m = g_meta["m"]
     nulls = int(g_meta["nulls"])
@@ -401,6 +409,8 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
             full = np.full(n, ndv, dtype=np.int64)
             full[gmask] = codes
             codes = full
+        if mask is not None:
+            codes = codes[mask]
         ngroups = ndv + (1 if nulls else 0)
         cnt = np.bincount(codes, minlength=ngroups)
         if a_arr.null_count:
@@ -429,6 +439,8 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
                         "sum": sums})
         return out.filter(pa.array(keep)) if not keep.all() else out
     g_arr = decode_array(g_payload, g_meta, n)
+    if mask is not None:
+        g_arr = g_arr.filter(pa.array(mask))
     r = (pa.table({"value": g_arr, "v": a_arr})
          .group_by("value")
          .aggregate([("v", "sum"), ([], "count_all")]))

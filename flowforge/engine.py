@@ -1899,20 +1899,78 @@ def value_counts_table(spark: SparkSession, out_dir: str,
         F.sum("cnt").cast("long").alias("cnt"))
 
 
-def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str):
+def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
+                           predicates: dict | None = None):
     """Per-bucket partial (group, cnt, sum) rows at the codec layer — the
     map-side combine of GROUP BY g -> count(*), sum(a): dict-coded group
     chunks aggregate on the packed code stream (bincount + np.add.at); the
     group column never materializes beyond its dictionary store
     (chunk.chunk_group_sums). Chunk boundaries align across columns, so
-    zipping the two chunk files by chunk_seq is exact."""
+    zipping the two chunk files by chunk_seq is exact. With predicates,
+    all-match buckets (flag column) and all-match chunks (zone proofs)
+    stay unmasked; only boundary chunks decode predicate columns for an
+    exact row mask."""
+    predicates = predicates or {}
+    pred_cols = list(predicates)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         manifest = Manifest(out_dir)
         for batch in batches:
-            for bucket in batch.column("bucket").to_pylist():
-                gt = pq.read_table(manifest.chunk_read_path(group_col, bucket))
-                at = pq.read_table(manifest.chunk_read_path(agg_col, bucket))
+            flags = (batch.column("all_match").to_pylist()
+                     if "all_match" in batch.schema.names
+                     else [True] * batch.num_rows)
+            for bucket, bucket_all in zip(batch.column("bucket").to_pylist(),
+                                          flags):
+                need_mask = bool(pred_cols) and not bucket_all
+                masks: dict[int, "np.ndarray | None"] = {}
+                if need_mask:
+                    col_meta: dict[str, dict[int, tuple[dict, int]]] = {}
+                    keep: set[int] | None = None
+                    for c in pred_cols:
+                        t = pq.read_table(
+                            manifest.chunk_read_path(c, bucket),
+                            columns=["chunk_seq", "meta", "n_rows"])
+                        rows = {int(s): (json.loads(m), int(nr))
+                                for s, m, nr in zip(
+                                    t.column("chunk_seq").to_pylist(),
+                                    t.column("meta").to_pylist(),
+                                    t.column("n_rows").to_pylist())}
+                        ok = {s for s, (m, _) in rows.items()
+                              if _chunk_survives(m, predicates[c])}
+                        keep = ok if keep is None else keep & ok
+                        col_meta[c] = rows
+                    undecided = []
+                    for s in sorted(keep or ()):
+                        if all(_zone_all_match(col_meta[c][s][0],
+                                               predicates[c])
+                               for c in pred_cols):
+                            masks[s] = None  # proven all-match, unmasked
+                        else:
+                            undecided.append(s)
+                    payloads = {
+                        c: _read_chunk_payloads(manifest, c, bucket,
+                                                undecided)
+                        for c in pred_cols
+                    } if undecided else {}
+                    for s in undecided:
+                        arrs = {}
+                        for c in pred_cols:
+                            m, nr = col_meta[c][s]
+                            arrs[c] = chunklib.decode_array(
+                                payloads[c][s], m, nr)
+                        mask = np.asarray(
+                            _chunk_mask(arrs, predicates).fill_null(False),
+                            dtype=bool)
+                        if mask.any():
+                            masks[s] = mask
+                if need_mask and not masks:
+                    continue
+                flt = ([("chunk_seq", "in", sorted(masks))]
+                       if need_mask else None)
+                gt = pq.read_table(manifest.chunk_read_path(group_col, bucket),
+                                   filters=flt)
+                at = pq.read_table(manifest.chunk_read_path(agg_col, bucket),
+                                   filters=flt)
                 a_by_seq = {
                     int(s): (json.loads(m), p)
                     for s, m, p in zip(at.column("chunk_seq").to_pylist(),
@@ -1924,9 +1982,15 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str):
                                          gt.column("meta").to_pylist(),
                                          gt.column("payload").to_pylist(),
                                          gt.column("n_rows").to_pylist()):
+                    if need_mask:
+                        if int(s) not in masks:
+                            continue  # pruned or zero-match chunk
+                        mask = masks[int(s)]
+                    else:
+                        mask = None
                     am, ap = a_by_seq[int(s)]
                     parts.append(chunklib.chunk_group_sums(
-                        gp, json.loads(gm), ap, am, int(nr)))
+                        gp, json.loads(gm), ap, am, int(nr), mask=mask))
                 if parts:
                     out = pa.concat_tables(parts)
                     yield from out.rename_columns(
@@ -1936,17 +2000,23 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str):
 
 
 def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
-                    agg_col: str) -> DataFrame:
-    """``SELECT g, COUNT(*), SUM(a) GROUP BY g`` pushed to the codec layer;
-    returns ``(group_col, cnt long, sum long)`` with SQL semantics (null is
-    a group; a group whose agg values are all null sums to NULL). AVG per
-    group composes as ``sum / cnt`` over the result.
+                    agg_col: str,
+                    predicates: dict | None = None) -> DataFrame:
+    """``SELECT g, COUNT(*), SUM(a) [WHERE ...] GROUP BY g`` pushed to the
+    codec layer; returns ``(group_col, cnt long, sum long)`` with SQL
+    semantics (null is a group; a group whose agg values are all null sums
+    to NULL). AVG per group composes as ``sum / cnt`` over the result.
 
     Scale shape matches :func:`value_counts_table`: per-bucket partials are
     O(buckets x ndv) rows into the final groupBy-sum, never O(rows) — the
     per-language token-total query over 10^12 documents shuffles a few
-    thousand rows. For a filtered grouped aggregate, compose
-    ``decode_table`` with predicates and aggregate the result instead."""
+    thousand rows. ``predicates`` (round 4) use the same specs as
+    :func:`decode_table` and keep the same cost tiers as
+    :func:`count_table`: proven-no-match buckets/chunks are skipped off
+    zone maps, proven-all-match ones aggregate unmasked, and only boundary
+    chunks decode their predicate columns to mask the packed group code
+    stream — a time-windowed per-language rollup on a ts-clustered store
+    does predicate work at the two boundary buckets only."""
     for col, role in ((group_col, "group"), (agg_col, "agg")):
         if col in ("cnt", "sum"):
             raise ValueError(
@@ -1971,13 +2041,23 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
         T.StructField("cnt", T.LongType(), False),
         T.StructField("sum", T.LongType(), True),
     ])
-    committed = sorted(int(r["bucket"]) for r in nonempty)
+    by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    preds = _normalize_predicates(predicates or {}, by_name)
+    full, partial, _ = _classify_records(nonempty, preds)
+    # proven buckets skip all predicate work in the kernel (flag column);
+    # boundary buckets decode predicate columns and mask the code stream
+    rows = [(int(r["bucket"]), True) for r in full] \
+        + [(int(r["bucket"]), False) for r in partial]
+    if not rows:
+        return spark.createDataFrame([], out_schema)
     buckets_df = spark.createDataFrame(
-        [(b,) for b in committed],
-        T.StructType([T.StructField("bucket", T.LongType(), False)])
-    ).repartition(max(1, len(committed)))
+        sorted(rows),
+        T.StructType([T.StructField("bucket", T.LongType(), False),
+                      T.StructField("all_match", T.BooleanType(), False)])
+    ).repartition(len(rows))
     partials = buckets_df.mapInArrow(
-        _make_group_agg_kernel(out_dir, group_col, agg_col), out_schema)
+        _make_group_agg_kernel(out_dir, group_col, agg_col, preds),
+        out_schema)
     return partials.groupBy(group_col).agg(
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sum").cast("long").alias("sum"))

@@ -320,6 +320,24 @@ def q_store_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "cnt", F.col("sum").alias("sum_chars"))
 
 
+def q_store_sqlagg_grouped_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered grouped aggregate pushdown (round 4): WHERE + GROUP BY in
+    one typed SQL statement, routed to the masked code-stream kernel —
+    zone maps skip no-match chunks, all-match chunks aggregate unmasked,
+    and only boundary chunks decode the predicate column to mask the
+    packed group codes. Route is asserted."""
+    from . import sqlagg
+
+    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
+    sql = ("SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars "
+           "FROM docs WHERE source LIKE 'src1%' AND n_chars "
+           "BETWEEN 100 AND 4000 GROUP BY lang")
+    if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
+        raise RuntimeError(
+            "store_sqlagg_grouped_where: statement failed to route")
+    return sqlagg.store_agg_sql(spark, sql, {"docs": out})
+
+
 def q_store_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY/LIMIT pushdown (round 4): the 'latest 25 events' query.
     Typed as SQL, routed through the analyzed plan to engine.topk_table —

@@ -336,15 +336,16 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         raise _Unroutable("alias with reserved '__' prefix")
     predicates = _constraints_to_predicates(constraints)
     if group_col is not None:
-        # the codec-layer grouped kernels take no predicates and support
-        # count(*) + sum(col) over ONE agg column
-        if predicates:
-            raise _Unroutable("grouped aggregate with WHERE")
+        # the codec-layer grouped kernel supports count(*) + sum(col) over
+        # ONE agg column; WHERE masks its code stream (round 4), but a
+        # count-only grouped WHERE has no agg column to carry the kernel
         sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
         if any(spec[0] not in ("count", "sum") for spec in aggs.values()) \
                 or len(sum_cols) > 1:
             raise _Unroutable(
                 "grouped aggregate beyond count(*) + sum(one col)")
+        if predicates and not sum_cols:
+            raise _Unroutable("grouped count-only with WHERE")
     return {
         "out_dir": stores[view],
         "group_col": group_col,
@@ -382,7 +383,8 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
     sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
     if sum_cols:
         base = engine.group_agg_table(spark, out_dir, group_col,
-                                      next(iter(sum_cols)))
+                                      next(iter(sum_cols)),
+                                      predicates=preds or None)
         names = {"count": "cnt", "sum": "sum"}
     else:
         base = engine.value_counts_table(spark, out_dir, group_col)

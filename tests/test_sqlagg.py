@@ -62,7 +62,6 @@ FALLBACK = [
     "SELECT count(*) AS c FROM docs WHERE score > 0.5",    # strict float
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
-    "SELECT lang, count(*) AS c FROM docs WHERE n_chars > 10 GROUP BY lang",
     "SELECT count(n_chars) AS c FROM docs",                # count(col)
 ]
 
@@ -153,6 +152,37 @@ def test_distinct_routes_to_value_counts(spark, store, sql):
 
 @pytest.mark.parametrize("sql", DISTINCT_FALLBACK)
 def test_distinct_fallback_correct(spark, store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+    fast, slow = _both(spark, store, sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
+
+
+FILTERED_GROUP_ROUTED = [
+    "SELECT lang, count(*) AS cnt, sum(n_chars) AS s FROM docs "
+    "WHERE n_chars BETWEEN 100 AND 2000 GROUP BY lang",
+    "SELECT lang, sum(n_chars) AS s FROM docs "
+    "WHERE source LIKE 'src1%' GROUP BY lang",
+    "SELECT lang, count(*) AS cnt, sum(n_chars) AS s FROM docs "
+    "WHERE lang IN ('en', 'de') GROUP BY lang",
+]
+
+
+@pytest.mark.parametrize("sql", FILTERED_GROUP_ROUTED)
+def test_filtered_grouped_aggregates_route(spark, store, sql):
+    """Round-4: WHERE + GROUP BY routes to the masked code-stream kernel
+    (predicate columns decode only at boundary chunks)."""
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is not None
+    fast, slow = _both(spark, store, sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields]
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
+
+
+def test_grouped_count_only_with_where_falls_back(spark, store):
+    sql = ("SELECT lang, count(*) AS c FROM docs WHERE n_chars > 10 "
+           "GROUP BY lang")
     assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
     fast, slow = _both(spark, store, sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
