@@ -305,7 +305,8 @@ def _bytes_logical_cast(arr: pa.Array, t: pa.DataType) -> pa.Array:
     return arr.cast(t)
 
 
-def chunk_value_counts(payload: bytes, meta: dict, n: int) -> pa.Table:
+def chunk_value_counts(payload: bytes, meta: dict, n: int,
+                       mask: np.ndarray | None = None) -> pa.Table:
     """Partial ``(value, cnt)`` pairs for one chunk — GROUP BY pushed to
     the codec layer (engine.value_counts_table is the reduce side).
 
@@ -320,6 +321,10 @@ def chunk_value_counts(payload: bytes, meta: dict, n: int) -> pa.Table:
 
     Null rows surface as a null-value row (SQL GROUP BY groups nulls).
     Counts are partial per chunk by contract.
+
+    ``mask`` (bool[n], from the predicate machinery) restricts the counts
+    to matching rows: dict chunks mask the CODE stream (still no n-row
+    materialization); other codecs fall back to decode+filter.
     """
     import pyarrow.compute as pc
 
@@ -328,6 +333,50 @@ def chunk_value_counts(payload: bytes, meta: dict, n: int) -> pa.Table:
     n_valid = n - nulls
     t = parse_type(meta["type"])
     m = meta["m"]
+    if mask is not None:
+        if is_bytes_type(t) and codec in ("dict", "dictfsst") and n_valid:
+            validity, body = unpack_sections(payload)
+            dict_payload, code_payload = unpack_sections(body)
+            _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
+            ndv = int(m["ndv"])
+            d_lens, d_data = sub_dec(dict_payload, m["dict"], ndv)
+            codes = bitpack.unpack(code_payload, int(m["width"]),
+                                   n_valid).astype(np.int64)
+            if nulls:  # null group takes code ndv (as in chunk_group_sums)
+                gmask = unpack_validity(validity, n)
+                full = np.full(n, ndv, dtype=np.int64)
+                full[gmask] = codes
+                codes = full
+            counts_full = np.bincount(codes[mask],
+                                      minlength=ndv + (1 if nulls else 0))
+            null_cnt = int(counts_full[ndv]) if nulls else 0
+            counts = counts_full[:ndv]
+            values = _bytes_logical_cast(
+                bytescodecs.parts_to_arrow(d_lens, d_data), t)
+            keep = counts > 0
+            if not keep.all():
+                values = values.filter(pa.array(keep))
+                counts = counts[keep]
+        else:
+            arr = decode_array(payload, meta, n).filter(pa.array(mask))
+            null_cnt = arr.null_count
+            vc = pc.value_counts(arr.drop_null() if null_cnt else arr)
+            values = vc.field("values")
+            counts = np.asarray(vc.field("counts"), dtype=np.int64)
+        out_vals = [values] if len(values) else []
+        out_cnts = ([pa.array(np.asarray(counts, dtype=np.int64))]
+                    if len(values) else [])
+        if null_cnt:
+            out_vals.append(pa.array([None], type=t))
+            out_cnts.append(pa.array([null_cnt], type=pa.int64()))
+        if not out_vals:
+            return pa.table({"value": pa.array([], type=t),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table(
+            {"value": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in out_vals]),
+             "cnt": pa.concat_arrays(out_cnts)})
     values: pa.Array | None = None
     counts: np.ndarray | None = None
     if is_bytes_type(t) and codec in ("dict", "dictfsst") and n_valid:

@@ -1840,23 +1840,42 @@ def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
     return parts.agg(*exprs)
 
 
-def _make_value_counts_kernel(out_dir: str, column: str):
+def _make_value_counts_kernel(out_dir: str, column: str,
+                              predicates: dict | None = None):
     """Per-bucket partial (value, cnt) pairs at the codec layer — the
     map-side combine of a GROUP BY: dict-coded chunks bincount the packed
     code stream against the small dictionary store (the n-row column is
     never materialized), RLE chunks emit run values with run lengths, and
-    only other codecs decode fully (chunk.chunk_value_counts)."""
+    only other codecs decode fully (chunk.chunk_value_counts). With
+    predicates, the same mask tiers as _make_group_agg_kernel apply."""
+    predicates = predicates or {}
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         manifest = Manifest(out_dir)
         for batch in batches:
-            for bucket in batch.column("bucket").to_pylist():
-                t = pq.read_table(manifest.chunk_read_path(column, bucket))
+            flags = (batch.column("all_match").to_pylist()
+                     if "all_match" in batch.schema.names
+                     else [True] * batch.num_rows)
+            for bucket, bucket_all in zip(batch.column("bucket").to_pylist(),
+                                          flags):
+                need_mask = bool(predicates) and not bucket_all
+                masks: dict[int, "np.ndarray | None"] = {}
+                if need_mask:
+                    masks = _bucket_chunk_masks(manifest, bucket, predicates)
+                    if not masks:
+                        continue
+                flt = ([("chunk_seq", "in", sorted(masks))]
+                       if need_mask else None)
+                t = pq.read_table(manifest.chunk_read_path(column, bucket),
+                                  filters=flt)
                 parts = [
-                    chunklib.chunk_value_counts(p, json.loads(m), int(nr))
-                    for m, p, nr in zip(t.column("meta").to_pylist(),
-                                        t.column("payload").to_pylist(),
-                                        t.column("n_rows").to_pylist())
+                    chunklib.chunk_value_counts(
+                        p, json.loads(m), int(nr),
+                        mask=masks[int(s)] if need_mask else None)
+                    for s, m, p, nr in zip(t.column("chunk_seq").to_pylist(),
+                                           t.column("meta").to_pylist(),
+                                           t.column("payload").to_pylist(),
+                                           t.column("n_rows").to_pylist())
                 ]
                 if parts:
                     out = pa.concat_tables(parts)
@@ -1866,16 +1885,18 @@ def _make_value_counts_kernel(out_dir: str, column: str):
     return kernel
 
 
-def value_counts_table(spark: SparkSession, out_dir: str,
-                       column: str) -> DataFrame:
-    """``SELECT col, COUNT(*) GROUP BY col`` pushed to the codec layer;
-    returns ``(column, cnt long)`` with SQL GROUP BY semantics (null is a
-    group). Partial counts come out of each bucket's codecs (dictionary
-    bincount / RLE run lengths — see ``_make_value_counts_kernel``) and the
-    tiny per-bucket partials shuffle into the final groupBy-sum: a proper
-    partial aggregation whose shuffle volume is O(buckets x ndv), not
-    O(rows). For a filtered GROUP BY, compose ``decode_table`` with
-    predicates and aggregate the result instead."""
+def value_counts_table(spark: SparkSession, out_dir: str, column: str,
+                       predicates: dict | None = None) -> DataFrame:
+    """``SELECT col, COUNT(*) [WHERE ...] GROUP BY col`` pushed to the
+    codec layer; returns ``(column, cnt long)`` with SQL GROUP BY
+    semantics (null is a group). Partial counts come out of each bucket's
+    codecs (dictionary bincount / RLE run lengths — see
+    ``_make_value_counts_kernel``) and the tiny per-bucket partials
+    shuffle into the final groupBy-sum: a proper partial aggregation whose
+    shuffle volume is O(buckets x ndv), not O(rows). ``predicates``
+    (round 4) use decode_table specs with count_table's cost tiers —
+    proven buckets/chunks count unmasked, boundary chunks decode their
+    predicate columns to mask the packed code stream."""
     if column == "cnt":
         raise ValueError("column name 'cnt' collides with the count alias")
     meta, nonempty = _plan_store(out_dir)
@@ -1888,15 +1909,67 @@ def value_counts_table(spark: SparkSession, out_dir: str,
         T.StructField(column, field.dataType, True),
         T.StructField("cnt", T.LongType(), False),
     ])
-    committed = sorted(int(r["bucket"]) for r in nonempty)
+    by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    preds = _normalize_predicates(predicates or {}, by_name)
+    full, partial, _ = _classify_records(nonempty, preds)
+    rows = [(int(r["bucket"]), True) for r in full] \
+        + [(int(r["bucket"]), False) for r in partial]
+    if not rows:
+        return spark.createDataFrame([], out_schema)
     buckets_df = spark.createDataFrame(
-        [(b,) for b in committed],
-        T.StructType([T.StructField("bucket", T.LongType(), False)])
-    ).repartition(max(1, len(committed)))
+        sorted(rows),
+        T.StructType([T.StructField("bucket", T.LongType(), False),
+                      T.StructField("all_match", T.BooleanType(), False)])
+    ).repartition(len(rows))
     partials = buckets_df.mapInArrow(
-        _make_value_counts_kernel(out_dir, column), out_schema)
+        _make_value_counts_kernel(out_dir, column, preds), out_schema)
     return partials.groupBy(column).agg(
         F.sum("cnt").cast("long").alias("cnt"))
+
+
+def _bucket_chunk_masks(manifest: "Manifest", bucket: int,
+                        predicates: dict) -> dict:
+    """Per-chunk predicate masks for one bucket (shared by the grouped
+    kernels): chunk zone maps prune no-match chunks, the all-match proof
+    maps a chunk to ``None`` (aggregate unmasked), and only undecided
+    chunks decode their predicate columns for an exact bool[n] mask.
+    Chunks with a zero-match mask are omitted entirely."""
+    pred_cols = list(predicates)
+    masks: dict[int, "np.ndarray | None"] = {}
+    col_meta: dict[str, dict[int, tuple[dict, int]]] = {}
+    keep: set[int] | None = None
+    for c in pred_cols:
+        t = pq.read_table(manifest.chunk_read_path(c, bucket),
+                          columns=["chunk_seq", "meta", "n_rows"])
+        rows = {int(s): (json.loads(m), int(nr))
+                for s, m, nr in zip(t.column("chunk_seq").to_pylist(),
+                                    t.column("meta").to_pylist(),
+                                    t.column("n_rows").to_pylist())}
+        ok = {s for s, (m, _) in rows.items()
+              if _chunk_survives(m, predicates[c])}
+        keep = ok if keep is None else keep & ok
+        col_meta[c] = rows
+    undecided = []
+    for s in sorted(keep or ()):
+        if all(_zone_all_match(col_meta[c][s][0], predicates[c])
+               for c in pred_cols):
+            masks[s] = None  # proven all-match, unmasked
+        else:
+            undecided.append(s)
+    payloads = {
+        c: _read_chunk_payloads(manifest, c, bucket, undecided)
+        for c in pred_cols
+    } if undecided else {}
+    for s in undecided:
+        arrs = {}
+        for c in pred_cols:
+            m, nr = col_meta[c][s]
+            arrs[c] = chunklib.decode_array(payloads[c][s], m, nr)
+        mask = np.asarray(_chunk_mask(arrs, predicates).fill_null(False),
+                          dtype=bool)
+        if mask.any():
+            masks[s] = mask
+    return masks
 
 
 def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
@@ -1924,45 +1997,7 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
                 need_mask = bool(pred_cols) and not bucket_all
                 masks: dict[int, "np.ndarray | None"] = {}
                 if need_mask:
-                    col_meta: dict[str, dict[int, tuple[dict, int]]] = {}
-                    keep: set[int] | None = None
-                    for c in pred_cols:
-                        t = pq.read_table(
-                            manifest.chunk_read_path(c, bucket),
-                            columns=["chunk_seq", "meta", "n_rows"])
-                        rows = {int(s): (json.loads(m), int(nr))
-                                for s, m, nr in zip(
-                                    t.column("chunk_seq").to_pylist(),
-                                    t.column("meta").to_pylist(),
-                                    t.column("n_rows").to_pylist())}
-                        ok = {s for s, (m, _) in rows.items()
-                              if _chunk_survives(m, predicates[c])}
-                        keep = ok if keep is None else keep & ok
-                        col_meta[c] = rows
-                    undecided = []
-                    for s in sorted(keep or ()):
-                        if all(_zone_all_match(col_meta[c][s][0],
-                                               predicates[c])
-                               for c in pred_cols):
-                            masks[s] = None  # proven all-match, unmasked
-                        else:
-                            undecided.append(s)
-                    payloads = {
-                        c: _read_chunk_payloads(manifest, c, bucket,
-                                                undecided)
-                        for c in pred_cols
-                    } if undecided else {}
-                    for s in undecided:
-                        arrs = {}
-                        for c in pred_cols:
-                            m, nr = col_meta[c][s]
-                            arrs[c] = chunklib.decode_array(
-                                payloads[c][s], m, nr)
-                        mask = np.asarray(
-                            _chunk_mask(arrs, predicates).fill_null(False),
-                            dtype=bool)
-                        if mask.any():
-                            masks[s] = mask
+                    masks = _bucket_chunk_masks(manifest, bucket, predicates)
                 if need_mask and not masks:
                     continue
                 flt = ([("chunk_seq", "in", sorted(masks))]

@@ -281,10 +281,9 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             out_name = str(item.name())
         group_col = _attr_name(item)
         constraints, view = _filter_and_relation(proj.child(), stores)
-        if constraints:
-            raise _Unroutable("DISTINCT with WHERE")
         return {"out_dir": stores[view], "group_col": group_col,
-                "aggs": {}, "predicates": {},
+                "aggs": {},
+                "predicates": _constraints_to_predicates(constraints),
                 "out_cols": [(out_name, "group")]}
     if _cls(analyzed) != "Aggregate":
         raise _Unroutable(f"root {_cls(analyzed)}")
@@ -336,16 +335,13 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         raise _Unroutable("alias with reserved '__' prefix")
     predicates = _constraints_to_predicates(constraints)
     if group_col is not None:
-        # the codec-layer grouped kernel supports count(*) + sum(col) over
-        # ONE agg column; WHERE masks its code stream (round 4), but a
-        # count-only grouped WHERE has no agg column to carry the kernel
+        # the codec-layer grouped kernels support count(*) + sum(col) over
+        # ONE agg column; WHERE masks their code streams (round 4)
         sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
         if any(spec[0] not in ("count", "sum") for spec in aggs.values()) \
                 or len(sum_cols) > 1:
             raise _Unroutable(
                 "grouped aggregate beyond count(*) + sum(one col)")
-        if predicates and not sum_cols:
-            raise _Unroutable("grouped count-only with WHERE")
     return {
         "out_dir": stores[view],
         "group_col": group_col,
@@ -387,7 +383,8 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                                       predicates=preds or None)
         names = {"count": "cnt", "sum": "sum"}
     else:
-        base = engine.value_counts_table(spark, out_dir, group_col)
+        base = engine.value_counts_table(spark, out_dir, group_col,
+                                         predicates=preds or None)
         names = {"count": "cnt"}
     sel = []
     for name, src in r["out_cols"]:

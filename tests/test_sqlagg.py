@@ -133,12 +133,12 @@ def test_unknown_view_is_not_routed(spark, store):
 DISTINCT_ROUTED = [
     "SELECT DISTINCT lang FROM docs",
     "SELECT DISTINCT lang AS l FROM docs",
+    "SELECT DISTINCT lang FROM docs WHERE n_chars > 10",  # masked counts
     "SELECT lang FROM docs GROUP BY lang",
 ]
 
 DISTINCT_FALLBACK = [
     "SELECT DISTINCT lang, source FROM docs",        # multi-column
-    "SELECT DISTINCT lang FROM docs WHERE n_chars > 10",  # filtered
 ]
 
 
@@ -180,10 +180,12 @@ def test_filtered_grouped_aggregates_route(spark, store, sql):
         == sorted(map(repr, map(tuple, slow.collect())))
 
 
-def test_grouped_count_only_with_where_falls_back(spark, store):
+def test_grouped_count_only_with_where_routes(spark, store):
+    """Round-4 late addition: value_counts_table takes predicates, so a
+    grouped count-only WHERE routes to the masked code-stream counts."""
     sql = ("SELECT lang, count(*) AS c FROM docs WHERE n_chars > 10 "
            "GROUP BY lang")
-    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is not None
     fast, slow = _both(spark, store, sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
         == sorted(map(repr, map(tuple, slow.collect())))
