@@ -1426,7 +1426,8 @@ _TOPK_POS = "__ff_pos"
 
 
 def _make_topk_kernel(out_dir: str, order_col: str, tie_col: str,
-                      out_names: list[str], k: int, descending: bool):
+                      out_names: list[str], k: int, descending: bool,
+                      order_float_type: str | None = None):
     """Per-bucket top-k with late materialization: chunk zone maps on the
     order column first (same cutoff rule as the driver, per chunk), decode
     order+tie for surviving chunks, pa.compute.select_k_unstable for the
@@ -1481,7 +1482,20 @@ def _make_topk_kernel(out_dir: str, order_col: str, tie_col: str,
                 tbl = tbl.filter(pc.is_valid(tbl.column(order_col)))
                 if tbl.num_rows == 0:
                     continue
-                keys = [(order_col,
+                sort_col = order_col
+                if order_float_type is not None:
+                    # float columns sort by their monotone int64 order keys
+                    # (Spark semantics baked in: every NaN pattern collapses
+                    # to the maximal key, -0.0 == +0.0)
+                    fv = np.asarray(tbl.column(order_col).combine_chunks())
+                    bits = (fv.view(np.int64)
+                            if order_float_type == "double"
+                            else fv.view(np.int32).astype(np.int64))
+                    tbl = tbl.append_column(
+                        "__okey", pa.array(chunklib.float_order_keys(
+                            bits, order_float_type)))
+                    sort_col = "__okey"
+                keys = [(sort_col,
                          "descending" if descending else "ascending"),
                         (tie_col, "ascending")]
                 idx = pc.select_k_unstable(tbl, min(k, tbl.num_rows), keys)
@@ -1532,7 +1546,10 @@ def topk_table(spark: SparkSession, out_dir: str, order_col: str, k: int,
     chunks that hold winners. Per-bucket partials are <= k rows, so the
     final global sort handles <= k * buckets rows, never O(rows).
 
-    ``order_col`` must be int-ordered (int/bigint/timestamp/date);
+    ``order_col`` is int-ordered (int/bigint/timestamp/date) or float —
+    float columns prune and sort through their monotone int64 order keys
+    (every NaN pattern collapses to the maximal key and -0.0 == +0.0,
+    matching Spark's ordering, chunk.float_order_keys);
     ``tie_col`` (int-ordered, e.g. the row id) makes the selected row SET
     deterministic under ties — required when k < n. Rows whose order value
     is NULL are excluded (SQL parity: add ``WHERE order_col IS NOT NULL``;
@@ -1551,10 +1568,13 @@ def topk_table(spark: SparkSession, out_dir: str, order_col: str, k: int,
     for c in use_cols:
         if c not in by_name:
             raise ValueError(f"unknown column {c!r}")
-    if not _is_predicate_type(by_name[order_col].dataType.simpleString()):
+    order_simple = by_name[order_col].dataType.simpleString()
+    order_float_type = order_simple if order_simple in ("float", "double") \
+        else None
+    if not (_is_predicate_type(order_simple) or order_float_type):
         raise ValueError(
-            f"top-k order column must be int-ordered; {order_col!r} is "
-            f"{by_name[order_col].dataType.simpleString()}")
+            f"top-k order column must be int-ordered or float; "
+            f"{order_col!r} is {order_simple}")
     if tie_col is None:
         raise ValueError(
             "tie_col is required: without a total order the top-k row SET "
@@ -1586,7 +1606,7 @@ def topk_table(spark: SparkSession, out_dir: str, order_col: str, k: int,
     ).repartition(len(keep))
     partials = buckets_df.mapInArrow(
         _make_topk_kernel(out_dir, order_col, tie_col, out_names, k,
-                          descending),
+                          descending, order_float_type),
         out_schema)
     order_exprs = [
         F.col(order_col).desc() if descending else F.col(order_col).asc(),

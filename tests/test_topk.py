@@ -22,10 +22,10 @@ def src_df(spark):
     rng = np.random.default_rng(11)
     # heavy ties in ts (only 50 distinct values) force tie-break coverage
     rows = [(int(i), int(rng.integers(0, 50)) * 1000, int(rng.integers(0, 9)),
-             float(rng.standard_normal()))
+             float(rng.standard_normal()), f"t{int(rng.integers(0, 5))}")
             for i in range(ROWS)]
     return spark.createDataFrame(
-        rows, "event_id long, tsv long, user long, score double")
+        rows, "event_id long, tsv long, user long, score double, tag string")
 
 
 @pytest.fixture(scope="module")
@@ -91,8 +91,8 @@ def test_topk_validation(spark, clustered):
         engine.topk_table(spark, clustered, "tsv", 5)
     with pytest.raises(ValueError, match="positive"):
         engine.topk_table(spark, clustered, "tsv", 0, tie_col="event_id")
-    with pytest.raises(ValueError, match="int-ordered"):
-        engine.topk_table(spark, clustered, "score", 5, tie_col="event_id",
+    with pytest.raises(ValueError, match="int-ordered or float"):
+        engine.topk_table(spark, clustered, "tag", 5, tie_col="event_id",
                           columns=["event_id"])
     with pytest.raises(ValueError, match="int-ordered"):
         engine.topk_table(spark, clustered, "tsv", 5, tie_col="score",
@@ -120,3 +120,40 @@ def test_topk_sql_routing(spark, src_df, clustered):
                 sqlagg.store_agg_sql(spark, sql, stores).collect()]
         slow = [tuple(r) for r in spark.sql(sql).collect()]
         assert sorted(fast) == sorted(slow)
+
+
+@pytest.mark.parametrize("descending", [True, False])
+def test_topk_float_order_column(spark, src_df, salted, descending):
+    """Round-4: float order columns sort/prune through their monotone
+    int64 order keys — Spark parity pinned on the decoded store."""
+    got = [tuple(r) for r in
+           engine.topk_table(spark, salted, "score", 15,
+                             descending=descending, tie_col="event_id",
+                             columns=["event_id", "score"]).collect()]
+    order = F.col("score").desc() if descending else F.col("score").asc()
+    want = [tuple(r) for r in
+            src_df.orderBy(order, F.col("event_id").asc()).limit(15)
+            .select("event_id", "score").collect()]
+    assert got == want
+
+
+def test_topk_float_nan_zero_inf(spark, tmp_path_factory):
+    """Adversarial float ordering: every NaN pattern sorts as the single
+    largest value, -0.0 ties +0.0 (broken by the tie column), infs at the
+    ends — exactly Spark's ORDER BY semantics."""
+    rows = [(0, float("nan")), (1, 0.0), (2, -0.0), (3, float("inf")),
+            (4, float("-inf")), (5, float("nan")), (6, 1.5), (7, -1.5),
+            (8, 0.0), (9, -0.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = str(tmp_path_factory.mktemp("topkf")) + "/store"
+    engine.run_encode(spark, df, out, buckets=2, salt_col="id")
+    for descending in (True, False):
+        for k in (3, 6, 10):
+            got = [(r["id"], repr(r["v"])) for r in
+                   engine.topk_table(spark, out, "v", k,
+                                     descending=descending, tie_col="id",
+                                     columns=["id", "v"]).collect()]
+            order = F.col("v").desc() if descending else F.col("v").asc()
+            want = [(r["id"], repr(r["v"])) for r in
+                    df.orderBy(order, F.col("id").asc()).limit(k).collect()]
+            assert got == want, (descending, k)
