@@ -200,7 +200,12 @@ def float_key(x: float, type_str: str) -> int:
     float32 values straddle the unrounded float64 bound. Exactness comes
     from the row mask, which compares in float64."""
     if type_str == "float":
-        bits = np.array([np.float32(x)], dtype=np.float32).view(np.int32).astype(np.int64)
+        # a float64 bound beyond float32 range intentionally overflows to
+        # ±inf — the widest conservative key — so the cast warning is noise
+        # (it would also trip warnings-as-errors CI); silence it explicitly
+        with np.errstate(over="ignore"):
+            bits = np.array([np.float32(x)],
+                            dtype=np.float32).view(np.int32).astype(np.int64)
     else:
         bits = np.array([np.float64(x)], dtype=np.float64).view(np.int64)
     return int(float_order_keys(bits, type_str)[0])

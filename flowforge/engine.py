@@ -1630,6 +1630,13 @@ def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
             raise ValueError(f"agg {alias!r}: spec must be a tuple, "
                              f"got {spec!r}")
         fn = spec[0]
+        # the reserved-prefix check runs BEFORE the count-spec continue: a
+        # '__x_sum'-style count alias would otherwise pass validation and
+        # silently collide with avg's internal accumulators (round-4 advice)
+        if alias.startswith("__"):
+            raise ValueError(
+                f"agg alias {alias!r}: the '__' prefix is reserved for "
+                f"internal accumulators")
         if fn == "count":
             if len(spec) != 1:
                 raise ValueError(
@@ -1641,10 +1648,6 @@ def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
             raise ValueError(
                 f"agg {alias!r}: unknown spec {spec!r}; supported: "
                 f"('count',), ('sum'|'min'|'max'|'avg', col)")
-        if alias.startswith("__"):
-            raise ValueError(
-                f"agg alias {alias!r}: the '__' prefix is reserved for "
-                f"internal accumulators")
         col = spec[1]
         if col not in by_name:
             raise ValueError(f"agg {alias!r}: unknown column {col!r}")
@@ -1654,6 +1657,17 @@ def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
                 f"{col!r} is {by_name[col]} (float sums are order-dependent "
                 f"and have no exact metadata form; decode_table + DataFrame "
                 f"agg handles those)")
+
+
+def _wrap_i64(v: int | None) -> int | None:
+    """Exact unbounded-int accumulator -> signed int64 with wrap-around
+    (mod 2^64), matching Spark's non-ANSI sum(long) over the same rows —
+    the partials column is long, so a wider exact value would either crash
+    (round-4 advice: OverflowError at emit) or be unrepresentable."""
+    if v is None:
+        return None
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _combine_agg(acc: dict, alias: str, fn: str, st: dict, n_rows: int
@@ -1779,7 +1793,8 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
                             _combine_agg(acc, alias, spec[0],
                                          {"min": v, "max": v, "sum": v}, 0)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([acc[a]], pa.int64()) for a in out_names],
+                    [pa.array([_wrap_i64(acc[a])], pa.int64())
+                     for a in out_names],
                     names=out_names)
 
     return kernel
@@ -1831,7 +1846,7 @@ def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
     part_schema = T.StructType([
         T.StructField(a, T.LongType(), True) for a in out_names])
     driver_row = spark.createDataFrame(
-        [tuple(acc[a] for a in out_names)], part_schema)
+        [tuple(_wrap_i64(acc[a]) for a in out_names)], part_schema)
     if not partial:
         parts = driver_row
     else:

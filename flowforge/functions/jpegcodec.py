@@ -102,8 +102,14 @@ class _BitReader:
         self.marker: int | None = None
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy stream ended "
+                             "before the scan completed")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: entropy stream ended "
+                                 "mid marker")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -409,11 +415,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker sync at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:           # T.81 B.1.1.2: optional FF fill bytes
+            pos += 1                 # before any marker — skip them
+            continue
         if marker == 0xD9:           # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG: segment header cut short")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4: pos + 2 + seglen]
         if marker == 0xDB:           # DQT (may hold several tables)

@@ -113,10 +113,13 @@ def _write_mirror(df: DataFrame, ident: str, mode: str) -> None:
     if mode == "replace":
         writer.createOrReplace()
     elif mode == "append":
-        try:
+        # existence is checked explicitly rather than catching append()'s
+        # exception: a transient/permission failure on an EXISTING table
+        # must surface as itself, not as create()'s misleading
+        # 'table already exists' (round-4 advice)
+        if df.sparkSession.catalog.tableExists(ident):
             writer.append()
-        except Exception:
-            # first publish: the table does not exist yet
+        else:
             writer.create()
     else:
         raise ValueError(f"mode must be append|replace, got {mode!r}")

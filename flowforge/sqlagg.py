@@ -399,15 +399,23 @@ def route_agg_sql(spark: SparkSession, sql: str,
                   stores: dict[str, str]) -> dict | None:
     """Dry-run the router: the routing description for ``sql``, or None if
     it would fall back. Registers the store views (like store_sql) so the
-    statement analyzes. Tests pin routability with this."""
+    statement analyzes. Tests pin routability with this.
+
+    The dry run also BUILDS the routed plan (without executing it) so
+    engine-side precondition ValueErrors — e.g. LIMIT 0 into topk_table, or
+    a column name colliding with a kernel alias — report as fallback here
+    exactly as store_agg_sql would execute them (round-4 advice: the two
+    paths previously disagreed)."""
     datasource.register(spark)
     for name, out_dir in stores.items():
         datasource._load(spark, out_dir, None,
                          pushdown=True).createOrReplaceTempView(name)
     analyzed = spark.sql(sql)._jdf.queryExecution().analyzed()
     try:
-        return _route(analyzed, stores)
-    except _Unroutable:
+        r = _route(analyzed, stores)
+        _execute_route(spark, r)  # lazy DataFrame build = precondition check
+        return r
+    except (_Unroutable, ValueError):
         return None
 
 

@@ -502,3 +502,23 @@ def test_codec_memo_keeps_encode_deterministic(spark, src_df, tmpdir_clean):
     a, b = blob(outs[0]), blob(outs[1])
     assert a.keys() == b.keys()
     assert a == b
+
+
+def test_validate_aggs_rejects_reserved_alias_for_count():
+    """Round-4 advice: a '__'-prefixed COUNT alias must be rejected (it
+    previously slipped past validation and collided with avg's internal
+    accumulators, silently returning the wrong aggregate)."""
+    import pytest as _pytest
+
+    by_name = {"x": "bigint"}
+    with _pytest.raises(ValueError, match="reserved"):
+        engine._validate_aggs({"__x_sum": ("count",), "x2": ("avg", "x")},
+                              by_name)
+
+
+def test_wrap_i64_matches_spark_long_overflow():
+    assert engine._wrap_i64(None) is None
+    assert engine._wrap_i64(5) == 5
+    assert engine._wrap_i64(2 ** 63) == -(2 ** 63)
+    assert engine._wrap_i64(2 ** 64 + 7) == 7
+    assert engine._wrap_i64(-(2 ** 63) - 1) == 2 ** 63 - 1

@@ -123,6 +123,21 @@ def test_decoder_rejections():
         decode_jpeg(good[:2] + b"\x00\x00" + good[2:])
 
 
+def test_decoder_ff_fill_bytes_and_truncation():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    a truncated entropy stream must surface as ValueError, not IndexError
+    (round-4 advice)."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    good = encode_jpeg(img)
+    # inject FF pad bytes between SOI and the first segment
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(good))
+    # cut the entropy stream short (drop EOI and some tail bytes)
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(good[:-6])
+
+
 def test_encoder_input_validation():
     with pytest.raises(ValueError, match="uint8"):
         encode_jpeg(np.zeros((8, 8), dtype=np.float32))

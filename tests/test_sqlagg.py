@@ -180,6 +180,16 @@ def test_filtered_grouped_aggregates_route(spark, store, sql):
         == sorted(map(repr, map(tuple, slow.collect())))
 
 
+def test_route_dry_run_matches_execution_on_engine_precondition(spark, store):
+    """Round-4 advice: route_agg_sql must not report a route that
+    store_agg_sql's execution would refuse (e.g. ORDER BY ... LIMIT 0 makes
+    topk_table raise) — both must agree on fallback."""
+    sql = "SELECT doc_id, n_chars FROM docs ORDER BY n_chars DESC, doc_id LIMIT 0"
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+    fast, slow = _both(spark, store, sql)
+    assert fast.collect() == slow.collect() == []
+
+
 def test_grouped_count_only_with_where_routes(spark, store):
     """Round-4 late addition: value_counts_table takes predicates, so a
     grouped count-only WHERE routes to the masked code-stream counts."""
