@@ -503,6 +503,134 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
                      "sum": r.column("v_sum").cast(pa.int64())})
 
 
+def _group_codes(payload: bytes, meta: dict, n: int
+                 ) -> tuple[np.ndarray, pa.Array]:
+    """One group column chunk -> (codes int64[n], values) where
+    ``values[codes[i]]`` is row i's group value and nulls take the last
+    code (a null entry appended to values). Dict-coded bytes chunks read
+    the packed code stream directly (no row materialization); anything
+    else decodes and dictionary-encodes (vectorized Arrow hash)."""
+    t = parse_type(meta["type"])
+    m = meta["m"]
+    nulls = int(meta["nulls"])
+    n_valid = n - nulls
+    if is_bytes_type(t) and meta["codec"] in ("dict", "dictfsst") and n_valid:
+        validity, body = unpack_sections(payload)
+        dict_payload, code_payload = unpack_sections(body)
+        _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
+        ndv = int(m["ndv"])
+        d_lens, d_data = sub_dec(dict_payload, m["dict"], ndv)
+        codes = bitpack.unpack(code_payload, int(m["width"]),
+                               n_valid).astype(np.int64)
+        if nulls:
+            gmask = unpack_validity(validity, n)
+            full = np.full(n, ndv, dtype=np.int64)
+            full[gmask] = codes
+            codes = full
+        values = _bytes_logical_cast(
+            bytescodecs.parts_to_arrow(d_lens, d_data), t)
+    else:
+        arr = decode_array(payload, meta, n)
+        denc = arr.dictionary_encode()
+        idx = denc.indices
+        values = denc.dictionary.cast(t)
+        ndv = len(values)
+        if idx.null_count:
+            codes = np.asarray(idx.fill_null(ndv), dtype=np.int64)
+            nulls = idx.null_count
+        else:
+            codes = np.asarray(idx, dtype=np.int64)
+            nulls = 0
+    if nulls:
+        values = pa.concat_arrays(
+            [values.combine_chunks() if isinstance(values, pa.ChunkedArray)
+             else values, pa.array([None], type=t)])
+    elif isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return codes, values
+
+
+def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
+                      a_chunk: tuple[bytes, dict] | None, n: int,
+                      mask: np.ndarray | None = None) -> pa.Table:
+    """Partial ``(g0..g{k-1}, cnt[, sum])`` rows for one chunk — composite
+    GROUP BY pushed to the codec layer (round-5 verdict, next #2:
+    ``GROUP BY lang, source`` must not force a full decode).
+
+    Per-column code streams combine into one int64 key
+    (``code0 * ng1*ng2*... + code1 * ng2*... + ...``); ``np.unique`` over
+    the combined keys gives the observed groups (memory O(observed
+    distinct), never O(prod ndv)) and the counts; sums scatter through the
+    inverse index. Group VALUES materialize only once per surviving group
+    via per-column dictionary takes. Dict-coded bytes columns never
+    materialize rows at all; other codecs pay one decode +
+    dictionary_encode. Same SQL semantics as :func:`chunk_group_sums`:
+    nulls form groups, all-null agg groups sum to NULL, int64 sums wrap
+    mod 2^64 (Spark non-ANSI parity). If the combined-key domain would
+    overflow int64 (astronomically wide composite groups), falls back to
+    Arrow's multi-key hash aggregation on decoded columns.
+    """
+    cols = [_group_codes(p, m, n) for p, m in g_chunks]
+    ngs = [len(v) for _, v in cols]
+    prod = 1
+    for ng in ngs:
+        prod *= max(1, ng)
+    if prod >= (1 << 62):  # no composite code space: decode + hash-agg
+        names = [f"g{i}" for i in range(len(g_chunks))]
+        data = {f"g{i}": decode_array(p, m, n) for i, (p, m) in enumerate(g_chunks)}
+        if a_chunk is not None:
+            data["v"] = decode_array(a_chunk[0], a_chunk[1], n)
+        tbl = pa.table(data)
+        if mask is not None:
+            tbl = tbl.filter(pa.array(mask))
+        aggs = [([], "count_all")] + ([("v", "sum")] if a_chunk is not None else [])
+        r = tbl.group_by(names).aggregate(aggs)
+        out = {f"g{i}": r.column(f"g{i}") for i in range(len(g_chunks))}
+        out["cnt"] = r.column("count_all").cast(pa.int64())
+        if a_chunk is not None:
+            out["sum"] = r.column("v_sum").cast(pa.int64())
+        return pa.table(out)
+    combined = np.zeros(n, dtype=np.int64)
+    for (codes, _), ng in zip(cols, ngs):
+        combined *= max(1, ng)
+        combined += codes
+    if mask is not None:
+        combined = combined[mask]
+    if a_chunk is not None:
+        a_arr = decode_array(a_chunk[0], a_chunk[1], n)
+        if mask is not None:
+            a_arr = a_arr.filter(pa.array(mask))
+        u, inv, cnt = np.unique(combined, return_inverse=True,
+                                return_counts=True)
+        if a_arr.null_count:
+            a_valid = np.asarray(a_arr.is_valid(), dtype=bool)
+            av = np.asarray(a_arr.fill_null(0), dtype=np.int64)[a_valid]
+            ainv = inv[a_valid]
+        else:
+            av = np.asarray(a_arr, dtype=np.int64)
+            ainv = inv
+        nn = np.bincount(ainv, minlength=len(u))  # non-null agg per group
+        # wrap-around int64 accumulation == Spark non-ANSI sum(long)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, ainv, av)
+        sums = pa.array(acc, type=pa.int64(), mask=nn == 0)
+    else:
+        u, cnt = np.unique(combined, return_counts=True)
+        sums = None
+    out = {}
+    rem = u
+    for i in reversed(range(len(cols))):
+        ng = max(1, ngs[i])
+        idx = rem % ng
+        rem = rem // ng
+        out[f"g{i}"] = cols[i][1].take(pa.array(idx, type=pa.int64()))
+    out = {f"g{i}": out[f"g{i}"] for i in range(len(cols))}
+    out["cnt"] = pa.array(cnt, type=pa.int64())
+    if sums is not None:
+        out["sum"] = sums
+    return pa.table(out)
+
+
 def _spread_nulls(valid_arr: pa.Array, mask: np.ndarray) -> pa.Array:
     """Re-insert nulls: take() with a null-masked index array propagates nulls."""
     idx = np.cumsum(mask, dtype=_I64) - 1

@@ -22,8 +22,11 @@ Exactness: a filter is only CONSUMED (removed from Spark's post-scan
 Filter) when the kernel's row mask evaluates it exactly with SQL
 semantics — null comparisons never match, strict bounds are closed by ±1
 in the int domain, float bounds follow Spark's total order (NaN greatest).
-Anything else (IsNull, Not, second prefix on a column, strict float
-bounds, ...) is yielded back for Spark to evaluate.
+IS [NOT] NULL is consumed too (round 5): the commit records and chunk
+metas carry per-column null counts, so null predicates prune buckets and
+chunks metadata-only, and ``IS NULL AND <value constraint>`` short-
+circuits to an empty scan. Anything else (Not, second prefix on a
+column, strict float bounds, ...) is yielded back for Spark to evaluate.
 
 Usage::
 
@@ -72,6 +75,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -227,6 +232,7 @@ class ChunkStoreReader(DataSourceReader):
         los: dict[str, object] = {}
         his: dict[str, object] = {}
         prefixes: dict[str, str] = {}
+        nulls: dict[str, set] = {}  # col -> {"isnull", "notnull"}
         plans: list[tuple] = []  # (spec kind, col, original filter)
         remaining = []
         for f in filters:
@@ -242,14 +248,19 @@ class ChunkStoreReader(DataSourceReader):
                 prefixes[col] = payload
             elif kind == "lo":
                 los[col] = payload if col not in los else max(los[col], payload)
-            else:  # "hi"
+            elif kind == "hi":
                 his[col] = payload if col not in his else min(his[col], payload)
+            else:  # "null"
+                nulls.setdefault(col, set()).add(payload)
 
         # one spec per column, priority in > prefix > range; filters whose
         # kind lost the priority race are re-yielded so Spark evaluates them
         consumed_kind: dict[str, str] = {}
         for col in {c for _, c, _ in plans}:
             t = self.by_name[col]
+            if col not in vals and col not in prefixes \
+                    and col not in los and col not in his:
+                continue  # null-only column: resolved in the null pass below
             if col in vals:
                 consumed_kind[col] = "in"
                 if not vals[col]:
@@ -271,7 +282,20 @@ class ChunkStoreReader(DataSourceReader):
                         _I64_MIN if lo is None else lo,
                         _I64_MAX if hi is None else hi,
                     )
+        # null resolution: a consumed value spec never matches nulls, so
+        # IS NOT NULL alongside one is implied (consumed for free) and
+        # IS NULL alongside one (or IS NOT NULL) is a provable contradiction
+        for col, kinds in nulls.items():
+            has_value = col in consumed_kind
+            if "isnull" in kinds and ("notnull" in kinds or has_value):
+                self.empty_result = True
+            elif "isnull" in kinds:
+                self.predicates[col] = "isnull"
+            elif not has_value:
+                self.predicates[col] = "notnull"
         for kind, col, f in plans:
+            if kind == "null":
+                continue  # always consumed exactly (see null resolution)
             k = "in" if kind == "in" else "prefix" if kind == "prefix" else "range"
             if consumed_kind.get(col) != k:
                 remaining.append(f)
@@ -290,6 +314,10 @@ class ChunkStoreReader(DataSourceReader):
         is_int = engine._is_predicate_type(t)
         is_str = t in ("string", "binary")
         is_float = t in ("float", "double")
+        if isinstance(f, (IsNull, IsNotNull)):
+            # any column type: the mask is pc.is_null/is_valid and pruning
+            # uses the null counts every chunk meta / commit record carries
+            return ("null", col, "isnull" if isinstance(f, IsNull) else "notnull")
         if isinstance(f, (EqualTo, In)):
             raw = f.value if isinstance(f, In) else [f.value]
             if any(v is None for v in raw):

@@ -836,11 +836,22 @@ def run_encode_path(spark: SparkSession, src: str | list[str], out_dir: str, **k
 # decode
 # --------------------------------------------------------------------------
 
-def _chunk_survives(meta: dict, spec: tuple) -> bool:
+def _chunk_survives(meta: dict, spec: tuple, n_rows: int | None = None) -> bool:
     """Zone-map chunk test for a normalized predicate spec (see
     _normalize_predicates): ("range", lo, hi) against int min/max;
     ("frange", klo, khi, ...) against float ORDER-KEY min/max;
-    ("in"/"prefix", probes_bytes, _) against truncated bytes prefixes."""
+    ("in"/"prefix", probes_bytes, _) against truncated bytes prefixes;
+    ("isnull",)/("notnull",) against the null count (round 5);
+    ("or", subs) survives when any branch does."""
+    if spec[0] == "isnull":
+        nulls = meta.get("nulls")
+        return nulls is None or int(nulls) > 0
+    if spec[0] == "notnull":
+        nulls = meta.get("nulls")
+        return not (nulls is not None and n_rows is not None
+                    and int(nulls) == int(n_rows))
+    if spec[0] == "or":
+        return any(_chunk_survives(meta, s, n_rows) for s in spec[1])
     if spec[0] in ("range", "frange"):
         if "min" not in meta or "max" not in meta:
             return True  # no zone map -> cannot prune
@@ -856,46 +867,71 @@ def _chunk_survives(meta: dict, spec: tuple) -> bool:
     return any(zone(p, bmin, bmax) for p in spec[1])
 
 
+def _spec_mask(a, spec: tuple):
+    """Exact row mask for ONE normalized spec over one decoded array
+    (Kleene null semantics: null comparisons stay null; isnull/notnull
+    produce non-null booleans; OR combines branches with or_kleene)."""
+    import pyarrow.compute as pc
+
+    if spec[0] == "isnull":
+        return pc.is_null(a)
+    if spec[0] == "notnull":
+        return pc.is_valid(a)
+    if spec[0] == "or":
+        cm = None
+        for s in spec[1]:
+            sm = _spec_mask(a, s)
+            cm = sm if cm is None else pc.or_kleene(cm, sm)
+        return cm
+    return _value_spec_mask(a, spec, pc)
+
+
+def _value_spec_mask(a, spec: tuple, pc):
+    if spec[0] == "range":
+        return pc.and_kleene(
+            pc.greater_equal(a, pa.scalar(spec[1], type=a.type)),
+            pc.less_equal(a, pa.scalar(spec[2], type=a.type)),
+        )
+    if spec[0] == "frange":
+        # Spark float semantics: NaN sorts above +inf, so NaN satisfies
+        # any lower bound and fails any finite upper bound; arrow's raw
+        # comparisons return false for NaN, hence the explicit OR on the
+        # lower leg. float32 values compare in float64 (Spark promotes;
+        # casting the bound down instead would move the boundary)
+        _, _, _, lo, hi = spec
+        a64 = a if a.type == pa.float64() else a.cast(pa.float64())
+        cm = None
+        if lo is not None:
+            cm = pc.or_kleene(
+                pc.greater_equal(a64, pa.scalar(float(lo), type=pa.float64())),
+                pc.is_nan(a64))
+        if hi is not None:
+            hm = pc.less_equal(a64, pa.scalar(float(hi), type=pa.float64()))
+            cm = hm if cm is None else pc.and_kleene(cm, hm)
+        return cm
+    if spec[0] == "prefix":
+        # byte-wise prefix test works for strings and binary alike
+        # (UTF-8 order == Spark string order); null prefixes stay null
+        ab = a.cast(pa.large_binary())
+        cm = None
+        for p in spec[1]:
+            pm = pc.equal(pc.binary_slice(ab, 0, len(p)),
+                          pa.scalar(p, type=pa.large_binary()))
+            cm = pm if cm is None else pc.or_kleene(cm, pm)
+        return cm
+    # "in"/"intin": SQL semantics — null never matches
+    return pc.is_in(a, value_set=pa.array(spec[2], type=a.type))
+
+
 def _chunk_mask(arrs: dict, predicates: dict):
-    """Exact row mask over decoded predicate arrays (Kleene null semantics:
-    null comparisons stay null; filter() drops them)."""
+    """Exact row mask over decoded predicate arrays: AND of the per-column
+    spec masks (Kleene null semantics: null comparisons stay null;
+    filter() drops them)."""
     import pyarrow.compute as pc
 
     mask = None
     for c, spec in predicates.items():
-        a = arrs[c]
-        if spec[0] == "range":
-            cm = pc.and_kleene(
-                pc.greater_equal(a, pa.scalar(spec[1], type=a.type)),
-                pc.less_equal(a, pa.scalar(spec[2], type=a.type)),
-            )
-        elif spec[0] == "frange":
-            # Spark float semantics: NaN sorts above +inf, so NaN satisfies
-            # any lower bound and fails any finite upper bound; arrow's raw
-            # comparisons return false for NaN, hence the explicit OR on the
-            # lower leg. float32 values compare in float64 (Spark promotes;
-            # casting the bound down instead would move the boundary)
-            _, _, _, lo, hi = spec
-            a64 = a if a.type == pa.float64() else a.cast(pa.float64())
-            cm = None
-            if lo is not None:
-                cm = pc.or_kleene(
-                    pc.greater_equal(a64, pa.scalar(float(lo), type=pa.float64())),
-                    pc.is_nan(a64))
-            if hi is not None:
-                hm = pc.less_equal(a64, pa.scalar(float(hi), type=pa.float64()))
-                cm = hm if cm is None else pc.and_kleene(cm, hm)
-        elif spec[0] == "prefix":
-            # byte-wise prefix test works for strings and binary alike
-            # (UTF-8 order == Spark string order); null prefixes stay null
-            ab = a.cast(pa.large_binary())
-            cm = None
-            for p in spec[1]:
-                pm = pc.equal(pc.binary_slice(ab, 0, len(p)),
-                              pa.scalar(p, type=pa.large_binary()))
-                cm = pm if cm is None else pc.or_kleene(cm, pm)
-        else:  # "in"/"intin": SQL semantics — null never matches
-            cm = pc.is_in(a, value_set=pa.array(spec[2], type=a.type))
+        cm = _spec_mask(arrs[c], spec)
         mask = cm if mask is None else pc.and_kleene(mask, cm)
     return mask
 
@@ -955,8 +991,8 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
                             )
                         }
                         if c in predicates:
-                            ok = {s for s, (m, _) in rows.items()
-                                  if _chunk_survives(m, predicates[c])}
+                            ok = {s for s, (m, nr) in rows.items()
+                                  if _chunk_survives(m, predicates[c], nr)}
                             keep_seqs = ok if keep_seqs is None else keep_seqs & ok
                         col_meta[c] = rows
                     seqs = sorted(keep_seqs or ())
@@ -1045,7 +1081,16 @@ def _is_predicate_type(simple: str) -> bool:
     return simple in _PREDICATE_EXACT_TYPES or simple.startswith("timestamp")
 
 
-def _bucket_survives(st: dict, spec: tuple) -> bool:
+def _bucket_survives(st: dict, spec: tuple, n_rows: int | None = None) -> bool:
+    if spec[0] == "isnull":
+        nulls = st.get("nulls")
+        return nulls is None or int(nulls) > 0
+    if spec[0] == "notnull":
+        nulls = st.get("nulls")
+        return not (nulls is not None and n_rows is not None
+                    and int(nulls) == int(n_rows))
+    if spec[0] == "or":
+        return any(_bucket_survives(st, s, n_rows) for s in spec[1])
     if spec[0] in ("range", "frange"):
         return not ("min" in st and (st["min"] > spec[2] or st["max"] < spec[1]))
     if spec[0] == "intin":
@@ -1066,7 +1111,8 @@ def _prune_buckets(commits: list[dict], predicates: dict) -> list[int]:
     buckets without a zone map are kept."""
     out = []
     for rec in commits:
-        if all(_bucket_survives(rec["columns"].get(c, {}), spec)
+        nr = int(rec["n_rows"])
+        if all(_bucket_survives(rec["columns"].get(c, {}), spec, nr)
                for c, spec in predicates.items()):
             out.append(int(rec["bucket"]))
     return out
@@ -1084,73 +1130,96 @@ def _normalize_predicates(predicates: dict, by_name: dict[str, str]) -> dict:
       filter is pc.is_in / byte-prefix equality — UTF-8 byte order equals
       Spark's string comparison order, so prefix pruning is sound for
       strings too)
+    - ``col: "isnull"`` / ``col: "notnull"`` (or the 1-tuple forms) on any
+      column -> ``("isnull",)`` / ``("notnull",)``; pruning uses the
+      per-chunk/per-bucket null counts the commit records already carry
+    - ``col: ("or", [form, ...])`` -> ``("or", [spec, ...])``: disjunction
+      of same-column sub-forms (each any form above); a zone survives when
+      any branch may match, the row mask ORs branch masks (Kleene)
     """
     norm: dict[str, tuple] = {}
     for c, spec in predicates.items():
         if c not in by_name:
             raise ValueError(f"predicate on unknown column {c!r}")
-        t = by_name[c]
-        if (isinstance(spec, tuple) and len(spec) == 2
-                and spec[0] in ("in", "eq", "prefix")):
-            many = isinstance(spec[1], (list, tuple))
-            vals = list(spec[1]) if many else [spec[1]]
-            if not vals:
-                raise ValueError(f"empty value set for column {c!r}")
-            if spec[0] == "in" and not many:
-                raise ValueError(
-                    f"'in' takes a list of values for column {c!r} "
-                    f"(use ('eq', v) for a single value)")
-            if spec[0] in ("in", "eq") and _is_predicate_type(t):
-                # int-domain IN/equality: zone test is membership against
-                # the chunk/bucket [min, max] (epoch-unit for timestamps)
-                try:
-                    probes = sorted(int(v) for v in vals)
-                except (TypeError, ValueError):
-                    raise ValueError(
-                        f"'{spec[0]}' on int-ordered column {c!r} needs "
-                        f"integer values (timestamps in the column's epoch "
-                        f"unit), got {vals!r}") from None
-                norm[c] = ("intin", probes, probes)
-                continue
-            if t not in ("string", "binary"):
-                raise ValueError(
-                    f"'{spec[0]}' predicates need a string/binary or "
-                    f"int-ordered column; {c!r} is {t}")
-            probes = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
-                      for v in vals]
-            kind = "prefix" if spec[0] == "prefix" else "in"
-            norm[c] = (kind, probes, vals)
-        elif t in ("float", "double"):
-            # float range -> ("frange", key_lo, key_hi, lo, hi): the key
-            # pair drives zone-map pruning in the order-preserving bit
-            # domain (chunk.float_order_keys, format v5); the float pair
-            # drives the exact row mask (None = unbounded side, Spark NaN
-            # semantics — see _chunk_mask)
-            lo, hi = spec
-            if lo is None and hi is None:
-                raise ValueError(f"float range on {c!r} needs a bound")
-            for b in (lo, hi):
-                if b is not None and float(b) != float(b):
-                    raise ValueError(
-                        f"NaN bound on {c!r}; Spark range predicates cannot "
-                        f"select NaN (it sorts above +inf)")
-            widen = 1 if t == "float" else 0  # cover float64->float32 rounding
-            klo = (-(1 << 63) if lo is None
-                   else max(-(1 << 63), chunklib.float_key(float(lo), t) - widen))
-            khi = ((1 << 63) - 1 if hi is None
-                   else min((1 << 63) - 1, chunklib.float_key(float(hi), t) + widen))
-            norm[c] = ("frange", klo, khi,
-                       None if lo is None else float(lo),
-                       None if hi is None else float(hi))
-        else:
-            if not _is_predicate_type(t):
-                raise ValueError(
-                    f"range predicates need an int-ordered column; {c!r} is "
-                    f"{t} (strings take ('in', [...]) / ('eq', v) "
-                    f"predicates; floats take (lo, hi) float ranges)")
-            lo, hi = spec
-            norm[c] = ("range", int(lo), int(hi))
+        norm[c] = _normalize_spec(c, spec, by_name[c])
     return norm
+
+
+def _normalize_spec(c: str, spec, t: str) -> tuple:
+    """One user predicate form -> internal spec (see _normalize_predicates)."""
+    if spec == "isnull" or spec == ("isnull",):
+        return ("isnull",)
+    if spec == "notnull" or spec == ("notnull",):
+        return ("notnull",)
+    if isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "or":
+        subs = list(spec[1]) if isinstance(spec[1], (list, tuple)) else []
+        if not subs:
+            raise ValueError(f"'or' takes a non-empty list of predicate "
+                             f"forms for column {c!r}")
+        return ("or", [_normalize_spec(c, s, t) for s in subs])
+    return _normalize_value_spec(c, spec, t)
+
+
+def _normalize_value_spec(c: str, spec, t: str) -> tuple:
+    if (isinstance(spec, tuple) and len(spec) == 2
+            and spec[0] in ("in", "eq", "prefix")):
+        many = isinstance(spec[1], (list, tuple))
+        vals = list(spec[1]) if many else [spec[1]]
+        if not vals:
+            raise ValueError(f"empty value set for column {c!r}")
+        if spec[0] == "in" and not many:
+            raise ValueError(
+                f"'in' takes a list of values for column {c!r} "
+                f"(use ('eq', v) for a single value)")
+        if spec[0] in ("in", "eq") and _is_predicate_type(t):
+            # int-domain IN/equality: zone test is membership against
+            # the chunk/bucket [min, max] (epoch-unit for timestamps)
+            try:
+                probes = sorted(int(v) for v in vals)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"'{spec[0]}' on int-ordered column {c!r} needs "
+                    f"integer values (timestamps in the column's epoch "
+                    f"unit), got {vals!r}") from None
+            return ("intin", probes, probes)
+        if t not in ("string", "binary"):
+            raise ValueError(
+                f"'{spec[0]}' predicates need a string/binary or "
+                f"int-ordered column; {c!r} is {t}")
+        probes = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                  for v in vals]
+        kind = "prefix" if spec[0] == "prefix" else "in"
+        return (kind, probes, vals)
+    elif t in ("float", "double"):
+        # float range -> ("frange", key_lo, key_hi, lo, hi): the key
+        # pair drives zone-map pruning in the order-preserving bit
+        # domain (chunk.float_order_keys, format v5); the float pair
+        # drives the exact row mask (None = unbounded side, Spark NaN
+        # semantics — see _chunk_mask)
+        lo, hi = spec
+        if lo is None and hi is None:
+            raise ValueError(f"float range on {c!r} needs a bound")
+        for b in (lo, hi):
+            if b is not None and float(b) != float(b):
+                raise ValueError(
+                    f"NaN bound on {c!r}; Spark range predicates cannot "
+                    f"select NaN (it sorts above +inf)")
+        widen = 1 if t == "float" else 0  # cover float64->float32 rounding
+        klo = (-(1 << 63) if lo is None
+               else max(-(1 << 63), chunklib.float_key(float(lo), t) - widen))
+        khi = ((1 << 63) - 1 if hi is None
+               else min((1 << 63) - 1, chunklib.float_key(float(hi), t) + widen))
+        return ("frange", klo, khi,
+                None if lo is None else float(lo),
+                None if hi is None else float(hi))
+    else:
+        if not _is_predicate_type(t):
+            raise ValueError(
+                f"range predicates need an int-ordered column; {c!r} is "
+                f"{t} (strings take ('in', [...]) / ('eq', v) "
+                f"predicates; floats take (lo, hi) float ranges)")
+        lo, hi = spec
+        return ("range", int(lo), int(hi))
 
 
 def _plan_store(out_dir: str, require_complete: bool = True
@@ -1196,7 +1265,7 @@ def _plan_store(out_dir: str, require_complete: bool = True
     return meta, nonempty
 
 
-def _zone_all_match(st: dict, spec: tuple) -> bool:
+def _zone_all_match(st: dict, spec: tuple, n_rows: int | None = None) -> bool:
     """Sound proof that EVERY row of a zone (bucket commit stats or chunk
     meta — same key names) matches ``spec``, so a count can take the zone's
     n_rows without touching payload bytes. Predicate semantics exclude
@@ -1224,9 +1293,16 @@ def _zone_all_match(st: dict, spec: tuple) -> bool:
       MAY-match pruning but unsound for an ALL-match proof at the
       boundary; the exact float64 mask handles these rows.
     """
+    kind = spec[0]
+    if kind == "isnull":  # every row null <=> null count == row count
+        return (n_rows is not None and "nulls" in st
+                and int(st["nulls"]) == int(n_rows))
+    if kind == "notnull":
+        return st.get("nulls") == 0
+    if kind == "or":  # sufficient: one branch proven for every row
+        return any(_zone_all_match(st, s, n_rows) for s in spec[1])
     if st.get("nulls") != 0:
         return False
-    kind = spec[0]
     if kind == "range":
         return "min" in st and st["min"] >= spec[1] and st["max"] <= spec[2]
     if kind == "intin":
@@ -1272,10 +1348,11 @@ def _classify_records(nonempty: list[dict], preds: dict
     full, partial, pruned = [], [], []
     for rec in nonempty:
         cols = rec["columns"]
-        if not all(_bucket_survives(cols.get(c, {}), s)
+        nr = int(rec["n_rows"])
+        if not all(_bucket_survives(cols.get(c, {}), s, nr)
                    for c, s in preds.items()):
             pruned.append(rec)
-        elif all(_zone_all_match(cols.get(c, {}), s)
+        elif all(_zone_all_match(cols.get(c, {}), s, nr)
                  for c, s in preds.items()):
             full.append(rec)
         else:
@@ -1314,13 +1391,14 @@ def _make_count_kernel(out_dir: str, predicates: dict):
                             t.column("n_rows").to_pylist(),
                         )
                     }
-                    ok = {s for s, (m, _) in rows.items()
-                          if _chunk_survives(m, predicates[c])}
+                    ok = {s for s, (m, nr) in rows.items()
+                          if _chunk_survives(m, predicates[c], nr)}
                     keep_seqs = ok if keep_seqs is None else keep_seqs & ok
                     col_meta[c] = rows
                 need = []
                 for s in sorted(keep_seqs or ()):
-                    if all(_zone_all_match(col_meta[c][s][0], predicates[c])
+                    if all(_zone_all_match(col_meta[c][s][0], predicates[c],
+                                           col_meta[c][s][1])
                            for c in pred_cols):
                         total += col_meta[pred_cols[0]][s][1]
                     else:
@@ -1725,15 +1803,16 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
                         )
                     }
                     if c in predicates:
-                        ok = {s for s, (m, _) in rows.items()
-                              if _chunk_survives(m, predicates[c])}
+                        ok = {s for s, (m, nr) in rows.items()
+                              if _chunk_survives(m, predicates[c], nr)}
                         keep_seqs = ok if keep_seqs is None else keep_seqs & ok
                     col_meta[c] = rows
                 if keep_seqs is None:  # no predicates: every chunk counts
                     keep_seqs = set(col_meta[need_cols[0]])
                 need = []
                 for s in sorted(keep_seqs):
-                    if all(_zone_all_match(col_meta[c][s][0], predicates[c])
+                    if all(_zone_all_match(col_meta[c][s][0], predicates[c],
+                                           col_meta[c][s][1])
                            for c in pred_cols):
                         nr = col_meta[need_cols[0]][s][1]
                         for alias, spec in aggs.items():
@@ -1980,13 +2059,14 @@ def _bucket_chunk_masks(manifest: "Manifest", bucket: int,
                 for s, m, nr in zip(t.column("chunk_seq").to_pylist(),
                                     t.column("meta").to_pylist(),
                                     t.column("n_rows").to_pylist())}
-        ok = {s for s, (m, _) in rows.items()
-              if _chunk_survives(m, predicates[c])}
+        ok = {s for s, (m, nr) in rows.items()
+              if _chunk_survives(m, predicates[c], nr)}
         keep = ok if keep is None else keep & ok
         col_meta[c] = rows
     undecided = []
     for s in sorted(keep or ()):
-        if all(_zone_all_match(col_meta[c][s][0], predicates[c])
+        if all(_zone_all_match(col_meta[c][s][0], predicates[c],
+                               col_meta[c][s][1])
                for c in pred_cols):
             masks[s] = None  # proven all-match, unmasked
         else:
@@ -2133,6 +2213,137 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
         F.sum("sum").cast("long").alias("sum"))
 
 
+def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
+                             agg_col: str | None,
+                             predicates: dict | None = None):
+    """Per-bucket partial (g0..gk, cnt[, sum]) rows at the codec layer —
+    the map-side combine of GROUP BY g0, g1, ... Chunk boundaries align
+    across columns, so zipping the chunk files by chunk_seq is exact; the
+    composite-key aggregation itself is chunk.chunk_group_multi. Predicate
+    handling mirrors _make_group_agg_kernel (bucket flags, zone proofs,
+    boundary-chunk masks)."""
+    predicates = predicates or {}
+    pred_cols = list(predicates)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        manifest = Manifest(out_dir)
+        read_cols = list(group_cols) + ([agg_col] if agg_col else [])
+        out_names = list(group_cols) + ["cnt"] + (["sum"] if agg_col else [])
+        for batch in batches:
+            flags = (batch.column("all_match").to_pylist()
+                     if "all_match" in batch.schema.names
+                     else [True] * batch.num_rows)
+            for bucket, bucket_all in zip(batch.column("bucket").to_pylist(),
+                                          flags):
+                need_mask = bool(pred_cols) and not bucket_all
+                masks: dict[int, "np.ndarray | None"] = {}
+                if need_mask:
+                    masks = _bucket_chunk_masks(manifest, bucket, predicates)
+                if need_mask and not masks:
+                    continue
+                flt = ([("chunk_seq", "in", sorted(masks))]
+                       if need_mask else None)
+                tabs = {c: pq.read_table(manifest.chunk_read_path(c, bucket),
+                                         filters=flt)
+                        for c in read_cols}
+                by_seq = {
+                    c: {int(s): (json.loads(m), p)
+                        for s, m, p in zip(t.column("chunk_seq").to_pylist(),
+                                           t.column("meta").to_pylist(),
+                                           t.column("payload").to_pylist())}
+                    for c, t in tabs.items()
+                }
+                first = tabs[read_cols[0]]
+                parts = []
+                for s, nr in zip(first.column("chunk_seq").to_pylist(),
+                                 first.column("n_rows").to_pylist()):
+                    s = int(s)
+                    if need_mask:
+                        if s not in masks:
+                            continue
+                        mask = masks[s]
+                    else:
+                        mask = None
+                    g_chunks = [by_seq[c][s] for c in group_cols]
+                    g_chunks = [(p, m) for m, p in g_chunks]
+                    a_chunk = None
+                    if agg_col:
+                        am, ap = by_seq[agg_col][s]
+                        a_chunk = (ap, am)
+                    parts.append(chunklib.chunk_group_multi(
+                        g_chunks, a_chunk, int(nr), mask=mask))
+                if parts:
+                    out = pa.concat_tables(parts)
+                    yield from out.rename_columns(out_names).to_batches()
+
+    return kernel
+
+
+def group_multi_table(spark: SparkSession, out_dir: str,
+                      group_cols: list[str], agg_col: str | None = None,
+                      predicates: dict | None = None) -> DataFrame:
+    """``SELECT g0, g1, ..., COUNT(*)[, SUM(a)] [WHERE ...] GROUP BY
+    g0, g1, ...`` pushed to the codec layer (round-5 verdict, next #2) —
+    the corpus-audit shape ``GROUP BY lang, source``. Returns
+    ``(g0..gk, cnt long[, sum long])`` with SQL semantics (nulls form
+    groups; all-null agg groups sum to NULL).
+
+    Scale shape matches :func:`group_agg_table`: per-bucket partials are
+    O(buckets x observed composite groups) rows into the final
+    groupBy-sum, never O(rows); dict-coded group columns aggregate on
+    combined packed code streams without materializing group values per
+    row. HAVING composes as a filter on the returned partial-summed
+    DataFrame (see sqlagg)."""
+    if len(group_cols) < 1:
+        raise ValueError("group_multi_table needs at least one group column")
+    if len(set(group_cols)) != len(group_cols):
+        raise ValueError("duplicate group columns")
+    for col in group_cols + ([agg_col] if agg_col else []):
+        if col in ("cnt", "sum"):
+            raise ValueError(
+                f"column name {col!r} collides with an output alias")
+    if agg_col in group_cols:
+        raise ValueError("agg column must differ from group columns")
+    meta, nonempty = _plan_store(out_dir)
+    for col in group_cols + ([agg_col] if agg_col else []):
+        if col not in meta["columns"]:
+            raise ValueError(
+                f"unknown column {col!r}; store has {meta['columns']}")
+    spark_schema = T.StructType.fromJson(meta["spark_schema"])
+    by_field = {f.name: f for f in spark_schema.fields}
+    if agg_col:
+        a_type = by_field[agg_col].dataType.simpleString()
+        if a_type not in _INTEGRAL_TYPES:
+            raise ValueError(
+                f"sum pushdown needs an integral agg column; {agg_col!r} "
+                f"is {a_type}")
+    fields = [T.StructField(c, by_field[c].dataType, True)
+              for c in group_cols]
+    fields.append(T.StructField("cnt", T.LongType(), False))
+    if agg_col:
+        fields.append(T.StructField("sum", T.LongType(), True))
+    out_schema = T.StructType(fields)
+    by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    preds = _normalize_predicates(predicates or {}, by_name)
+    full, partial, _ = _classify_records(nonempty, preds)
+    rows = [(int(r["bucket"]), True) for r in full] \
+        + [(int(r["bucket"]), False) for r in partial]
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    buckets_df = spark.createDataFrame(
+        sorted(rows),
+        T.StructType([T.StructField("bucket", T.LongType(), False),
+                      T.StructField("all_match", T.BooleanType(), False)])
+    ).repartition(len(rows))
+    partials = buckets_df.mapInArrow(
+        _make_group_multi_kernel(out_dir, group_cols, agg_col, preds),
+        out_schema)
+    aggs = [F.sum("cnt").cast("long").alias("cnt")]
+    if agg_col:
+        aggs.append(F.sum("sum").cast("long").alias("sum"))
+    return partials.groupBy(*group_cols).agg(*aggs)
+
+
 def decode_table(
     spark: SparkSession, out_dir: str, columns: list[str] | None = None,
     *, require_complete: bool = True,
@@ -2165,7 +2376,14 @@ def decode_table(
       equality predicates and ``("prefix", p)`` (or a list of prefixes)
       — the url/lang filters a real user runs constantly (round-2
       verdict, missing #3). A prefix is pruned as the byte range
-      ``[p, next(p))``.
+      ``[p, next(p))``;
+    - any column: ``"isnull"`` / ``"notnull"`` (round 5) — pruned
+      metadata-only off the per-chunk/per-bucket null counts every commit
+      record carries, so e.g. ``notnull`` on a never-null column is a free
+      all-match proof and ``isnull`` on it prunes everything;
+    - ``("or", [form, ...])``: disjunction of same-column forms (any of
+      the above), e.g. ``("or", [("eq", "en"), "isnull"])`` — a zone
+      survives when any branch may match, the row mask ORs branch masks.
 
     Zone maps recorded at encode (int min/max; truncated byte prefixes for
     bytes columns) prune whole buckets driver-side and whole chunks

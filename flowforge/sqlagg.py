@@ -89,12 +89,54 @@ def _flatten_and(cond) -> list:
     return [cond]
 
 
+def _flatten_or(cond) -> list:
+    if _cls(cond) == "Or":
+        return _flatten_or(cond.left()) + _flatten_or(cond.right())
+    return [cond]
+
+
+def _constraint_to_userform(kind: str, v) -> tuple | str:
+    """One OR-branch constraint -> an engine USER predicate form (the
+    shapes engine._normalize_spec accepts inside ("or", [...]))."""
+    if kind == "eq":
+        return ("eq", v)
+    if kind == "in":
+        return ("in", v)
+    if kind == "prefix":
+        return ("prefix", v)
+    if kind == "between":
+        return (v[0], v[1])
+    if kind == "isnull":
+        return "isnull"
+    if kind == "notnull":
+        return "notnull"
+    if kind == "lo":
+        return (v, math.inf if isinstance(v, float) else _I64_MAX)
+    if kind == "hi":
+        return (-math.inf if isinstance(v, float) else _I64_MIN, v)
+    raise _Unroutable(f"OR branch kind {kind}")
+
+
 def _leaf_to_constraint(c) -> tuple:
-    """One non-AND condition -> ("eq"|"in"|"prefix"|"lo"|"hi", col, value).
+    """One non-AND condition -> ("eq"|"in"|"prefix"|"lo"|"hi"|"isnull"|
+    "notnull"|"or", col, value).
 
     Mirrors datasource.ChunkStoreReader._translate but over analyzed
-    Catalyst expressions instead of DS-API filter objects."""
+    Catalyst expressions instead of DS-API filter objects. OR is routable
+    when every branch constrains the SAME column (the engine's spec is
+    per-column); cross-column OR falls back."""
     name = _cls(c)
+    if name == "IsNull":
+        return ("isnull", _attr_name(c.child()), None)
+    if name == "IsNotNull":
+        return ("notnull", _attr_name(c.child()), None)
+    if name == "Or":
+        subs = [_leaf_to_constraint(b) for b in _flatten_or(c)]
+        cols = {col for _, col, _ in subs}
+        if len(cols) != 1:
+            raise _Unroutable("OR across columns")
+        forms = [_constraint_to_userform(k, v) for k, _, v in subs]
+        return ("or", cols.pop(), forms)
     if name == "Between":  # RuntimeReplaceable: input BETWEEN lower AND upper
         col = _attr_name(c.input())
         return ("between", col, (_literal(c.lower()), _literal(c.upper())))
@@ -142,18 +184,33 @@ def _constraints_to_predicates(constraints: list) -> dict:
     by_col: dict[str, dict] = {}
     for kind, col, v in constraints:
         slot = by_col.setdefault(col, {})
+        if kind in ("or", "isnull", "notnull"):
+            # null/OR specs must be the column's only constraint (the
+            # engine takes ONE spec per column; merging e.g. a range into
+            # an OR is not expressible) — otherwise fall back
+            if slot:
+                raise _Unroutable(f"multiple constraints on column {col!r}")
+            slot[kind] = v
+            continue
         if kind == "between":
             kind_pairs = (("lo", v[0]), ("hi", v[1]))
         else:
             kind_pairs = ((kind, v),)
         for k, val in kind_pairs:
             if k in slot or (k in ("eq", "in", "prefix") and slot) \
-                    or (k in ("lo", "hi") and not set(slot) <= {"lo", "hi"}):
+                    or (k in ("lo", "hi") and not set(slot) <= {"lo", "hi"}) \
+                    or set(slot) & {"or", "isnull", "notnull"}:
                 raise _Unroutable(f"multiple constraints on column {col!r}")
             slot[k] = val
     preds: dict[str, tuple] = {}
     for col, slot in by_col.items():
-        if "eq" in slot:
+        if "or" in slot:
+            preds[col] = ("or", slot["or"])
+        elif "isnull" in slot:
+            preds[col] = "isnull"
+        elif "notnull" in slot:
+            preds[col] = "notnull"
+        elif "eq" in slot:
             preds[col] = ("eq", slot["eq"])
         elif "in" in slot:
             preds[col] = ("in", slot["in"])

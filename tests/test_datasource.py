@@ -12,8 +12,8 @@ the WHERE clause reach the SAME three-layer pruning the explicit
    ``engine._prune_buckets`` on the same commits — chunk skips therefore
    equal the explicit path's by construction (shared decode kernel);
 3. end-to-end exactness over spark.sql for eq/LIKE-prefix/int-range/
-   float-range/IN, including filters the reader must NOT consume
-   (OR, IsNull, strict float bounds) — those come back right because
+   float-range/IN/IS [NOT] NULL, including filters the reader must NOT
+   consume (OR, strict float bounds) — those come back right because
    Spark re-applies them;
 4. the Spark 4.1.2 readInfo plan-caching hazard (module docstring of
    datasource.py): a pushdown relation reused for a second, different
@@ -99,16 +99,19 @@ def test_pushfilters_translates_specs(docs_store):
         LessThan(attribute=("doc_id",), value=100),
         IsNotNull(attribute=("text",)),
     ]))
-    # IsNotNull is not translatable -> yielded back; the rest consumed
-    assert [type(f).__name__ for f in remaining] == ["IsNotNull"]
+    # everything consumed (round 5: IS NOT NULL routes to the null-count
+    # zone maps when it is the column's only constraint)
+    assert remaining == []
     assert r.predicates == {
         "lang": ("eq", "en"),
         "source": ("prefix", "src1"),
         "doc_id": (10, 99),  # LessThan closes to <= value-1
+        "text": "notnull",
     }
     # identical to what the explicit decode_table path normalizes
     norm = engine._normalize_predicates(r.predicates, r.by_name)
-    assert set(norm) == {"lang", "source", "doc_id"}
+    assert set(norm) == {"lang", "source", "doc_id", "text"}
+    assert norm["text"] == ("notnull",)
 
 
 def test_pushfilters_in_intersection_and_contradiction(docs_store):
@@ -129,13 +132,39 @@ def test_pushfilters_in_intersection_and_contradiction(docs_store):
     assert r2.partitions() == []
 
 
-def test_pushfilters_yields_back_unconvertible(docs_store):
+def test_pushfilters_null_specs(docs_store):
+    # IS NULL alone -> consumed as the column's spec
     r = _reader(docs_store)
     f_null = IsNull(attribute=("lang",))
     f_strict = GreaterThan(attribute=("n_chars",), value=5)  # int: convertible
     rem = list(r.pushFilters([f_null, f_strict]))
-    assert rem == [f_null]
-    assert r.predicates == {"n_chars": (6, (1 << 63) - 1)}
+    assert rem == []
+    assert r.predicates == {"lang": "isnull", "n_chars": (6, (1 << 63) - 1)}
+
+    # IS NULL AND a value constraint on the same column -> provably empty
+    r2 = _reader(docs_store)
+    rem2 = list(r2.pushFilters([
+        IsNull(attribute=("lang",)),
+        EqualTo(attribute=("lang",), value="en"),
+    ]))
+    assert r2.empty_result and r2.partitions() == []
+
+    # IS NOT NULL alongside a value constraint is implied -> consumed free
+    r3 = _reader(docs_store)
+    rem3 = list(r3.pushFilters([
+        IsNotNull(attribute=("lang",)),
+        EqualTo(attribute=("lang",), value="en"),
+    ]))
+    assert rem3 == []
+    assert r3.predicates == {"lang": ("eq", "en")}
+
+    # IS NULL AND IS NOT NULL -> contradiction
+    r4 = _reader(docs_store)
+    list(r4.pushFilters([
+        IsNull(attribute=("lang",)),
+        IsNotNull(attribute=("lang",)),
+    ]))
+    assert r4.empty_result
 
 
 def test_pushfilters_float_bounds(events_store):

@@ -120,3 +120,93 @@ def test_int_in_zone_and_mask_soundness(values, probes, codec):
     mask = engine._chunk_mask({"c": decoded}, {"c": spec})
     got = [bool(m) if m is not None else False for m in mask.to_pylist()]
     assert got == expect
+
+
+# --- round 5: isnull / notnull / or specs ----------------------------------
+
+def _ref_match(v, spec) -> bool:
+    """Two-valued reference semantics (Kleene nulls collapse to False,
+    exactly what filter() / fill_null(False) do downstream)."""
+    kind = spec[0]
+    if kind == "isnull":
+        return v is None
+    if kind == "notnull":
+        return v is not None
+    if kind == "or":
+        return any(_ref_match(v, s) for s in spec[1])
+    if v is None:
+        return False
+    if kind == "range":
+        return spec[1] <= v <= spec[2]
+    if kind == "intin":
+        return v in spec[1]
+    if kind == "in":
+        return v in spec[1]
+    if kind == "prefix":
+        return any(v.startswith(p) for p in spec[1])
+    raise AssertionError(kind)
+
+
+def _int_leaf():
+    rng = st.tuples(st.integers(-2**40, 2**40), st.integers(-2**40, 2**40)).map(
+        lambda t: ("range", min(t), max(t)))
+    intin = st.lists(st.integers(-2**40, 2**40), min_size=1, max_size=3).map(
+        lambda p: ("intin", sorted(p), sorted(p)))
+    return st.one_of(rng, intin, st.just(("isnull",)), st.just(("notnull",)))
+
+
+_int_spec = st.one_of(
+    _int_leaf(),
+    st.lists(_int_leaf(), min_size=1, max_size=3).map(lambda s: ("or", s)),
+)
+
+_bytes_leaf = st.one_of(
+    st.lists(_probe, min_size=1, max_size=3).map(lambda p: ("in", p, p)),
+    st.lists(_probe, min_size=1, max_size=2).map(lambda p: ("prefix", p, p)),
+    st.just(("isnull",)),
+    st.just(("notnull",)),
+)
+_bytes_spec = st.one_of(
+    _bytes_leaf,
+    st.lists(_bytes_leaf, min_size=1, max_size=3).map(lambda s: ("or", s)),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(values=st.lists(st.one_of(st.none(), st.integers(-2**40, 2**40)),
+                       min_size=1, max_size=60),
+       spec=_int_spec,
+       codec=st.sampled_from(["plain", "forbp", "deltazz", "rle", "dict"]))
+def test_null_or_int_soundness(values, spec, codec):
+    arr = pa.array(values, type=pa.int64())
+    payload, meta = chunklib.encode_array(arr, codec)
+    expect = [_ref_match(v, spec) for v in values]
+    # zone prune is sound
+    if not engine._chunk_survives(meta, spec, len(values)):
+        assert not any(expect), (values, spec, meta)
+    # all-match proof is sound
+    if engine._zone_all_match(meta, spec, len(values)):
+        assert all(expect), (values, spec, meta)
+    # exact mask == reference
+    decoded = chunklib.decode_array(payload, meta, len(values))
+    mask = engine._chunk_mask({"c": decoded}, {"c": spec})
+    got = [bool(m) if m is not None else False for m in mask.to_pylist()]
+    assert got == expect, (values, spec)
+
+
+@settings(max_examples=300, deadline=None)
+@given(values=_values, spec=_bytes_spec,
+       codec=st.sampled_from(["plain", "dict", "dictfsst", "rle", "fsst",
+                              "worddict"]))
+def test_null_or_bytes_soundness(values, spec, codec):
+    arr = pa.array(values, type=pa.large_binary())
+    payload, meta = chunklib.encode_array(arr, codec)
+    expect = [_ref_match(v, spec) for v in values]
+    if not engine._chunk_survives(meta, spec, len(values)):
+        assert not any(expect), (values, spec, meta)
+    if engine._zone_all_match(meta, spec, len(values)):
+        assert all(expect), (values, spec, meta)
+    decoded = chunklib.decode_array(payload, meta, len(values))
+    mask = engine._chunk_mask({"c": decoded}, {"c": spec})
+    got = [bool(m) if m is not None else False for m in mask.to_pylist()]
+    assert got == expect, (values, spec)
