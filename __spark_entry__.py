@@ -50,27 +50,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # engine round-trip (lossless encode->decode proven vs source oracle)
         "roundtrip_doc_text_md5": Q.q_roundtrip_doc_text_md5,
-        "roundtrip_doc_lang_counts": Q.q_roundtrip_doc_lang_counts,
         "roundtrip_events_fingerprint": Q.q_roundtrip_events_fingerprint,
         "roundtrip_pruned_scan": Q.q_roundtrip_pruned_scan,
-        "decode_lang_filter": Q.q_decode_lang_filter,
         "decode_source_prefix": Q.q_decode_source_prefix,
         "roundtrip_clustered_prune": Q.q_roundtrip_clustered_prune,
         "decode_value_range": Q.q_decode_value_range,
         "store_sql_filter": Q.q_store_sql_filter,
-        "store_count_window": Q.q_store_count_window,
         "store_group_counts": Q.q_store_group_counts,
         "store_agg_window": Q.q_store_agg_window,
-        "store_agg_filtered": Q.q_store_agg_filtered,
         "store_group_sums": Q.q_store_group_sums,
         "store_sqlagg_route": Q.q_store_sqlagg_route,
         "store_topk_latest": Q.q_store_topk_latest,
         "store_sqlagg_grouped_where": Q.q_store_sqlagg_grouped_where,
-        "store_sqlagg_grouped": Q.q_store_sqlagg_grouped,
+        # round 5: composite GROUP BY + HAVING, filtered top-k, OR/IS NULL
+        "store_sqlagg_grouped2": Q.q_store_sqlagg_grouped2,
+        "store_topk_filtered": Q.q_store_topk_filtered,
+        "store_null_or": Q.q_store_null_or,
         # reference-parity normalize/enrich (SURVEY §2 S2, P1-P4, E1-E5, F1, R1)
         "json_parse_demux": Q.q_json_parse_demux,
         "normalize_promote": Q.q_normalize_promote,
-        "enrich_time_parts": Q.q_enrich_time_parts,
         "enrich_network": Q.q_enrich_network,
         "enrich_service": Q.q_enrich_service,
         "filter_known_types": Q.q_filter_known_types,
@@ -79,12 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitype_normalize": Q.q_multitype_normalize,
         # relational operators (SURVEY §2.2 categories, DuckDB-oracled)
         "window_running": Q.q_window_running,
-        "topk_users": Q.q_topk_users,
-        "rollup_lang_source": Q.q_rollup_lang_source,
         "cube_lang_source": Q.q_cube_lang_source,
-        "join_orders_by_nation": Q.q_join_orders_by_nation,
         "anti_customers_no_orders": Q.q_anti_customers_no_orders,
-        "suppliers_by_region": Q.q_suppliers_by_region,
         "semi_parts_shipped": Q.q_semi_parts_shipped,
         "range_join_late_lines": Q.q_range_join_late_lines,
         "asof_prev_view": Q.q_asof_prev_view,
@@ -105,14 +99,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": Q.q_simhash_near_dups,    # golden oracle
         # training-data pipeline: similarity search
         "ann_cosine_scores": Q.q_ann_cosine_scores,
-        "cosine_dup_pairs": Q.q_cosine_dup_pairs,
         "cosine_lsh_pairs": Q.q_cosine_lsh_pairs,      # golden oracle
         "ann_lsh_topk": Q.q_ann_lsh_topk,              # golden oracle
         "ann_ivf_topk": Q.q_ann_ivf_topk,              # golden oracle
         # multimodal: real lib-free decode (P6/WAV) + batch plumbing
         "multimodal_real_features": Q.q_multimodal_real_features,  # golden
         "multimodal_frame_sample": Q.q_multimodal_frame_sample,  # golden
-        "multimodal_features": Q.q_multimodal_features,  # golden oracle
         # reference sink/metrics analogs (SURVEY §2 K5, M1)
         "kafka_output_shape": Q.q_kafka_output_shape,    # structurally oracled
         "metrics_lineage": Q.q_metrics_lineage,          # value-oracled lineage
@@ -135,11 +127,6 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_doc_text_md5": (
             "SELECT doc_id, md5(text) AS text_md5 FROM documents"
         ),
-        "roundtrip_doc_lang_counts": (
-            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
-            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
-            "FROM documents GROUP BY lang, source"
-        ),
         "roundtrip_events_fingerprint": (
             "SELECT event_id, epoch_ms(ts) AS ts_ms, "
             "CAST(floor(value * 100) AS BIGINT) AS value_c, "
@@ -152,12 +139,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(value * 100) AS BIGINT) AS value_c FROM events "
             f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 3 * 86_400_000_000} "
             f"AND {1_704_067_200_000_000 + 13 * 86_400_000_000}"
-        ),
-        # string-equality pushdown: engine decodes only lang='en' chunks
-        # (bytes zone maps + dictionary short-circuit); oracle filters source
-        "decode_lang_filter": (
-            "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents "
-            "WHERE lang = 'en'"
         ),
         # string-prefix pushdown: byte-range zone maps + dictionary prefix
         # short-circuit; oracle LIKE-filters the source
@@ -178,14 +159,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE lang = 'en' AND source LIKE 'src1%'"
         ),
-        # aggregate pushdown (round-4): COUNT(*) over a ts window answered
-        # from commit metadata for interior buckets + a predicate-only
-        # kernel at the boundaries; oracle counts the filtered source
-        "store_count_window": (
-            "SELECT count(*) AS cnt FROM events "
-            f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 5 * 86_400_000_000} "
-            f"AND {1_704_067_200_000_000 + 20 * 86_400_000_000}"
-        ),
         # GROUP BY pushed to the codec layer (dictionary bincount / RLE run
         # lengths); oracle GROUP BYs the source
         "store_group_counts": (
@@ -200,14 +173,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 5 * 86_400_000_000} "
             f"AND {1_704_067_200_000_000 + 20 * 86_400_000_000}"
-        ),
-        "store_agg_filtered": (
-            # avg parity is exact: both engines divide the same exact sum by
-            # the same exact count, one double division
-            "SELECT count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
-            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
-            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
-            "FROM documents WHERE lang = 'en'"
         ),
         # grouped SUM at the codec layer: dict code streams aggregate
         # without materializing group values; oracle GROUP BYs the source
@@ -225,16 +190,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE lang IN ('en', 'de') "
             "AND source LIKE 'src1%' AND n_chars BETWEEN 50 AND 5000"
         ),
-        "store_sqlagg_grouped": (
-            "SELECT lang, count(*) AS cnt, "
-            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
-            "FROM documents GROUP BY lang"
-        ),
         "store_sqlagg_grouped_where": (
             "SELECT lang, count(*) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "WHERE source LIKE 'src1%' AND n_chars BETWEEN 100 AND 4000 "
             "GROUP BY lang"
+        ),
+        # composite GROUP BY + HAVING (round 5): routed to the
+        # combined-code-stream kernel; HAVING post-filters routed partials
+        "store_sqlagg_grouped2": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "WHERE n_chars BETWEEN 50 AND 5000 "
+            "GROUP BY lang, source HAVING count(*) >= 2"
+        ),
+        # filtered top-k (round 5): WHERE reaches the topk kernel masks;
+        # tie column keeps the 25-row set deterministic
+        "store_topk_filtered": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms, user_id FROM events "
+            "WHERE event_type = 'click' ORDER BY ts DESC, event_id LIMIT 25"
+        ),
+        # OR + IS NULL pushdown (round 5) over a null-bearing derived store;
+        # the oracle derives the same null pattern inline
+        "store_null_or": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM "
+            "(SELECT NULLIF(lang, 'en') AS lang FROM documents) "
+            "WHERE lang = 'de' OR lang IS NULL GROUP BY lang"
         ),
         # ORDER BY/LIMIT pushdown: the tie-break column makes the 25-row
         # set deterministic, so the order-insensitive compare is exact
@@ -258,13 +239,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id AS flow_id, epoch_ms(ts) AS event_time, "
             "event_type AS protocol, 'events' AS event_class, "
             "CAST(user_id AS INT) AS src_port FROM events"
-        ),
-        "enrich_time_parts": (
-            "SELECT event_id, CAST(year(ts) AS INT) AS event_year, "
-            "CAST(month(ts) AS INT) AS event_month, "
-            "CAST(day(ts) AS INT) AS event_day, "
-            "CAST(hour(ts) AS INT) AS event_hour, "
-            "CAST(date_part('dow', ts) AS INT) AS event_weekday FROM events"
         ),
         "enrich_network": (
             f"WITH ips AS (SELECT event_id, {src_ip} AS src_ip, {dst_ip} AS dst_ip FROM events) "
@@ -331,34 +305,10 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_value_c "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
-        "topk_users": (
-            "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, "
-            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c "
-            "FROM events GROUP BY user_id "
-            "ORDER BY cnt DESC, sum_value_c DESC, user_id ASC LIMIT 20"
-        ),
-        "rollup_lang_source": (
-            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
-            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
-            "FROM documents GROUP BY ROLLUP(lang, source)"
-        ),
         "cube_lang_source": (
             "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY CUBE(lang, source)"
-        ),
-        "join_orders_by_nation": (
-            "SELECT n_name, CAST(count(*) AS BIGINT) AS orders, "
-            "CAST(sum(floor(o_totalprice)) AS BIGINT) AS sum_price_fl "
-            "FROM orders JOIN customer ON o_custkey = c_custkey "
-            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
-        ),
-        "suppliers_by_region": (
-            "SELECT r_name, CAST(count(*) AS BIGINT) AS suppliers, "
-            "CAST(floor(avg(s_acctbal) * 100) AS BIGINT) AS avg_bal_c "
-            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
-            "JOIN region ON n_regionkey = r_regionkey "
-            "GROUP BY r_name HAVING count(*) > 0"
         ),
         "anti_customers_no_orders": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS no_order_customers "
@@ -461,13 +411,6 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, CAST(floor({_cos_sql('embedding', _query_vec_sql())} * 1e5) AS BIGINT) "
             f"AS cos_m FROM embeddings"
         ),
-        "cosine_dup_pairs": (
-            f"WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            f"{_cos_sql('a.embedding', 'b.embedding')} AS c "
-            f"FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE a.vec_id < 500 AND b.vec_id < 500) "
-            f"SELECT id_a, id_b, CAST(floor(c * 1e5) AS BIGINT) AS cos_m "
-            f"FROM p WHERE floor(c * 1e5) >= 35000"
-        ),
         # seeded/non-SQL operators: golden parquet produced by INDEPENDENT
         # pure-Python reimplementations (tools/make_golden.py) — a value
         # match checks the vectorized kernels against a second derivation
@@ -502,7 +445,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _golden("ann_ivf_topk"),
         "cosine_lsh_pairs": _golden("cosine_lsh_pairs"),
         "doc_fingerprint": _golden("doc_fingerprint"),
-        "multimodal_features": _golden("multimodal_features"),
         "multimodal_real_features": _golden("multimodal_real_features"),
         "multimodal_frame_sample": _golden("multimodal_frame_sample"),
     }

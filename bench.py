@@ -200,11 +200,20 @@ def _query_bench(rows: int) -> tuple[dict, dict]:
     for name, fn in entry_mod.queries().items():
         fn(spark, SF_DIR)
 
+    # two trials per query, keep the faster — the same methodology (and
+    # reason) as the encode legs: a host-steal episode or first-execution
+    # JIT can double a single trial (round-4's minhash_lsh read 3.94 s
+    # where interleaved steady-state trials measure 2.2 s), and
+    # round-over-round comparisons need the steady-state number
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        qdf = fn(spark, SF_DIR)
-        qdf.count()
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qdf = fn(spark, SF_DIR)
+            qdf.count()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        queries[name] = best
 
     return queries, encode_info
 

@@ -298,8 +298,7 @@ def _route_topk(analyzed, stores: dict[str, str]) -> dict:
     pl = node.projectList()
     use_cols = [_attr_name(pl.apply(i)) for i in range(pl.size())]
     constraints, view = _filter_and_relation(node.child(), stores)
-    if constraints:
-        raise _Unroutable("top-k with WHERE")
+    predicates = _constraints_to_predicates(constraints)
     out_dir = stores[view]
     meta, nonempty = engine._plan_store(out_dir)
     from pyspark.sql import types as T
@@ -318,20 +317,134 @@ def _route_topk(analyzed, stores: dict[str, str]) -> dict:
             raise _Unroutable(f"store has null {col!r} values")
     return {"kind": "topk", "out_dir": out_dir, "order_col": order_col,
             "tie_col": tie_col, "k": k, "descending": descending,
-            "use_cols": use_cols}
+            "use_cols": use_cols, "predicates": predicates}
+
+
+def _operand_spec(e, ids: dict[int, str]) -> list:
+    """HAVING operand -> ["col", routed-output-name] | ["lit", value].
+    Casts around an attribute unwrap (rebuilding the comparison in
+    DataFrame terms re-applies Spark's own type coercion)."""
+    while _cls(e) == "Cast":
+        e = e.child()
+    if _cls(e) == "AttributeReference":
+        key = int(e.exprId().id())
+        if key not in ids:
+            raise _Unroutable("HAVING references a non-output expression")
+        return ["col", ids[key]]
+    return ["lit", _literal(e)]
+
+
+def _having_spec(c, ids: dict[int, str]) -> list:
+    """HAVING condition (analyzed Catalyst, over Aggregate outputs) -> a
+    JSON-safe spec tree the executor rebuilds as a DataFrame filter.
+    Anything beyond and/or/not/in/null-tests/comparisons is unroutable."""
+    name = _cls(c)
+    if name in ("And", "Or"):
+        return [name.lower(), _having_spec(c.left(), ids),
+                _having_spec(c.right(), ids)]
+    if name == "Not":
+        return ["not", _having_spec(c.child(), ids)]
+    if name == "IsNull":
+        return ["isnull", _operand_spec(c.child(), ids)]
+    if name == "IsNotNull":
+        return ["notnull", _operand_spec(c.child(), ids)]
+    if name == "In":
+        lst = c.list()
+        return ["in", _operand_spec(c.value(), ids),
+                [_literal(lst.apply(i)) for i in range(lst.size())]]
+    ops = {"EqualTo": "=", "GreaterThan": ">", "GreaterThanOrEqual": ">=",
+           "LessThan": "<", "LessThanOrEqual": "<="}
+    if name in ops:
+        return ["cmp", ops[name], _operand_spec(c.left(), ids),
+                _operand_spec(c.right(), ids)]
+    if name == "Between":
+        inp = _operand_spec(c.input(), ids)
+        return ["and",
+                ["cmp", ">=", inp, _operand_spec(c.lower(), ids)],
+                ["cmp", "<=", inp, _operand_spec(c.upper(), ids)]]
+    raise _Unroutable(f"HAVING condition {name}")
+
+
+def _operand_col(spec: list, df: DataFrame):
+    return df[spec[1]] if spec[0] == "col" else F.lit(spec[1])
+
+
+def _having_col(spec: list, df: DataFrame):
+    k = spec[0]
+    if k == "and":
+        return _having_col(spec[1], df) & _having_col(spec[2], df)
+    if k == "or":
+        return _having_col(spec[1], df) | _having_col(spec[2], df)
+    if k == "not":
+        return ~_having_col(spec[1], df)
+    if k == "isnull":
+        return _operand_col(spec[1], df).isNull()
+    if k == "notnull":
+        return _operand_col(spec[1], df).isNotNull()
+    if k == "in":
+        return _operand_col(spec[1], df).isin(spec[2])
+    _, op, l, r = spec
+    lc, rc = _operand_col(l, df), _operand_col(r, df)
+    return {"=": lc == rc, ">": lc > rc, ">=": lc >= rc,
+            "<": lc < rc, "<=": lc <= rc}[op]
+
+
+def _peel_order(node):
+    """Root Sort -> (child, raw order) — the order keys resolve to names
+    after the Aggregate outputs are known."""
+    if _cls(node) != "Sort":
+        return node, None
+    return node.child(), node.order()
+
+
+def _resolve_order(order, ids: dict[int, str]) -> list | None:
+    if order is None:
+        return None
+    keys = []
+    for i in range(order.size()):
+        so = order.apply(i)
+        child = so.child()
+        if _cls(child) != "AttributeReference":
+            raise _Unroutable("ORDER BY over a non-output expression")
+        key = int(child.exprId().id())
+        if key not in ids:
+            raise _Unroutable("ORDER BY references a non-output column")
+        direction = str(so.direction().sql())
+        # only default null placement (ASC->NULLS FIRST, DESC->NULLS LAST)
+        # matches a plain .orderBy re-application
+        default_nulls = ("NULLS FIRST" if direction == "ASC"
+                         else "NULLS LAST")
+        if str(so.nullOrdering().sql()) != default_nulls:
+            raise _Unroutable("non-default NULLS ordering")
+        keys.append([ids[key], direction == "DESC"])
+    return keys
 
 
 def _route(analyzed, stores: dict[str, str]) -> dict:
-    """Analyzed plan -> routing description, or raise _Unroutable."""
+    """Analyzed plan -> routing description, or raise _Unroutable.
+
+    Routable shapes (round 5 widened):
+
+        [Sort] [Project] [Filter=HAVING] Aggregate [Filter=WHERE] store
+        [Sort] Distinct Project [Filter=WHERE] store
+        GlobalLimit LocalLimit Sort Project store        (top-k)
+
+    Multi-column GROUP BY routes to engine.group_multi_table (composite
+    code-stream kernel); HAVING re-applies as a filter over the routed
+    partial-summed result (its condition only sees Aggregate outputs, so
+    this is exactly Spark's own evaluation order); ORDER BY re-applies as
+    .orderBy over the tiny aggregated result."""
     if _cls(analyzed) == "GlobalLimit":
         return _route_topk(analyzed, stores)
-    if _cls(analyzed) == "Distinct":
+    node, order = _peel_order(analyzed)
+    if _cls(node) == "Distinct":
         # SELECT DISTINCT col analyzes as Distinct(Project([col])) — same
         # engine answer as GROUP BY col with the counts dropped
-        proj = analyzed.child()
+        proj = node.child()
         if _cls(proj) != "Project" or proj.projectList().size() != 1:
             raise _Unroutable("DISTINCT beyond one plain column")
         item = proj.projectList().apply(0)
+        out_id = int(item.exprId().id())
         if _cls(item) == "Alias":
             out_name, item = str(item.name()), item.child()
         else:
@@ -339,41 +452,58 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         group_col = _attr_name(item)
         constraints, view = _filter_and_relation(proj.child(), stores)
         return {"out_dir": stores[view], "group_col": group_col,
-                "aggs": {},
+                "group_cols": [group_col], "aggs": {},
                 "predicates": _constraints_to_predicates(constraints),
-                "out_cols": [(out_name, "group")]}
-    if _cls(analyzed) != "Aggregate":
-        raise _Unroutable(f"root {_cls(analyzed)}")
-    constraints, view = _filter_and_relation(analyzed.child(), stores)
+                "out_cols": [(out_name, "group", group_col)],
+                "having": None, "final": None,
+                "order": _resolve_order(order, {out_id: out_name})}
+    # peel SELECT-projection and HAVING-filter above the Aggregate
+    project = None
+    if _cls(node) == "Project":
+        ch = node.child()
+        if _cls(ch) == "Aggregate" or (
+                _cls(ch) == "Filter" and _cls(ch.child()) == "Aggregate"):
+            project = node.projectList()
+            node = ch
+    having_cond = None
+    if _cls(node) == "Filter" and _cls(node.child()) == "Aggregate":
+        having_cond = node.condition()
+        node = node.child()
+    if _cls(node) != "Aggregate":
+        raise _Unroutable(f"root {_cls(node)}")
+    constraints, view = _filter_and_relation(node.child(), stores)
 
-    ges = analyzed.groupingExpressions()
-    group_col = None
-    if ges.size() > 1:
-        raise _Unroutable("multi-column GROUP BY")
-    if ges.size() == 1:
-        group_col = _attr_name(ges.apply(0))
+    ges = node.groupingExpressions()
+    group_cols = [_attr_name(ges.apply(i)) for i in range(ges.size())]
+    if len(set(group_cols)) != len(group_cols):
+        raise _Unroutable("duplicate GROUP BY columns")
 
     aggs: dict[str, tuple] = {}
-    out_cols: list[tuple[str, str]] = []  # (output name, source: alias|group)
-    aes = analyzed.aggregateExpressions()
+    # (output name, "group"|"agg", group col name | None)
+    out_cols: list[tuple[str, str, str | None]] = []
+    ids: dict[int, str] = {}  # Aggregate-output exprId -> output name
+    aes = node.aggregateExpressions()
     for i in range(aes.size()):
         e = aes.apply(i)
-        # the group column may appear plain or re-aliased in the SELECT
-        if group_col is not None and _cls(e) == "AttributeReference" \
-                and str(e.name()) == group_col:
-            out_cols.append((group_col, "group"))
-            continue
-        if group_col is not None and _cls(e) == "Alias" \
-                and _cls(e.child()) == "AttributeReference" \
-                and str(e.child().name()) == group_col:
-            out_cols.append((str(e.name()), "group"))
-            continue
-        alias, spec = _parse_agg_fn(e)
-        if alias in aggs:
-            raise _Unroutable(f"duplicate output alias {alias!r}")
-        aggs[alias] = spec
-        out_cols.append((alias, "agg"))
-    if not aggs and group_col is None:
+        # a group column may appear plain or re-aliased in the SELECT
+        named = e
+        out_name = str(e.name())
+        out_id = int(e.exprId().id())
+        if _cls(e) == "Alias":
+            named = e.child()
+        if _cls(named) == "AttributeReference" \
+                and str(named.name()) in group_cols:
+            out_cols.append((out_name, "group", str(named.name())))
+        else:
+            alias, spec = _parse_agg_fn(e)
+            if alias in aggs:
+                raise _Unroutable(f"duplicate output alias {alias!r}")
+            aggs[alias] = spec
+            out_cols.append((alias, "agg", None))
+        if any(n == out_name for n, _, _ in out_cols[:-1]):
+            raise _Unroutable(f"duplicate output name {out_name!r}")
+        ids[out_id] = out_name
+    if not aggs and not group_cols:
         raise _Unroutable("no aggregate outputs")
     # group-by with no aggregates is how Spark analyzes SELECT DISTINCT col
     # — routed to the same codec-layer value-counts kernel, counts dropped
@@ -391,7 +521,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     if any(alias.startswith("__") for alias in aggs):
         raise _Unroutable("alias with reserved '__' prefix")
     predicates = _constraints_to_predicates(constraints)
-    if group_col is not None:
+    if group_cols:
         # the codec-layer grouped kernels support count(*) + sum(col) over
         # ONE agg column; WHERE masks their code streams (round 4)
         sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
@@ -399,13 +529,46 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 or len(sum_cols) > 1:
             raise _Unroutable(
                 "grouped aggregate beyond count(*) + sum(one col)")
+    having = (_having_spec(having_cond, ids)
+              if having_cond is not None else None)
+    final = None
+    if project is not None:
+        final = []  # (source output name, final name)
+        for i in range(project.size()):
+            item = project.apply(i)
+            out_name = str(item.name())
+            if _cls(item) == "Alias":
+                item = item.child()
+            if _cls(item) != "AttributeReference":
+                raise _Unroutable("projection over a non-output expression")
+            key = int(item.exprId().id())
+            if key not in ids:
+                raise _Unroutable("projection of a non-Aggregate output")
+            final.append((ids[key], out_name))
     return {
         "out_dir": stores[view],
-        "group_col": group_col,
+        "group_col": group_cols[0] if len(group_cols) == 1 else None,
+        "group_cols": group_cols,
         "aggs": aggs,
         "predicates": predicates,
         "out_cols": out_cols,
+        "having": having,
+        "final": final,
+        "order": _resolve_order(order, ids),
     }
+
+
+def _finish(df: DataFrame, r: dict) -> DataFrame:
+    """Apply the peeled HAVING / projection / ORDER BY over the routed
+    aggregate result (all tiny: O(groups) rows)."""
+    if r.get("having") is not None:
+        df = df.filter(_having_col(r["having"], df))
+    if r.get("final") is not None:
+        df = df.select(*[df[src].alias(out) for src, out in r["final"]])
+    if r.get("order"):
+        df = df.orderBy(*[F.col(n).desc() if desc else F.col(n).asc()
+                          for n, desc in r["order"]])
+    return df
 
 
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
@@ -413,10 +576,11 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         return engine.topk_table(
             spark, r["out_dir"], r["order_col"], r["k"],
             descending=r["descending"], tie_col=r["tie_col"],
-            columns=r["use_cols"])
-    out_dir, group_col = r["out_dir"], r["group_col"]
+            columns=r["use_cols"],
+            predicates=r.get("predicates") or None)
+    out_dir, group_cols = r["out_dir"], r["group_cols"]
     aggs, preds = r["aggs"], r["predicates"]
-    if group_col is None:
+    if not group_cols:
         df = engine.agg_table(spark, out_dir, aggs, predicates=preds or None)
         # Spark SQL's min/max keep the column's own type; the kernel
         # accumulates in long — cast back so routed and fallback plans are
@@ -426,30 +590,65 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         by_field = {f.name: f.dataType for f in
                     T.StructType.fromJson(meta["spark_schema"]).fields}
         sel = []
-        for name, _ in r["out_cols"]:
+        for name, _, _ in r["out_cols"]:
             spec = aggs[name]
             if spec[0] in ("min", "max"):
                 sel.append(F.col(name).cast(by_field[spec[1]]).alias(name))
             else:
                 sel.append(F.col(name))
-        return df.select(*sel)
+        return _finish(df.select(*sel), r)
     sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
-    if sum_cols:
-        base = engine.group_agg_table(spark, out_dir, group_col,
+    if len(group_cols) > 1:
+        base = engine.group_multi_table(
+            spark, out_dir, group_cols,
+            agg_col=next(iter(sum_cols)) if sum_cols else None,
+            predicates=preds or None)
+        names = {"count": "cnt", "sum": "sum"}
+    elif sum_cols:
+        base = engine.group_agg_table(spark, out_dir, group_cols[0],
                                       next(iter(sum_cols)),
                                       predicates=preds or None)
         names = {"count": "cnt", "sum": "sum"}
     else:
-        base = engine.value_counts_table(spark, out_dir, group_col,
+        base = engine.value_counts_table(spark, out_dir, group_cols[0],
                                          predicates=preds or None)
         names = {"count": "cnt"}
     sel = []
-    for name, src in r["out_cols"]:
+    for name, src, gcol in r["out_cols"]:
         if src == "group":
-            sel.append(F.col(group_col).alias(name))
+            sel.append(base[gcol].alias(name))
         else:
-            sel.append(F.col(names[aggs[name][0]]).alias(name))
-    return base.select(*sel)
+            sel.append(base[names[aggs[name][0]]].alias(name))
+    return _finish(base.select(*sel), r)
+
+
+def route_pruning_stats(r: dict | None) -> dict | None:
+    """Driver-side pruning report for a routing description (round-5
+    verdict, next #8): how many buckets the routed plan reads vs the store
+    total, computed from the commit records with zero task I/O, so
+    ``jobs/query.py --explain`` can SHOW the pushdown working.
+
+    ``buckets_full`` answer from metadata or aggregate unmasked (no
+    predicate work); ``buckets_masked`` decode predicate columns at
+    boundary chunks; ``buckets_read`` is their sum; pruned = total -
+    read."""
+    if r is None:
+        return None
+    if r.get("kind") == "topk":
+        return engine.topk_plan(
+            r["out_dir"], r["order_col"], r["k"],
+            descending=r["descending"],
+            predicates=r.get("predicates") or None)
+    meta, nonempty = engine._plan_store(r["out_dir"])
+    from pyspark.sql import types as T
+    by_name = {f.name: f.dataType.simpleString()
+               for f in T.StructType.fromJson(meta["spark_schema"]).fields}
+    preds = engine._normalize_predicates(r["predicates"], by_name)
+    full, partial, pruned = engine._classify_records(nonempty, preds)
+    return {"buckets_total": len(nonempty),
+            "buckets_read": len(full) + len(partial),
+            "buckets_full": len(full),
+            "buckets_masked": len(partial)}
 
 
 def route_agg_sql(spark: SparkSession, sql: str,

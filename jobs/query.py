@@ -58,6 +58,8 @@ def main() -> None:
     if args.explain:
         if route is not None:
             print(f"ROUTED: {json.dumps(route, default=str)}")
+            stats = sqlagg.route_pruning_stats(route)
+            print(f"PRUNING: {json.dumps(stats)}")
         else:
             print("FALLBACK (filter-pushdown Spark execution):")
             df.explain()

@@ -49,6 +49,16 @@ ROUTABLE = [
     "SELECT lang AS l, count(*) AS cnt, sum(n_chars) AS s "
     "FROM docs GROUP BY lang",
     "SELECT sum(n_chars) AS only_sum FROM docs GROUP BY lang",
+    # round 5: same-column OR / IS [NOT] NULL route
+    "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR lang = 'de'",
+    "SELECT count(*) AS c FROM docs WHERE lang IS NOT NULL",
+    # round 5: multi-column GROUP BY + HAVING + ORDER BY
+    "SELECT lang, source, count(*) AS cnt, sum(n_chars) AS s "
+    "FROM docs GROUP BY lang, source",
+    "SELECT lang, count(*) AS cnt FROM docs GROUP BY lang "
+    "HAVING count(*) > 100 AND sum(n_chars) > 0",
+    "SELECT lang, source, count(*) AS cnt FROM docs WHERE n_chars > 500 "
+    "GROUP BY lang, source HAVING cnt >= 10 ORDER BY lang, source",
 ]
 
 FALLBACK = [
@@ -57,12 +67,15 @@ FALLBACK = [
     "SELECT upper(lang) AS l, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",                                # computed group
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
-    "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR lang = 'de'",  # OR
+    "SELECT count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR source = 'src2'",                # cross-column OR
     "SELECT sum(score) AS s FROM docs",                    # float sum
     "SELECT count(*) AS c FROM docs WHERE score > 0.5",    # strict float
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
     "SELECT count(n_chars) AS c FROM docs",                # count(col)
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "HAVING count(*) > avg(n_chars)",  # HAVING agg not in engine's set
 ]
 
 
@@ -199,3 +212,28 @@ def test_grouped_count_only_with_where_routes(spark, store):
     fast, slow = _both(spark, store, sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
         == sorted(map(repr, map(tuple, slow.collect())))
+
+
+def test_route_pruning_stats(spark, store):
+    """--explain pruning report (round 5): a routed WHERE shows how many
+    buckets the plan reads vs the store total, off commit records only."""
+    r = sqlagg.route_agg_sql(
+        spark, "SELECT count(*) AS c FROM docs WHERE n_chars BETWEEN 100 "
+        "AND 2000", {"docs": store})
+    assert r is not None
+    stats = sqlagg.route_pruning_stats(r)
+    assert set(stats) == {"buckets_total", "buckets_read", "buckets_full",
+                          "buckets_masked"}
+    assert stats["buckets_total"] == 8
+    assert stats["buckets_read"] \
+        == stats["buckets_full"] + stats["buckets_masked"]
+    assert 0 < stats["buckets_read"] <= stats["buckets_total"]
+    # topk routes report through engine.topk_plan
+    r2 = sqlagg.route_agg_sql(
+        spark, "SELECT doc_id, n_chars FROM docs "
+        "ORDER BY n_chars DESC, doc_id LIMIT 5", {"docs": store})
+    assert r2 is not None and r2["kind"] == "topk"
+    stats2 = sqlagg.route_pruning_stats(r2)
+    assert stats2["buckets_total"] == 8
+    assert 0 < stats2["buckets_read"] <= 8
+    assert sqlagg.route_pruning_stats(None) is None

@@ -107,11 +107,22 @@ def test_topk_sql_routing(spark, src_df, clustered):
     got = [tuple(r) for r in
            sqlagg.store_agg_sql(spark, sql, stores).collect()]
     assert got == _spark_topk(src_df, 25, True)
-    # not routed: missing tie key, WHERE clause, non-literal limit shape
+    # WHERE + ORDER BY + LIMIT routes too (round 5): predicates reach the
+    # topk kernel masks
+    sql_w = ("SELECT event_id, tsv, user FROM ev WHERE user = 3 "
+             "ORDER BY tsv DESC, event_id LIMIT 5")
+    r = sqlagg.route_agg_sql(spark, sql_w, stores)
+    assert r is not None and r["predicates"] == {"user": ("eq", 3)}
+    got_w = [tuple(r) for r in
+             sqlagg.store_agg_sql(spark, sql_w, stores).collect()]
+    want_w = [tuple(r) for r in
+              src_df.filter(F.col("user") == 3)
+              .orderBy(F.col("tsv").desc(), F.col("event_id").asc())
+              .limit(5).select("event_id", "tsv", "user").collect()]
+    assert got_w == want_w
+    # not routed: missing tie key, non-default tie direction
     for sql in [
         "SELECT event_id, tsv FROM ev ORDER BY tsv DESC LIMIT 5",
-        "SELECT event_id, tsv FROM ev WHERE user = 3 "
-        "ORDER BY tsv DESC, event_id LIMIT 5",
         "SELECT event_id, tsv FROM ev ORDER BY tsv DESC, event_id DESC "
         "LIMIT 5",
     ]:
@@ -120,6 +131,52 @@ def test_topk_sql_routing(spark, src_df, clustered):
                 sqlagg.store_agg_sql(spark, sql, stores).collect()]
         slow = [tuple(r) for r in spark.sql(sql).collect()]
         assert sorted(fast) == sorted(slow)
+
+
+@pytest.mark.parametrize("store_fixture", ["clustered", "salted"])
+@pytest.mark.parametrize("descending", [True, False])
+def test_topk_with_predicates(spark, src_df, request, store_fixture,
+                              descending):
+    """Round-5: filtered top-k — predicate masks apply before the local
+    select_k, Spark row-list parity on both layouts."""
+    out = request.getfixturevalue(store_fixture)
+    for preds, cond in [
+        ({"tag": ("eq", "t1")}, F.col("tag") == "t1"),
+        ({"user": (2, 6)}, (F.col("user") >= 2) & (F.col("user") <= 6)),
+        ({"tag": ("or", [("eq", "t0"), ("eq", "t3")])},
+         (F.col("tag") == "t0") | (F.col("tag") == "t3")),
+    ]:
+        got = [tuple(r) for r in
+               engine.topk_table(spark, out, "tsv", 20,
+                                 descending=descending, tie_col="event_id",
+                                 columns=["event_id", "tsv", "tag"],
+                                 predicates=preds).collect()]
+        order = F.col("tsv").desc() if descending else F.col("tsv").asc()
+        want = [tuple(r) for r in
+                src_df.filter(cond).orderBy(order, F.col("event_id").asc())
+                .limit(20).select("event_id", "tsv", "tag").collect()]
+        assert got == want, preds
+
+
+def test_topk_predicate_pruning_still_tight(spark, clustered):
+    """On a ts-clustered store, a filtered top-k still prunes buckets: the
+    cutoff derived from predicate-proven buckets plus predicate zone maps
+    keeps the bucket read-set a strict subset."""
+    meta, nonempty = engine._plan_store(clustered)
+    from pyspark.sql import types as T
+    by_name = {f.name: f.dataType.simpleString()
+               for f in T.StructType.fromJson(meta["spark_schema"]).fields}
+    # an always-true range predicate on the cluster column keeps every
+    # bucket all-match, so the cutoff math is unchanged vs unfiltered
+    preds = engine._normalize_predicates({"tsv": (0, 10**9)}, by_name)
+    full, partial, _ = engine._classify_records(nonempty, preds)
+    assert not partial  # all proven -> cutoff uses every bucket
+    stats = [(int(r["columns"]["tsv"]["min"]),
+              int(r["columns"]["tsv"]["max"]),
+              int(r["n_rows"])) for r in full]
+    cut = engine._topk_cutoff(stats, 25, True)
+    surviving = [1 for lo, hi, _ in stats if hi >= cut]
+    assert 0 < len(surviving) < len(stats)
 
 
 @pytest.mark.parametrize("descending", [True, False])
@@ -157,3 +214,18 @@ def test_topk_float_nan_zero_inf(spark, tmp_path_factory):
             want = [(r["id"], repr(r["v"])) for r in
                     df.orderBy(order, F.col("id").asc()).limit(k).collect()]
             assert got == want, (descending, k)
+
+
+def test_topk_plan_reports_pruning(spark, clustered):
+    """jobs/query.py --explain surface (round-5, next #8): the driver-side
+    plan report shows the cutoff pruning with zero task I/O."""
+    plan = engine.topk_plan(clustered, "tsv", 25, descending=True)
+    assert plan["buckets_total"] == 16
+    assert 0 < plan["buckets_read"] < plan["buckets_total"]
+    assert plan["buckets_full"] == plan["buckets_read"]  # no predicates
+
+    # with a predicate, boundary buckets surface as masked
+    plan2 = engine.topk_plan(clustered, "tsv", 25, descending=True,
+                             predicates={"tag": ("eq", "t1")})
+    assert plan2["buckets_read"] == plan2["buckets_full"] + plan2["buckets_masked"]
+    assert plan2["buckets_read"] <= plan["buckets_total"]
