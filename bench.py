@@ -98,28 +98,41 @@ def _encode_run(cpus: int, rows: int, tag: str) -> dict:
 
     df = spark.read.parquet(src)
     df.count()
-    t0 = time.time()
-    # IDENTICAL job at both parallelism levels: same row-group bucket plan,
-    # so the only variable is available cores (cores as executor proxy).
-    # Direct mode = the 100 TB architecture: scan-task encode, no shuffle.
-    metrics = engine.run_encode_path(spark, src, out, target_rows=16384,
-                                     chunk_rows=CHUNK_ROWS)
-    wall = time.time() - t0
+    # IDENTICAL job at both parallelism levels: same row-group bucket plan
+    # AND same task layout (engine groups buckets into tasks with a 4-core
+    # floor), so the only variable is available cores (cores as executor
+    # proxy). Direct mode = the 100 TB architecture: scan-task encode, no
+    # shuffle. Best of two trials, same reason as every other timing here:
+    # this VM's host-steal episodes can double one trial.
+    walls = []
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        metrics = engine.run_encode_path(spark, src, out, target_rows=16384,
+                                         chunk_rows=CHUNK_ROWS)
+        walls.append(time.time() - t0)
+    wall = min(walls)
     bytes_in = sum(r["bytes_in"] for r in metrics)
     bytes_out = sum(r["bytes_out"] for r in metrics)
     disk_out = _du(os.path.join(out, "chunks"))
 
-    # snappy parquet reference write of the same table (size + wall)
+    # snappy parquet reference write of the same table (size + wall),
+    # best-of-two with the same justification
     ref_dir = os.path.join(CACHE, f"snappy_{tag}_{cpus}")
-    shutil.rmtree(ref_dir, ignore_errors=True)
-    t1 = time.time()
-    df.write.mode("overwrite").parquet(ref_dir)
-    ref_wall = time.time() - t1
+    ref_walls = []
+    for _ in range(2):
+        shutil.rmtree(ref_dir, ignore_errors=True)
+        t1 = time.time()
+        df.write.mode("overwrite").parquet(ref_dir)
+        ref_walls.append(time.time() - t1)
+    ref_wall = min(ref_walls)
     ref_bytes = _du(ref_dir)
     shutil.rmtree(ref_dir, ignore_errors=True)
 
     return {
         "cpus": cpus, "rows": rows, "wall_sec": round(wall, 3),
+        "wall_trials_sec": [round(w, 3) for w in walls],
+        "snappy_trials_sec": [round(w, 3) for w in ref_walls],
         "bytes_in": bytes_in, "bytes_out": bytes_out,
         "disk_bytes": disk_out,
         "gbps": round(bytes_in / wall / 1e9, 4),

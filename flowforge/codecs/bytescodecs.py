@@ -109,12 +109,15 @@ def dict_encode(lengths: np.ndarray, data: bytes, sub: str = "plain",
         dictionary = dictionary.take(pa.array(sort_idx))
     d_lens, d_data = arrow_to_parts(dictionary)
     if sub == "fsst":
-        # dictionary stores get the full-width sim: their gains concentrate
-        # in template runs spread across the store (html), where the narrow
-        # chunk sim halves the realized ratio — measured 29 KB vs 56 KB on
-        # a bench html chunk's 709 KB store
+        # dictionary stores get a wider sim than in-chunk blobs: their gains
+        # concentrate in template runs spread across the store (html), where
+        # a too-narrow sim mis-ranks. Round-4 used the full _SAMPLE width
+        # (measured 29 KB vs 56 KB on a single-round table); with round-5's
+        # deeper round compounding the realized gap at half width is +4%
+        # store size for ~40% less selection wall (encode-wall item), so
+        # stores take 2x the chunk sim, not 4x
         dict_payload, dict_meta = fsst_encode(d_lens, d_data,
-                                              sim_bytes=_SAMPLE)
+                                              sim_bytes=2 * _SIM_CHUNK)
     else:
         sub_enc, _ = BYTES_CODECS[sub]
         dict_payload, dict_meta = sub_enc(d_lens, d_data)
@@ -164,8 +167,9 @@ def rle_encode(lengths: np.ndarray, data: bytes, sub: str = "plain"):
     v_lens, v_data = arrow_to_parts(run_vals)
     if sub == "fsst":
         # run-value stores are dictionary-like: template gains spread across
-        # the store, so keep the full-width sim (same tradeoff as dictfsst)
-        val_payload, val_meta = fsst_encode(v_lens, v_data, sim_bytes=_SAMPLE)
+        # the store, so keep the wider sim (same tradeoff as dictfsst)
+        val_payload, val_meta = fsst_encode(v_lens, v_data,
+                                            sim_bytes=2 * _SIM_CHUNK)
     else:
         sub_enc, _ = BYTES_CODECS[sub]
         val_payload, val_meta = sub_enc(v_lens, v_data)
@@ -230,7 +234,17 @@ def worddict_encode(lengths: np.ndarray, data: bytes, sep: int | None = None):
         if sep_pos.size and sep_pos[-1] == b.size - 1:
             sep_pos = sep_pos[:-1]
         run_end = sep_pos[b[sep_pos + 1] != sep] + 1
-        tok_lens = np.diff(run_end, prepend=0, append=b.size).astype(_I64)
+        # adjacent differences with virtual 0/b.size endpoints, without
+        # np.diff's two token-count-sized concatenations (prepend/append
+        # each copy the index array; measured on 17 MB text chunks)
+        tok_lens = np.empty(run_end.size + 1, dtype=_I64)
+        if run_end.size:
+            tok_lens[0] = run_end[0]
+            np.subtract(run_end[1:], run_end[:-1],
+                        out=tok_lens[1:run_end.size])
+            tok_lens[run_end.size] = b.size - run_end[-1]
+        else:
+            tok_lens[0] = b.size
     else:
         tok_lens = np.zeros(0, dtype=_I64)
     lp, lm = _encode_lengths(lengths)
@@ -273,6 +287,7 @@ def hybrid_decode(payload: bytes, meta: dict, n: int):
 _MAX_SYMS = 48
 _SAMPLE = 1 << 16
 _SYM_LENGTHS = (8, 6, 4, 3, 2)
+_SYM_LENGTHS_LATER = (8, 4, 2)  # rounds >= 1 (see fsst_encode)
 
 
 def _byte_histogram(data: bytes) -> np.ndarray:
@@ -350,7 +365,9 @@ def _window_counts(sample: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
                   min_gain: int | None = None,
-                  sim_bytes: int | None = None) -> tuple[list[bytes], float]:
+                  sim_bytes: int | None = None,
+                  lengths: tuple[int, ...] = _SYM_LENGTHS
+                  ) -> tuple[list[bytes], float]:
     """Greedy symbol selection with overlap-aware simulation on the sample.
 
     Returns ``(symbols, sim_ratio)`` where ``sim_ratio`` is the realized
@@ -382,7 +399,7 @@ def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
         padded = np.concatenate([sarr, np.zeros(8, dtype=np.uint8)])
         win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n8]
         packed8 = win.copy().view(_U64).ravel()
-        for L in _SYM_LENGTHS:
+        for L in lengths:
             m = n8 - L + 1
             if m <= 0:
                 continue
@@ -397,7 +414,10 @@ def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
             keep = gains >= min_gain
             if not keep.any():
                 continue
-            order = np.argsort(gains[keep], kind="stable")[::-1][: max_syms * 3]
+            # 2x oversampling per length: the tail of weak standalone-gain
+            # candidates essentially never survives the sim check, but each
+            # one costs a sim bytes.count (round-5 wall measurement)
+            order = np.argsort(gains[keep], kind="stable")[::-1][: max_syms * 2]
             u, g = uniq[keep][order], gains[keep][order]
             raw = u.astype("<u8").tobytes()
             for i in range(u.size):
@@ -426,7 +446,8 @@ def _pick_symbols(sample: bytes, max_syms: int, codes: list[int],
 
 
 def _fsst_round_encode(data: bytes, sim_bytes: int | None = None,
-                       reject_at: float | None = None
+                       reject_at: float | None = None,
+                       lengths: tuple[int, ...] = _SYM_LENGTHS
                        ) -> tuple[bytes, bytes, bytes, list[bytes]]:
     """One symbol-table round: (blob, code_space_bytes, present_bytes, symbols).
 
@@ -453,7 +474,7 @@ def _fsst_round_encode(data: bytes, sim_bytes: int | None = None,
     # keeps its deep symbol table
     min_gain = max(8, len(sample) >> (9 if len(data) > (4 << 20) else 10))
     symbols, sim_ratio = _pick_symbols(sample, _MAX_SYMS, code_space[1:],
-                                       min_gain, sim_bytes)
+                                       min_gain, sim_bytes, lengths)
     if reject_at is not None and sim_ratio >= reject_at:
         return data, bytes(code_space), bytes(present), []
     blob = escaped
@@ -473,6 +494,16 @@ def _fsst_round_decode(blob: bytes, space_b: bytes, present_b: bytes,
 
 
 _FSST_MAX_ROUNDS = 4
+# diminishing-returns stop (round 5, encode-wall work): when an accepted
+# round left more than _ROUND_STOP_SHRINK of a still-large blob, the next
+# round's full-blob replace passes cost more wall than the bytes they save
+# (measured on the bench url column: rounds shrink 0.33 / 0.68 / 0.80 and
+# round 3 is always refused — stopping after the 0.68 round saves ~40% of
+# the column's encode wall for +0.004 on the total size-vs-snappy ratio).
+# Small blobs are exempt: their rounds cost single-digit ms and compound
+# deeply (the html dictionary store shrinks 0.22 -> 0.38 -> 0.52 -> 0.45).
+_ROUND_STOP_SHRINK = 0.65
+_ROUND_STOP_BYTES = 128 << 10
 # per-candidate sim slice for in-chunk blobs; dictionary stores use the full
 # _SAMPLE width (see _pick_symbols docstring for the measured tradeoff)
 _SIM_CHUNK = 1 << 14
@@ -495,6 +526,7 @@ def fsst_encode(lengths: np.ndarray, data: bytes, sim_bytes: int = _SIM_CHUNK):
     lp, lm = _encode_lengths(lengths)
     rounds: list[tuple[bytes, bytes, list[bytes]]] = []
     blob = data
+    last_shrink = 0.0
     while data and len(rounds) < _FSST_MAX_ROUNDS:
         # first round must pay >3%; later rounds must pay >10% — each extra
         # round is a full memory pass, so marginal gains aren't worth the
@@ -502,12 +534,22 @@ def fsst_encode(lengths: np.ndarray, data: bytes, sim_bytes: int = _SIM_CHUNK):
         # shrink first: a round that clearly misses the bar (projection
         # above threshold + margin) skips its full-blob replace passes
         # entirely — the terminal refused round is otherwise pure waste.
+        if (rounds and len(blob) > _ROUND_STOP_BYTES
+                and last_shrink > _ROUND_STOP_SHRINK):
+            break  # diminishing returns on a still-large blob (see above)
         threshold = 0.97 if not rounds else 0.90
+        # later rounds scan 3 window lengths instead of 5: round k+1's
+        # symbols compound on round k's codes anyway, and the per-length
+        # unique/sort passes are the round's dominant FIXED cost once the
+        # blob has shrunk (round-5 encode-wall measurement)
+        lengths = _SYM_LENGTHS if not rounds else _SYM_LENGTHS_LATER
         new_blob, space_b, present_b, symbols = _fsst_round_encode(
-            blob, sim_bytes, reject_at=threshold + _PROJ_MARGIN)
+            blob, sim_bytes, reject_at=threshold + _PROJ_MARGIN,
+            lengths=lengths)
         table_cost = len(space_b) + sum(len(s) + 8 for s in symbols) + 16
         if not symbols or len(new_blob) + table_cost >= len(blob) * threshold:
             break
+        last_shrink = len(new_blob) / max(1, len(blob))
         rounds.append((space_b, present_b, symbols))
         blob = new_blob
     sections = [lp]

@@ -451,6 +451,7 @@ def _ensure_store_nulls(spark: SparkSession, sf_dir: str) -> str:
 
     base = _store_path(sf_dir, "documents") + "_nulls"
     src_path = base + "_src.parquet"
+    os.makedirs(STORE_ROOT, exist_ok=True)
     if not os.path.exists(src_path):
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
         import pyarrow as pa

@@ -36,6 +36,15 @@ _FSST_TRY_THRESHOLD = 0.95  # try full FSST only if sample ratio beats best by t
 # the per-chunk sample trial pure fixed cost — measured as the dominant
 # per-chunk overhead at small chunk sizes (round-3)
 _FSST_SKIP_BELOW = 0.25
+# ... and skip the trial in the OTHER direction too (round 5, encode-wall
+# item): with a WEAK incumbent (ratio at/above this) on compressible-entropy
+# data, the full FSST encode runs regardless of what the trial projects, so
+# the trial (a complete multi-round encode of the 64 KB sample — measured
+# 40 ms/chunk on the bench url column) is pure discarded work. The trade:
+# a mid-entropy chunk where FSST ALSO fails now pays one losing full encode
+# instead of a trial; that is a bounded wall cost on adversarial data,
+# never a size cost (the selector still keeps the smallest payload)
+_FSST_FORCE_ABOVE = 0.45
 
 
 def _entropy(data: bytes) -> float:
@@ -99,14 +108,18 @@ def _candidates_int(stats: dict) -> list[str]:
 
 def _candidates_bytes(stats: dict) -> list[str]:
     cands = []
-    if _ndv_ratio(stats) < 0.5:
+    if _ndv_ratio(stats) < 0.2:
+        # dictionary is small relative to the data -> FSST'ing just the
+        # dictionary store is cheap and wins big on repetitive distinct
+        # values (html template runs: measured 0.044 -> 0.0025 at ~dict
+        # speed). Plain-store dict is NOT trialed alongside (round-5
+        # encode-wall item): fsst_encode on a store that refuses every
+        # round degrades to the plain store + ~64 bytes of framing, so the
+        # plain variant can never win by more than that — while trialing it
+        # costs a second full dictionary_encode pass over the chunk
+        cands.append("dictfsst")
+    elif _ndv_ratio(stats) < 0.5:
         cands.append("dict")
-        if _ndv_ratio(stats) < 0.2:
-            # dictionary is small relative to the data -> FSST'ing just the
-            # dictionary store is cheap to trial and wins big on repetitive
-            # distinct values (html template runs: measured 0.044 -> 0.0025
-            # at ~dict speed)
-            cands.append("dictfsst")
     if stats["sep_frac"] > 0.02 and _ndv_ratio(stats) >= 0.2:
         # token-structured data (prose, paths, logs): the tokenizing
         # dictionary is fully vectorized, so trialing it on the full chunk
@@ -176,7 +189,8 @@ def encode_best(arr: pa.Array, hint: str | None = None) -> tuple[bytes, dict]:
         best_ratio = (len(best[0]) / max(1, raw)) if best else 1.0
         if (stats["data_bytes"] > 0 and stats["entropy"] < 7.6
                 and best_ratio >= _FSST_SKIP_BELOW):
-            run_full = hint in ("fsst", "hybrid")
+            run_full = (hint in ("fsst", "hybrid")
+                        or best_ratio >= _FSST_FORCE_ABOVE)
             if not run_full:
                 sample_ratio = _fsst_sample_ratio(valid)
                 bench = min(len(best[0]) if best else plain_gate, plain_gate)

@@ -214,14 +214,18 @@ def test_selector_roundtrip(arr):
 
 
 def test_selector_picks_sensibly():
-    # low cardinality, shuffled -> dict; sorted (long runs) -> rle wins
+    # low cardinality, shuffled -> dict family; sorted (long runs) -> rle
     vals = ["en"] * 550 + ["de"] * 100 + ["fr"] * 80 + ["zh"] * 70
     _, meta = selector.encode_best(pa.array(vals))
     assert meta["codec"] == "rle"
     shuffled = list(vals)
     np.random.default_rng(0).shuffle(shuffled)
     _, meta = selector.encode_best(pa.array(shuffled))
-    assert meta["codec"] == "dict"
+    # round 5: very-low-cardinality chunks trial ONLY dictfsst — a store
+    # whose fsst refuses every round degrades to plain + ~64 B framing, so
+    # the separate plain-store dict trial was a redundant second
+    # dictionary_encode pass over the chunk
+    assert meta["codec"] == "dictfsst"
     # near-sorted timestamps -> deltazz or forbp, small payload
     ts = pa.array((np.arange(10000) * 10**6 + np.random.default_rng(1).integers(-3 * 10**8, 3 * 10**8, 10000)).astype(np.int64)).cast(pa.timestamp("us"))
     payload, meta = selector.encode_best(ts)
