@@ -411,26 +411,29 @@ Snappy reference write wall: {n4['snappy_ref_wall_sec']} s at local[{n4_cpus}]
 
 ## High-core reference (transparency)
 
-Round-3 (zero-copy trial path + two-stage FSST gate + all-worker heap
-warmup): the same job at `local[32]` (driver's per-round configuration)
-measures **4.8-5.0 s steady-state = 0.43-0.45 GB/s** (cold-heap first
-runs and host-steal episodes still reach 10-14 s; the spread is
-host-level, visible in vmstat, not engine state). Round-2 measured
-7.5-22 s / best 0.29; round-1's FSST path 17.6 s. High core counts keep
-helping, sublinearly as shared DRAM bandwidth saturates. The low-core
-pair above remains the faithful per-executor scaling proxy because
-cluster executors each bring their own memory bandwidth.
+Round-5 (diminishing-returns FSST round stop, trial/sim cuts, redundant
+dict-trial removal, cores-proportional task grouping): the same job at
+`local[32]` (driver's per-round configuration) measures **3.1 s
+steady-state = 0.70 GB/s** (best-of-two; host-steal episodes still
+inflate single trials — the spread is host-level, visible in vmstat, not
+engine state). Round-4 measured 3.9 s / 0.56; round-3 4.8-5.0 s /
+0.43-0.45; round-2 7.5-22 s / best 0.29; round-1's FSST path 17.6 s.
+High core counts keep helping, sublinearly as shared DRAM bandwidth
+saturates. The low-core pair above remains the faithful per-executor
+scaling proxy because cluster executors each bring their own memory
+bandwidth. The engine wall at local[4] is **2.9x the snappy writer's**
+(best-of-two, quiet machine: see the table above) at 0.46x its size —
+the round-3 "<= 3x" target, open since, is closed.
 
 ## 4x-scale robustness (input-size head-room)
 
 Same job at 4x the bench input (4M rows, 8.73 GB logical, 245 buckets,
-local[32]), round-3 build: encode 22.5-22.6 s = **0.388 GB/s** across
-back-to-back trials (tight), ratio 0.1119 (unchanged), decode row count
-exact. The 1M-row steady-state peak (0.43-0.45 GB/s) sits slightly
-higher — the 4x run spends relatively more wall in the scan+write I/O
-tail — but throughput is flat-to-slightly-lower, not degrading, and
-nothing in the engine holds state proportional to total input (round-2
-measured the same 0.384 GB/s at 4x on the slower build).
+local[32]), round-5 build: encode 8.1-8.4 s back-to-back = **1.04-1.08
+GB/s**, ratio 0.1139 (unchanged), decode row count exact. Throughput now
+RISES with input size (1M-row headline: 0.70 GB/s) as fixed per-job
+overhead amortizes across 4x the buckets — the right direction for
+100 TB; nothing in the engine holds state proportional to total input
+(round-4 measured 0.70 at 4x, round-3 0.388).
 
 ## Resume-from-checkpoint evidence (kill -9 probe)
 
@@ -441,11 +444,13 @@ Re-running withOUT the --buckets flag adopts the store's immutable
 64-minus-committed missing buckets, and `decode_verify` reports
 `bit_identical: true` with 0 per-url text mismatches — interrupted runs
 resume from the last committed checkpoint on any cluster size and
-converge to identical bytes. Round-3 ran the probe on BOTH storage
-backends: plain path (killed at 9 commits -> resume encoded 55) and the
-`fakes3://` object backend (killed at 8 -> resume encoded 56), both
-`bit_identical: true` — the rename-free commit protocol checkpoints
-correctly on object-store semantics too.
+converge to identical bytes. Re-run on the round-5 build: killed at 6/64
+commits, resume encoded exactly 58, `bit_identical: true`; a conflicting
+explicit `--buckets 32` refuses with StorePlanError naming both plans.
+Round-3 ran the probe on BOTH storage backends: plain path (killed at 9
+commits -> resume encoded 55) and the `fakes3://` object backend (killed
+at 8 -> resume encoded 56), both `bit_identical: true` — the rename-free
+commit protocol checkpoints correctly on object-store semantics too.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)

@@ -228,13 +228,24 @@ def _constraints_to_predicates(constraints: list) -> dict:
 
 
 def _parse_agg_fn(named) -> tuple[str, tuple]:
-    """Alias(AggregateExpression(fn)) -> (alias, engine agg spec)."""
+    """Alias(AggregateExpression(fn)) -> (alias, engine agg spec).
+
+    ``COUNT(DISTINCT col)`` parses to ``("cntd", col)`` (round 5): it
+    routes through the composite group kernel — the distinct column joins
+    the GROUP BY dimensions, and the finishing aggregation counts its
+    non-null groups (SQL: count distinct excludes NULL)."""
     if _cls(named) != "Alias":
         raise _Unroutable(f"unaliased select item {named.sql()}")
     alias = str(named.name())
     ae = named.child()
-    if _cls(ae) != "AggregateExpression" or ae.isDistinct():
+    if _cls(ae) != "AggregateExpression":
         raise _Unroutable(f"select item {named.sql()}")
+    if ae.isDistinct():
+        fn = ae.aggregateFunction()
+        args = fn.children()
+        if _cls(fn) == "Count" and args.size() == 1:
+            return alias, ("cntd", _attr_name(args.apply(0)))
+        raise _Unroutable(f"distinct aggregate {_cls(fn)}")
     fn = ae.aggregateFunction()
     head = _AGG_FNS.get(_cls(fn))
     if head is None:
@@ -514,6 +525,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     by_type = {f.name: f.dataType.simpleString()
                for f in T.StructType.fromJson(meta["spark_schema"]).fields}
     for alias, spec in aggs.items():
+        if spec[0] == "cntd":
+            if spec[1] not in by_type:
+                raise _Unroutable(f"count(distinct) over unknown {spec[1]!r}")
+            continue  # any stored column type groups (composite kernel)
         if spec[0] != "count" \
                 and by_type.get(spec[1]) not in engine._INTEGRAL_TYPES:
             raise _Unroutable(
@@ -521,10 +536,26 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     if any(alias.startswith("__") for alias in aggs):
         raise _Unroutable("alias with reserved '__' prefix")
     predicates = _constraints_to_predicates(constraints)
-    if group_cols:
+    sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
+    dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
+    if dcols:
+        # COUNT(DISTINCT d) routes through the composite group kernel with
+        # d as an extra GROUP BY dimension; alongside it only count(*) and
+        # sum(one col) compose (min/max/avg over the combo partials don't)
+        if len(dcols) > 1:
+            raise _Unroutable("multiple count(distinct) columns")
+        dcol = next(iter(dcols))
+        if any(spec[0] not in ("count", "sum", "cntd")
+               for spec in aggs.values()) or len(sum_cols) > 1:
+            raise _Unroutable(
+                "count(distinct) beyond count(*) + sum(one col)")
+        if dcol in group_cols or dcol in sum_cols:
+            raise _Unroutable("count(distinct) column reused")
+        if any(c.startswith("__") for c in group_cols + [dcol]):
+            raise _Unroutable("column with reserved '__' prefix")
+    elif group_cols:
         # the codec-layer grouped kernels support count(*) + sum(col) over
         # ONE agg column; WHERE masks their code streams (round 4)
-        sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
         if any(spec[0] not in ("count", "sum") for spec in aggs.values()) \
                 or len(sum_cols) > 1:
             raise _Unroutable(
@@ -580,6 +611,35 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             predicates=r.get("predicates") or None)
     out_dir, group_cols = r["out_dir"], r["group_cols"]
     aggs, preds = r["aggs"], r["predicates"]
+    dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
+    if dcols:
+        # composite kernel with the distinct column as an extra dimension;
+        # the finishing agg is over O(observed combos) rows
+        dcol = next(iter(dcols))
+        sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
+        base = engine.group_multi_table(
+            spark, out_dir, group_cols + [dcol],
+            agg_col=next(iter(sum_cols)) if sum_cols else None,
+            predicates=preds or None)
+        fin_aggs = [
+            # count(*) over empty matches Spark's 0 (not null)
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("__cnt"),
+            # SQL count(distinct) excludes NULL: the null group drops
+            F.count(F.when(F.col(dcol).isNotNull(), 1))
+            .cast("long").alias("__cntd"),
+        ]
+        if sum_cols:
+            fin_aggs.append(F.sum("sum").cast("long").alias("__sum"))
+        fin = (base.groupBy(*group_cols).agg(*fin_aggs) if group_cols
+               else base.agg(*fin_aggs))
+        names = {"count": "__cnt", "cntd": "__cntd", "sum": "__sum"}
+        sel = []
+        for name, src, gcol in r["out_cols"]:
+            if src == "group":
+                sel.append(fin[gcol].alias(name))
+            else:
+                sel.append(fin[names[aggs[name][0]]].alias(name))
+        return _finish(fin.select(*sel), r)
     if not group_cols:
         df = engine.agg_table(spark, out_dir, aggs, predicates=preds or None)
         # Spark SQL's min/max keep the column's own type; the kernel

@@ -59,10 +59,19 @@ ROUTABLE = [
     "HAVING count(*) > 100 AND sum(n_chars) > 0",
     "SELECT lang, source, count(*) AS cnt FROM docs WHERE n_chars > 500 "
     "GROUP BY lang, source HAVING cnt >= 10 ORDER BY lang, source",
+    # round 5: COUNT(DISTINCT) via the composite group kernel
+    "SELECT count(DISTINCT lang) AS d FROM docs",
+    "SELECT count(DISTINCT source) AS d, count(*) AS c FROM docs "
+    "WHERE n_chars > 500",
+    "SELECT lang, count(DISTINCT source) AS d, count(*) AS c, "
+    "sum(n_chars) AS s FROM docs GROUP BY lang",
 ]
 
 FALLBACK = [
-    "SELECT count(DISTINCT lang) AS d FROM docs",          # distinct agg
+    "SELECT count(DISTINCT lang) AS d, min(n_chars) AS m FROM docs",
+    "SELECT count(DISTINCT lang) AS a, count(DISTINCT source) AS b "
+    "FROM docs",                                           # two distinct cols
+    "SELECT sum(DISTINCT n_chars) AS s FROM docs",         # distinct sum
     "SELECT lang, max(n_chars) AS m FROM docs GROUP BY lang",  # grouped max
     "SELECT upper(lang) AS l, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",                                # computed group
