@@ -427,8 +427,11 @@ def chunk_value_counts(payload: bytes, meta: dict, n: int,
 def chunk_group_sums(g_payload: bytes, g_meta: dict,
                      a_payload: bytes, a_meta: dict, n: int,
                      mask: np.ndarray | None = None) -> pa.Table:
-    """Partial ``(value, cnt, sum)`` rows for one chunk — grouped COUNT(*) +
-    SUM(agg) pushed to the codec layer (engine.group_agg_table reduces).
+    """Partial ``(value, cnt, sum, nn)`` rows for one chunk — grouped
+    COUNT(*) + SUM(agg) pushed to the codec layer (engine.group_agg_table
+    reduces). ``nn`` is the group's non-null agg-value count — summing it
+    gives AVG's exact denominator (round 5: grouped AVG routes as
+    exact-sum / exact-non-null-count, one double division at the end).
 
     Dict-coded group chunks aggregate ON THE PACKED CODE STREAM: the agg
     column decodes (its values are needed regardless) but group values never
@@ -490,17 +493,19 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
                  else values, pa.array([None], type=t)])
         keep = cnt > 0
         out = pa.table({"value": values, "cnt": pa.array(cnt, type=pa.int64()),
-                        "sum": sums})
+                        "sum": sums,
+                        "nn": pa.array(nn, type=pa.int64())})
         return out.filter(pa.array(keep)) if not keep.all() else out
     g_arr = decode_array(g_payload, g_meta, n)
     if mask is not None:
         g_arr = g_arr.filter(pa.array(mask))
     r = (pa.table({"value": g_arr, "v": a_arr})
          .group_by("value")
-         .aggregate([("v", "sum"), ([], "count_all")]))
+         .aggregate([("v", "sum"), ([], "count_all"), ("v", "count")]))
     return pa.table({"value": r.column("value"),
                      "cnt": r.column("count_all").cast(pa.int64()),
-                     "sum": r.column("v_sum").cast(pa.int64())})
+                     "sum": r.column("v_sum").cast(pa.int64()),
+                     "nn": r.column("v_count").cast(pa.int64())})
 
 
 def _group_codes(payload: bytes, meta: dict, n: int

@@ -2254,7 +2254,7 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
                 if parts:
                     out = pa.concat_tables(parts)
                     yield from out.rename_columns(
-                        [group_col, "cnt", "sum"]).to_batches()
+                        [group_col, "cnt", "sum", "nn"]).to_batches()
 
     return kernel
 
@@ -2263,9 +2263,11 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
                     agg_col: str,
                     predicates: dict | None = None) -> DataFrame:
     """``SELECT g, COUNT(*), SUM(a) [WHERE ...] GROUP BY g`` pushed to the
-    codec layer; returns ``(group_col, cnt long, sum long)`` with SQL
-    semantics (null is a group; a group whose agg values are all null sums
-    to NULL). AVG per group composes as ``sum / cnt`` over the result.
+    codec layer; returns ``(group_col, cnt long, sum long, nn long)`` with
+    SQL semantics (null is a group; a group whose agg values are all null
+    sums to NULL; ``nn`` counts the group's non-null agg values). AVG per
+    group composes EXACTLY as ``sum / nn`` over the result (Spark's own
+    avg ignores nulls — dividing by cnt would be wrong under nulls).
 
     Scale shape matches :func:`value_counts_table`: per-bucket partials are
     O(buckets x ndv) rows into the final groupBy-sum, never O(rows) — the
@@ -2300,6 +2302,7 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
         T.StructField(group_col, by_field[group_col].dataType, True),
         T.StructField("cnt", T.LongType(), False),
         T.StructField("sum", T.LongType(), True),
+        T.StructField("nn", T.LongType(), False),
     ])
     by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     preds = _normalize_predicates(predicates or {}, by_name)
@@ -2320,7 +2323,8 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
         out_schema)
     return partials.groupBy(group_col).agg(
         F.sum("cnt").cast("long").alias("cnt"),
-        F.sum("sum").cast("long").alias("sum"))
+        F.sum("sum").cast("long").alias("sum"),
+        F.sum("nn").cast("long").alias("nn"))
 
 
 def _make_group_multi_kernel(out_dir: str, group_cols: list[str],

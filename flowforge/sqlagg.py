@@ -555,11 +555,18 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             raise _Unroutable("column with reserved '__' prefix")
     elif group_cols:
         # the codec-layer grouped kernels support count(*) + sum(col) over
-        # ONE agg column; WHERE masks their code streams (round 4)
-        if any(spec[0] not in ("count", "sum") for spec in aggs.values()) \
-                or len(sum_cols) > 1:
+        # ONE agg column; WHERE masks their code streams (round 4). AVG
+        # composes on the single-column kernel as exact-sum / non-null
+        # count (round 5); the composite kernel has no nn column, so
+        # multi-column grouped AVG falls back
+        avg_ok = ("count", "sum", "avg") if len(group_cols) == 1 \
+            else ("count", "sum")
+        src_cols = {spec[1] for spec in aggs.values()
+                    if spec[0] in ("sum", "avg")}
+        if any(spec[0] not in avg_ok for spec in aggs.values()) \
+                or len(src_cols) > 1:
             raise _Unroutable(
-                "grouped aggregate beyond count(*) + sum(one col)")
+                "grouped aggregate beyond count(*) + sum/avg(one col)")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
     final = None
@@ -657,16 +664,16 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             else:
                 sel.append(F.col(name))
         return _finish(df.select(*sel), r)
-    sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
+    src_cols = {spec[1] for spec in aggs.values() if spec[0] in ("sum", "avg")}
     if len(group_cols) > 1:
         base = engine.group_multi_table(
             spark, out_dir, group_cols,
-            agg_col=next(iter(sum_cols)) if sum_cols else None,
+            agg_col=next(iter(src_cols)) if src_cols else None,
             predicates=preds or None)
         names = {"count": "cnt", "sum": "sum"}
-    elif sum_cols:
+    elif src_cols:
         base = engine.group_agg_table(spark, out_dir, group_cols[0],
-                                      next(iter(sum_cols)),
+                                      next(iter(src_cols)),
                                       predicates=preds or None)
         names = {"count": "cnt", "sum": "sum"}
     else:
@@ -677,6 +684,10 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
     for name, src, gcol in r["out_cols"]:
         if src == "group":
             sel.append(base[gcol].alias(name))
+        elif aggs[name][0] == "avg":
+            # Spark avg(long) = wrap-sum / non-null count in one double
+            # division — both operands here are those exact values
+            sel.append((base["sum"] / base["nn"]).alias(name))
         else:
             sel.append(base[names[aggs[name][0]]].alias(name))
     return _finish(base.select(*sel), r)

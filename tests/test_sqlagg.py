@@ -65,6 +65,15 @@ ROUTABLE = [
     "WHERE n_chars > 500",
     "SELECT lang, count(DISTINCT source) AS d, count(*) AS c, "
     "sum(n_chars) AS s FROM docs GROUP BY lang",
+    # round 5: grouped AVG (exact-sum / non-null-count off the kernel's
+    # nn column), alone, mixed, and in HAVING
+    "SELECT lang, avg(n_chars) AS a FROM docs GROUP BY lang",
+    "SELECT lang, count(*) AS c, sum(n_chars) AS s, avg(n_chars) AS a "
+    "FROM docs WHERE source LIKE 'src1%' GROUP BY lang",
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "HAVING avg(n_chars) > 2000",
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "HAVING count(*) > avg(n_chars)",  # agg-vs-agg HAVING comparison
 ]
 
 FALLBACK = [
@@ -83,8 +92,10 @@ FALLBACK = [
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
     "SELECT count(n_chars) AS c FROM docs",                # count(col)
-    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
-    "HAVING count(*) > avg(n_chars)",  # HAVING agg not in engine's set
+    "SELECT lang, source, avg(n_chars) AS a FROM docs "
+    "GROUP BY lang, source",           # multi-col grouped avg (no nn)
+    "SELECT lang, avg(n_chars) AS a, sum(doc_id) AS s2 FROM docs "
+    "GROUP BY lang",                   # two agg source columns
 ]
 
 
