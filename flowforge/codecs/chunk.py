@@ -427,11 +427,13 @@ def chunk_value_counts(payload: bytes, meta: dict, n: int,
 def chunk_group_sums(g_payload: bytes, g_meta: dict,
                      a_payload: bytes, a_meta: dict, n: int,
                      mask: np.ndarray | None = None) -> pa.Table:
-    """Partial ``(value, cnt, sum, nn)`` rows for one chunk — grouped
-    COUNT(*) + SUM(agg) pushed to the codec layer (engine.group_agg_table
-    reduces). ``nn`` is the group's non-null agg-value count — summing it
-    gives AVG's exact denominator (round 5: grouped AVG routes as
-    exact-sum / exact-non-null-count, one double division at the end).
+    """Partial ``(value, cnt, sum, nn, mn, mx)`` rows for one chunk —
+    grouped COUNT(*)/SUM/MIN/MAX pushed to the codec layer
+    (engine.group_agg_table reduces). ``nn`` is the group's non-null
+    agg-value count — summing it gives AVG's exact denominator (round 5:
+    grouped AVG routes as exact-sum / exact-non-null-count, one double
+    division at the end); ``mn``/``mx`` are the group's agg min/max in the
+    int64 domain (NULL for all-null groups, like sum).
 
     Dict-coded group chunks aggregate ON THE PACKED CODE STREAM: the agg
     column decodes (its values are needed regardless) but group values never
@@ -449,6 +451,11 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
     a_arr = decode_array(a_payload, a_meta, n)
     if mask is not None:
         a_arr = a_arr.filter(pa.array(mask))
+    if not pa.types.is_integer(a_arr.type):
+        # timestamps/dates aggregate in their epoch int64 domain (round 5:
+        # grouped MIN/MAX over time columns); the engine casts mn/mx back
+        a_arr = a_arr.cast(pa.int64()) if not pa.types.is_date(a_arr.type) \
+            else a_arr.cast(pa.int32()).cast(pa.int64())
     t = parse_type(g_meta["type"])
     m = g_meta["m"]
     nulls = int(g_meta["nulls"])
@@ -485,6 +492,12 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
         acc = np.zeros(ngroups, dtype=np.int64)
         np.add.at(acc, acodes, av)
         sums = pa.array(acc, type=pa.int64(), mask=nn == 0)
+        mn_a = np.full(ngroups, np.iinfo(np.int64).max, dtype=np.int64)
+        mx_a = np.full(ngroups, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn_a, acodes, av)
+        np.maximum.at(mx_a, acodes, av)
+        mns = pa.array(mn_a, type=pa.int64(), mask=nn == 0)
+        mxs = pa.array(mx_a, type=pa.int64(), mask=nn == 0)
         values = _bytes_logical_cast(
             bytescodecs.parts_to_arrow(d_lens, d_data), t)
         if nulls:
@@ -494,18 +507,22 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
         keep = cnt > 0
         out = pa.table({"value": values, "cnt": pa.array(cnt, type=pa.int64()),
                         "sum": sums,
-                        "nn": pa.array(nn, type=pa.int64())})
+                        "nn": pa.array(nn, type=pa.int64()),
+                        "mn": mns, "mx": mxs})
         return out.filter(pa.array(keep)) if not keep.all() else out
     g_arr = decode_array(g_payload, g_meta, n)
     if mask is not None:
         g_arr = g_arr.filter(pa.array(mask))
     r = (pa.table({"value": g_arr, "v": a_arr})
          .group_by("value")
-         .aggregate([("v", "sum"), ([], "count_all"), ("v", "count")]))
+         .aggregate([("v", "sum"), ([], "count_all"), ("v", "count"),
+                     ("v", "min"), ("v", "max")]))
     return pa.table({"value": r.column("value"),
                      "cnt": r.column("count_all").cast(pa.int64()),
                      "sum": r.column("v_sum").cast(pa.int64()),
-                     "nn": r.column("v_count").cast(pa.int64())})
+                     "nn": r.column("v_count").cast(pa.int64()),
+                     "mn": r.column("v_min").cast(pa.int64()),
+                     "mx": r.column("v_max").cast(pa.int64())})
 
 
 def _group_codes(payload: bytes, meta: dict, n: int
@@ -558,7 +575,8 @@ def _group_codes(payload: bytes, meta: dict, n: int
 def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
                       a_chunk: tuple[bytes, dict] | None, n: int,
                       mask: np.ndarray | None = None) -> pa.Table:
-    """Partial ``(g0..g{k-1}, cnt[, sum])`` rows for one chunk — composite
+    """Partial ``(g0..g{k-1}, cnt[, sum, nn, mn, mx])`` rows for one
+    chunk — composite
     GROUP BY pushed to the codec layer (round-5 verdict, next #2:
     ``GROUP BY lang, source`` must not force a full decode).
 
@@ -584,16 +602,25 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         names = [f"g{i}" for i in range(len(g_chunks))]
         data = {f"g{i}": decode_array(p, m, n) for i, (p, m) in enumerate(g_chunks)}
         if a_chunk is not None:
-            data["v"] = decode_array(a_chunk[0], a_chunk[1], n)
+            v = decode_array(a_chunk[0], a_chunk[1], n)
+            if not pa.types.is_integer(v.type):
+                v = (v.cast(pa.int64()) if not pa.types.is_date(v.type)
+                     else v.cast(pa.int32()).cast(pa.int64()))
+            data["v"] = v
         tbl = pa.table(data)
         if mask is not None:
             tbl = tbl.filter(pa.array(mask))
-        aggs = [([], "count_all")] + ([("v", "sum")] if a_chunk is not None else [])
+        aggs = [([], "count_all")] + (
+            [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")]
+            if a_chunk is not None else [])
         r = tbl.group_by(names).aggregate(aggs)
         out = {f"g{i}": r.column(f"g{i}") for i in range(len(g_chunks))}
         out["cnt"] = r.column("count_all").cast(pa.int64())
         if a_chunk is not None:
             out["sum"] = r.column("v_sum").cast(pa.int64())
+            out["nn"] = r.column("v_count").cast(pa.int64())
+            out["mn"] = r.column("v_min").cast(pa.int64())
+            out["mx"] = r.column("v_max").cast(pa.int64())
         return pa.table(out)
     combined = np.zeros(n, dtype=np.int64)
     for (codes, _), ng in zip(cols, ngs):
@@ -605,6 +632,11 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         a_arr = decode_array(a_chunk[0], a_chunk[1], n)
         if mask is not None:
             a_arr = a_arr.filter(pa.array(mask))
+        if not pa.types.is_integer(a_arr.type):
+            # epoch int64 domain for time columns (see chunk_group_sums)
+            a_arr = (a_arr.cast(pa.int64())
+                     if not pa.types.is_date(a_arr.type)
+                     else a_arr.cast(pa.int32()).cast(pa.int64()))
         u, inv, cnt = np.unique(combined, return_inverse=True,
                                 return_counts=True)
         if a_arr.null_count:
@@ -619,9 +651,17 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         acc = np.zeros(len(u), dtype=np.int64)
         np.add.at(acc, ainv, av)
         sums = pa.array(acc, type=pa.int64(), mask=nn == 0)
+        mn_a = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        mx_a = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn_a, ainv, av)
+        np.maximum.at(mx_a, ainv, av)
+        extra = {"nn": pa.array(nn, type=pa.int64()),
+                 "mn": pa.array(mn_a, type=pa.int64(), mask=nn == 0),
+                 "mx": pa.array(mx_a, type=pa.int64(), mask=nn == 0)}
     else:
         u, cnt = np.unique(combined, return_counts=True)
         sums = None
+        extra = {}
     out = {}
     rem = u
     for i in reversed(range(len(cols))):
@@ -633,6 +673,7 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
     out["cnt"] = pa.array(cnt, type=pa.int64())
     if sums is not None:
         out["sum"] = sums
+        out.update(extra)
     return pa.table(out)
 
 

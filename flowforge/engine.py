@@ -2254,7 +2254,8 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
                 if parts:
                     out = pa.concat_tables(parts)
                     yield from out.rename_columns(
-                        [group_col, "cnt", "sum", "nn"]).to_batches()
+                        [group_col, "cnt", "sum", "nn", "mn", "mx"]
+                    ).to_batches()
 
     return kernel
 
@@ -2263,11 +2264,13 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
                     agg_col: str,
                     predicates: dict | None = None) -> DataFrame:
     """``SELECT g, COUNT(*), SUM(a) [WHERE ...] GROUP BY g`` pushed to the
-    codec layer; returns ``(group_col, cnt long, sum long, nn long)`` with
-    SQL semantics (null is a group; a group whose agg values are all null
-    sums to NULL; ``nn`` counts the group's non-null agg values). AVG per
-    group composes EXACTLY as ``sum / nn`` over the result (Spark's own
-    avg ignores nulls — dividing by cnt would be wrong under nulls).
+    codec layer; returns ``(group_col, cnt long, sum long, nn long,
+    mn long, mx long)`` with SQL semantics (null is a group; a group whose
+    agg values are all null gets NULL sum/mn/mx; ``nn`` counts the group's
+    non-null agg values). AVG per group composes EXACTLY as ``sum / nn``
+    over the result (Spark's own avg ignores nulls — dividing by cnt would
+    be wrong under nulls); MIN/MAX per group are ``mn``/``mx`` cast back to
+    the column's own type (the kernels accumulate in the int64 domain).
 
     Scale shape matches :func:`value_counts_table`: per-bucket partials are
     O(buckets x ndv) rows into the final groupBy-sum, never O(rows) — the
@@ -2280,7 +2283,7 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
     stream — a time-windowed per-language rollup on a ts-clustered store
     does predicate work at the two boundary buckets only."""
     for col, role in ((group_col, "group"), (agg_col, "agg")):
-        if col in ("cnt", "sum"):
+        if col in ("cnt", "sum", "nn", "mn", "mx"):
             raise ValueError(
                 f"{role} column name {col!r} collides with an output alias")
     if group_col == agg_col:
@@ -2293,16 +2296,21 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     by_field = {f.name: f for f in spark_schema.fields}
     a_type = by_field[agg_col].dataType.simpleString()
-    if a_type not in _INTEGRAL_TYPES:
+    if a_type not in _INTEGRAL_TYPES and not _is_predicate_type(a_type):
         raise ValueError(
-            f"sum pushdown needs an integral agg column; {agg_col!r} is "
-            f"{a_type} (float sums are order-dependent; decode_table + "
-            f"DataFrame agg handles those)")
+            f"grouped-agg pushdown needs an integral or time agg column; "
+            f"{agg_col!r} is {a_type} (float sums are order-dependent; "
+            f"decode_table + DataFrame agg handles those)")
+    # time columns aggregate in their epoch int64 domain: mn/mx are epoch
+    # values (micros for timestamps, days for dates) the caller casts back;
+    # sum over a time column is epoch arithmetic (SQL has no sum(timestamp))
     out_schema = T.StructType([
         T.StructField(group_col, by_field[group_col].dataType, True),
         T.StructField("cnt", T.LongType(), False),
         T.StructField("sum", T.LongType(), True),
         T.StructField("nn", T.LongType(), False),
+        T.StructField("mn", T.LongType(), True),
+        T.StructField("mx", T.LongType(), True),
     ])
     by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     preds = _normalize_predicates(predicates or {}, by_name)
@@ -2324,7 +2332,9 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
     return partials.groupBy(group_col).agg(
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sum").cast("long").alias("sum"),
-        F.sum("nn").cast("long").alias("nn"))
+        F.sum("nn").cast("long").alias("nn"),
+        F.min("mn").cast("long").alias("mn"),
+        F.max("mx").cast("long").alias("mx"))
 
 
 def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
@@ -2342,7 +2352,8 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         manifest = Manifest(out_dir)
         read_cols = list(group_cols) + ([agg_col] if agg_col else [])
-        out_names = list(group_cols) + ["cnt"] + (["sum"] if agg_col else [])
+        out_names = list(group_cols) + ["cnt"] + (
+            ["sum", "nn", "mn", "mx"] if agg_col else [])
         for batch in batches:
             flags = (batch.column("all_match").to_pylist()
                      if "all_match" in batch.schema.names
@@ -2399,8 +2410,9 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     """``SELECT g0, g1, ..., COUNT(*)[, SUM(a)] [WHERE ...] GROUP BY
     g0, g1, ...`` pushed to the codec layer (round-5 verdict, next #2) —
     the corpus-audit shape ``GROUP BY lang, source``. Returns
-    ``(g0..gk, cnt long[, sum long])`` with SQL semantics (nulls form
-    groups; all-null agg groups sum to NULL).
+    ``(g0..gk, cnt long[, sum, nn, mn, mx long])`` with SQL semantics
+    (nulls form groups; all-null agg groups get NULL sum/mn/mx; AVG =
+    sum/nn; MIN/MAX = mn/mx cast back to the column type).
 
     Scale shape matches :func:`group_agg_table`: per-bucket partials are
     O(buckets x observed composite groups) rows into the final
@@ -2413,7 +2425,7 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     if len(set(group_cols)) != len(group_cols):
         raise ValueError("duplicate group columns")
     for col in group_cols + ([agg_col] if agg_col else []):
-        if col in ("cnt", "sum"):
+        if col in ("cnt", "sum", "nn", "mn", "mx"):
             raise ValueError(
                 f"column name {col!r} collides with an output alias")
     if agg_col in group_cols:
@@ -2427,15 +2439,18 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     by_field = {f.name: f for f in spark_schema.fields}
     if agg_col:
         a_type = by_field[agg_col].dataType.simpleString()
-        if a_type not in _INTEGRAL_TYPES:
+        if a_type not in _INTEGRAL_TYPES and not _is_predicate_type(a_type):
             raise ValueError(
-                f"sum pushdown needs an integral agg column; {agg_col!r} "
-                f"is {a_type}")
+                f"grouped-agg pushdown needs an integral or time agg "
+                f"column; {agg_col!r} is {a_type}")
     fields = [T.StructField(c, by_field[c].dataType, True)
               for c in group_cols]
     fields.append(T.StructField("cnt", T.LongType(), False))
     if agg_col:
         fields.append(T.StructField("sum", T.LongType(), True))
+        fields.append(T.StructField("nn", T.LongType(), False))
+        fields.append(T.StructField("mn", T.LongType(), True))
+        fields.append(T.StructField("mx", T.LongType(), True))
     out_schema = T.StructType(fields)
     by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     preds = _normalize_predicates(predicates or {}, by_name)
@@ -2455,6 +2470,9 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     aggs = [F.sum("cnt").cast("long").alias("cnt")]
     if agg_col:
         aggs.append(F.sum("sum").cast("long").alias("sum"))
+        aggs.append(F.sum("nn").cast("long").alias("nn"))
+        aggs.append(F.min("mn").cast("long").alias("mn"))
+        aggs.append(F.max("mx").cast("long").alias("mx"))
     return partials.groupBy(*group_cols).agg(*aggs)
 
 

@@ -376,6 +376,39 @@ def _having_spec(c, ids: dict[int, str]) -> list:
     raise _Unroutable(f"HAVING condition {name}")
 
 
+def _having_col_refs(spec: list) -> set:
+    """Output-column names a HAVING spec tree references."""
+    k = spec[0]
+    if k in ("and", "or"):
+        return _having_col_refs(spec[1]) | _having_col_refs(spec[2])
+    if k == "not":
+        return _having_col_refs(spec[1])
+    if k in ("isnull", "notnull", "in"):
+        op = spec[1]
+        return {op[1]} if op[0] == "col" else set()
+    out = set()
+    for op in (spec[2], spec[3]):
+        if op[0] == "col":
+            out.add(op[1])
+    return out
+
+
+def _ntz_from_micros(col_name: str):
+    """Epoch-micros long column -> TimestampNTZType, with NO timezone
+    arithmetic anywhere (session-tz-dependent casts shift values; DST gaps
+    make offset-based reconstructions ambiguous). Pure integer splitting:
+    days + intraday micros -> make_timestamp_ntz."""
+    c = f"`{col_name}`"
+    rem = f"pmod({c}, 86400000000)"
+    days = f"cast((({c}) - {rem}) div 86400000000 as int)"
+    d = f"date_from_unix_date({days})"
+    return F.expr(
+        f"make_timestamp_ntz(year({d}), month({d}), day({d}), "
+        f"cast({rem} div 3600000000 as int), "
+        f"cast(pmod({rem}, 3600000000) div 60000000 as int), "
+        f"cast(pmod({rem}, 60000000) as decimal(16,6)) / 1000000)")
+
+
 def _operand_col(spec: list, df: DataFrame):
     return df[spec[1]] if spec[0] == "col" else F.lit(spec[1])
 
@@ -436,17 +469,33 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
 
     Routable shapes (round 5 widened):
 
-        [Sort] [Project] [Filter=HAVING] Aggregate [Filter=WHERE] store
-        [Sort] Distinct Project [Filter=WHERE] store
+        [Limit] [Sort] [Project] [Filter=HAVING] Aggregate [Filter=WHERE] store
+        [Limit] [Sort] Distinct Project [Filter=WHERE] store
         GlobalLimit LocalLimit Sort Project store        (top-k)
 
     Multi-column GROUP BY routes to engine.group_multi_table (composite
     code-stream kernel); HAVING re-applies as a filter over the routed
     partial-summed result (its condition only sees Aggregate outputs, so
     this is exactly Spark's own evaluation order); ORDER BY re-applies as
-    .orderBy over the tiny aggregated result."""
+    .orderBy over the tiny aggregated result, LIMIT as .limit on it."""
+    limit_k = None
     if _cls(analyzed) == "GlobalLimit":
-        return _route_topk(analyzed, stores)
+        try:
+            return _route_topk(analyzed, stores)
+        except _Unroutable:
+            # ORDER BY ... LIMIT k over an AGGREGATE routes too (round 5):
+            # peel the limit here, route the aggregate, re-apply
+            # order+limit over the O(groups) result. Bare LIMIT with no
+            # Sort stays a fallback — which rows survive is plan-dependent
+            # and the routed plan is not the fallback plan.
+            k_expr = analyzed.limitExpr()
+            if _cls(k_expr) != "Literal":
+                raise
+            node = analyzed.child()
+            if _cls(node) != "LocalLimit" or _cls(node.child()) != "Sort":
+                raise
+            limit_k = int(str(k_expr.value()))
+            analyzed = node.child()
     node, order = _peel_order(analyzed)
     if _cls(node) == "Distinct":
         # SELECT DISTINCT col analyzes as Distinct(Project([col])) — same
@@ -467,7 +516,8 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 "predicates": _constraints_to_predicates(constraints),
                 "out_cols": [(out_name, "group", group_col)],
                 "having": None, "final": None,
-                "order": _resolve_order(order, {out_id: out_name})}
+                "order": _resolve_order(order, {out_id: out_name}),
+                "limit": limit_k}
     # peel SELECT-projection and HAVING-filter above the Aggregate
     project = None
     if _cls(node) == "Project":
@@ -524,15 +574,25 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     from pyspark.sql import types as T
     by_type = {f.name: f.dataType.simpleString()
                for f in T.StructType.fromJson(meta["spark_schema"]).fields}
+    ts_minmax_aliases = set()
     for alias, spec in aggs.items():
         if spec[0] == "cntd":
             if spec[1] not in by_type:
                 raise _Unroutable(f"count(distinct) over unknown {spec[1]!r}")
             continue  # any stored column type groups (composite kernel)
-        if spec[0] != "count" \
-                and by_type.get(spec[1]) not in engine._INTEGRAL_TYPES:
-            raise _Unroutable(
-                f"{spec[0]}({spec[1]}) over type {by_type.get(spec[1])}")
+        if spec[0] == "count":
+            continue
+        a_type = by_type.get(spec[1])
+        if a_type in engine._INTEGRAL_TYPES:
+            continue
+        # grouped MIN/MAX over time columns route through the kernels'
+        # epoch-domain mn/mx (round 5); sums/avgs stay integral-only
+        if spec[0] in ("min", "max") and group_cols \
+                and a_type in ("timestamp", "timestamp_ntz", "date"):
+            ts_minmax_aliases.add(alias)
+            continue
+        raise _Unroutable(
+            f"{spec[0]}({spec[1]}) over type {a_type}")
     if any(alias.startswith("__") for alias in aggs):
         raise _Unroutable("alias with reserved '__' prefix")
     predicates = _constraints_to_predicates(constraints)
@@ -554,21 +614,24 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if any(c.startswith("__") for c in group_cols + [dcol]):
             raise _Unroutable("column with reserved '__' prefix")
     elif group_cols:
-        # the codec-layer grouped kernels support count(*) + sum(col) over
-        # ONE agg column; WHERE masks their code streams (round 4). AVG
-        # composes on the single-column kernel as exact-sum / non-null
-        # count (round 5); the composite kernel has no nn column, so
-        # multi-column grouped AVG falls back
-        avg_ok = ("count", "sum", "avg") if len(group_cols) == 1 \
-            else ("count", "sum")
+        # the codec-layer grouped kernels (single and composite keys)
+        # carry cnt/sum/nn/mn/mx partials over ONE agg column, so the
+        # whole grouped family routes: count(*) + sum/avg/min/max of one
+        # column; WHERE masks their code streams (round 4/5)
         src_cols = {spec[1] for spec in aggs.values()
-                    if spec[0] in ("sum", "avg")}
-        if any(spec[0] not in avg_ok for spec in aggs.values()) \
-                or len(src_cols) > 1:
+                    if spec[0] in ("sum", "avg", "min", "max")}
+        if any(spec[0] not in ("count", "sum", "avg", "min", "max")
+               for spec in aggs.values()) or len(src_cols) > 1:
             raise _Unroutable(
-                "grouped aggregate beyond count(*) + sum/avg(one col)")
+                "grouped aggregate beyond count(*) + "
+                "sum/avg/min/max(one col)")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
+    if having is not None and ts_minmax_aliases \
+            & _having_col_refs(having):
+        # a HAVING literal against a time-typed min/max would need typed
+        # literal reconstruction; keep it conservative and fall back
+        raise _Unroutable("HAVING over a time-typed min/max")
     final = None
     if project is not None:
         final = []  # (source output name, final name)
@@ -593,6 +656,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         "having": having,
         "final": final,
         "order": _resolve_order(order, ids),
+        "limit": limit_k,
     }
 
 
@@ -606,6 +670,8 @@ def _finish(df: DataFrame, r: dict) -> DataFrame:
     if r.get("order"):
         df = df.orderBy(*[F.col(n).desc() if desc else F.col(n).asc()
                           for n, desc in r["order"]])
+    if r.get("limit") is not None:
+        df = df.limit(r["limit"])
     return df
 
 
@@ -664,7 +730,8 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             else:
                 sel.append(F.col(name))
         return _finish(df.select(*sel), r)
-    src_cols = {spec[1] for spec in aggs.values() if spec[0] in ("sum", "avg")}
+    src_cols = {spec[1] for spec in aggs.values()
+                if spec[0] in ("sum", "avg", "min", "max")}
     if len(group_cols) > 1:
         base = engine.group_multi_table(
             spark, out_dir, group_cols,
@@ -680,16 +747,42 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         base = engine.value_counts_table(spark, out_dir, group_cols[0],
                                          predicates=preds or None)
         names = {"count": "cnt"}
+    by_field = None
+    if any(spec[0] in ("min", "max") for spec in aggs.values()):
+        # Spark's min/max keep the column's own type; the kernels
+        # accumulate in the int64 domain — cast back for schema parity
+        from pyspark.sql import types as T
+        meta = datasource._read_meta(out_dir)
+        by_field = {f.name: f.dataType for f in
+                    T.StructType.fromJson(meta["spark_schema"]).fields}
     sel = []
     for name, src, gcol in r["out_cols"]:
         if src == "group":
             sel.append(base[gcol].alias(name))
-        elif aggs[name][0] == "avg":
+            continue
+        fn = aggs[name][0]
+        if fn == "avg":
             # Spark avg(long) = wrap-sum / non-null count in one double
             # division — both operands here are those exact values
             sel.append((base["sum"] / base["nn"]).alias(name))
+        elif fn in ("min", "max"):
+            kname = "mn" if fn == "min" else "mx"
+            col = base[kname]
+            dt = by_field[aggs[name][1]]
+            ss = dt.simpleString()
+            if ss == "timestamp":
+                # kernels carry epoch MICROS (Spark's internal unit, hence
+                # the stored arrow unit); a plain long->timestamp cast
+                # would misread the value as seconds
+                sel.append(F.timestamp_micros(col).alias(name))
+            elif ss == "timestamp_ntz":
+                sel.append(_ntz_from_micros(kname).alias(name))
+            elif ss == "date":
+                sel.append(F.date_from_unix_date(col.cast("int")).alias(name))
+            else:
+                sel.append(col.cast(dt).alias(name))
         else:
-            sel.append(base[names[aggs[name][0]]].alias(name))
+            sel.append(base[names[fn]].alias(name))
     return _finish(base.select(*sel), r)
 
 

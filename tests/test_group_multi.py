@@ -57,7 +57,10 @@ def test_two_column_group_sum(spark, store):
                                    "n_chars")
     want = (src.groupBy("lang", "source")
             .agg(F.count("*").alias("cnt"),
-                 F.sum("n_chars").alias("sum")))
+                 F.sum("n_chars").alias("sum"),
+                 F.count("n_chars").alias("nn"),
+                 F.min("n_chars").cast("long").alias("mn"),
+                 F.max("n_chars").cast("long").alias("mx")))
     assert [f.dataType for f in got.schema.fields] \
         == [f.dataType for f in want.schema.fields]
     assert _rows(got) == _rows(want)
@@ -67,7 +70,8 @@ def test_predicates_mask_composite(spark, store):
     src = spark.read.parquet(DOCS)
     got = engine.group_multi_table(
         spark, store, ["lang", "source"], "n_chars",
-        predicates={"n_chars": (100, 2000), "lang": ("in", ["en", "de"])})
+        predicates={"n_chars": (100, 2000), "lang": ("in", ["en", "de"])}
+    ).select("lang", "source", "cnt", "sum")
     want = (src.filter((F.col("n_chars").between(100, 2000))
                        & F.col("lang").isin("en", "de"))
             .groupBy("lang", "source")
@@ -89,7 +93,10 @@ def test_null_groups_and_null_sums(spark, null_store):
     got = engine.group_multi_table(spark, null_store, ["lang", "source"],
                                    "n_chars")
     want = (src.groupBy("lang", "source")
-            .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum")))
+            .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum"),
+                 F.count("n_chars").alias("nn"),
+                 F.min("n_chars").cast("long").alias("mn"),
+                 F.max("n_chars").cast("long").alias("mx")))
     assert _rows(got) == _rows(want)
     # the null-lang groups really exist
     assert got.filter(F.col("lang").isNull()).count() > 0

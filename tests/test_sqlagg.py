@@ -74,6 +74,19 @@ ROUTABLE = [
     "HAVING avg(n_chars) > 2000",
     "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
     "HAVING count(*) > avg(n_chars)",  # agg-vs-agg HAVING comparison
+    # round 5: grouped MIN/MAX off the kernel's mn/mx partials, incl.
+    # composite keys — the whole grouped family now routes
+    "SELECT lang, max(n_chars) AS m FROM docs GROUP BY lang",
+    "SELECT lang, source, min(n_chars) AS mn, max(n_chars) AS mx, "
+    "avg(n_chars) AS a FROM docs GROUP BY lang, source",
+    # round 5: ORDER BY + LIMIT over a routed aggregate — the "top
+    # languages" report shape (sort keys chosen tie-free: lang/source are
+    # unique per group, so routed-vs-fallback parity is deterministic)
+    "SELECT lang, count(*) AS cnt FROM docs GROUP BY lang "
+    "ORDER BY cnt DESC, lang LIMIT 3",
+    "SELECT lang, source, count(*) AS c, avg(n_chars) AS a FROM docs "
+    "WHERE n_chars > 100 GROUP BY lang, source "
+    "HAVING c >= 5 ORDER BY c DESC, lang, source LIMIT 10",
 ]
 
 FALLBACK = [
@@ -81,7 +94,8 @@ FALLBACK = [
     "SELECT count(DISTINCT lang) AS a, count(DISTINCT source) AS b "
     "FROM docs",                                           # two distinct cols
     "SELECT sum(DISTINCT n_chars) AS s FROM docs",         # distinct sum
-    "SELECT lang, max(n_chars) AS m FROM docs GROUP BY lang",  # grouped max
+    "SELECT lang, min(doc_id) AS a, max(n_chars) AS b "
+    "FROM docs GROUP BY lang",         # two agg source columns (min/max)
     "SELECT upper(lang) AS l, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",                                # computed group
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
@@ -92,10 +106,12 @@ FALLBACK = [
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
     "SELECT count(n_chars) AS c FROM docs",                # count(col)
-    "SELECT lang, source, avg(n_chars) AS a FROM docs "
-    "GROUP BY lang, source",           # multi-col grouped avg (no nn)
     "SELECT lang, avg(n_chars) AS a, sum(doc_id) AS s2 FROM docs "
     "GROUP BY lang",                   # two agg source columns
+    # bare LIMIT (no ORDER BY) over an aggregate: which rows survive is
+    # plan-dependent, so it must NOT route (LIMIT 10 > group count keeps
+    # the parity assertion deterministic here)
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang LIMIT 10",
 ]
 
 
