@@ -1807,6 +1807,11 @@ def topk_table(spark: SparkSession, out_dir: str, order_col: str, k: int,
 # pushdown (timestamps/dates also store int sums, but summing them is not a
 # SQL operation; floats store order-KEY min/max and no sum at all)
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+# time columns aggregate in their epoch int64 domain (micros for
+# timestamps, days for dates — the unit chunk metas/commit stats already
+# store); exact for MIN/MAX, which are order-only. SUM/AVG stay
+# integral-only (SQL has no sum(timestamp)).
+_TIME_TYPES = {"timestamp", "timestamp_ntz", "date"}
 
 
 def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
@@ -1839,12 +1844,17 @@ def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
         col = spec[1]
         if col not in by_name:
             raise ValueError(f"agg {alias!r}: unknown column {col!r}")
-        if by_name[col] not in _INTEGRAL_TYPES:
-            raise ValueError(
-                f"agg {alias!r}: {fn} pushdown needs an integral column; "
-                f"{col!r} is {by_name[col]} (float sums are order-dependent "
-                f"and have no exact metadata form; decode_table + DataFrame "
-                f"agg handles those)")
+        if by_name[col] in _INTEGRAL_TYPES:
+            continue
+        if fn in ("min", "max") and by_name[col] in _TIME_TYPES:
+            # routed as epoch int64 (zone maps / commit stats are already
+            # in that domain); the SQL layer casts the result back
+            continue
+        raise ValueError(
+            f"agg {alias!r}: {fn} pushdown needs an integral column "
+            f"(or a time column for min/max); {col!r} is {by_name[col]} "
+            f"(float sums are order-dependent and have no exact metadata "
+            f"form; decode_table + DataFrame agg handles those)")
 
 
 def _wrap_i64(v: int | None) -> int | None:
@@ -1973,6 +1983,10 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
                             acc[alias] = ((acc[alias] or 0)
                                           + len(a) - a.null_count)
                             continue
+                        if pa.types.is_timestamp(a.type):
+                            a = a.cast(pa.int64())  # epoch micros
+                        elif pa.types.is_date(a.type):
+                            a = a.cast(pa.int32()).cast(pa.int64())
                         if spec[0] == "sum":
                             v = pc.sum(a).as_py()
                         else:

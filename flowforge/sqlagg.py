@@ -409,6 +409,23 @@ def _ntz_from_micros(col_name: str):
         f"cast(pmod({rem}, 60000000) as decimal(16,6)) / 1000000)")
 
 
+def _minmax_back(col_name: str, dtype):
+    """Kernel min/max long (epoch int64 domain for time columns) -> a
+    Column of the source column's own type, so routed and fallback plans
+    are schema- AND value-identical drop-ins."""
+    ss = dtype.simpleString()
+    if ss == "timestamp":
+        # kernels carry epoch MICROS (Spark's internal unit, hence the
+        # stored arrow unit); a plain long->timestamp cast would misread
+        # the value as seconds
+        return F.timestamp_micros(F.col(col_name))
+    if ss == "timestamp_ntz":
+        return _ntz_from_micros(col_name)
+    if ss == "date":
+        return F.date_from_unix_date(F.col(col_name).cast("int"))
+    return F.col(col_name).cast(dtype)
+
+
 def _operand_col(spec: list, df: DataFrame):
     return df[spec[1]] if spec[0] == "col" else F.lit(spec[1])
 
@@ -585,9 +602,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         a_type = by_type.get(spec[1])
         if a_type in engine._INTEGRAL_TYPES:
             continue
-        # grouped MIN/MAX over time columns route through the kernels'
-        # epoch-domain mn/mx (round 5); sums/avgs stay integral-only
-        if spec[0] in ("min", "max") and group_cols \
+        # MIN/MAX over time columns (grouped or global) route through the
+        # epoch-int64 domain — kernel mn/mx partials or commit-record zone
+        # stats (round 5); sums/avgs stay integral-only
+        if spec[0] in ("min", "max") \
                 and a_type in ("timestamp", "timestamp_ntz", "date"):
             ts_minmax_aliases.add(alias)
             continue
@@ -726,7 +744,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         for name, _, _ in r["out_cols"]:
             spec = aggs[name]
             if spec[0] in ("min", "max"):
-                sel.append(F.col(name).cast(by_field[spec[1]]).alias(name))
+                sel.append(_minmax_back(name, by_field[spec[1]]).alias(name))
             else:
                 sel.append(F.col(name))
         return _finish(df.select(*sel), r)
@@ -767,20 +785,8 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             sel.append((base["sum"] / base["nn"]).alias(name))
         elif fn in ("min", "max"):
             kname = "mn" if fn == "min" else "mx"
-            col = base[kname]
-            dt = by_field[aggs[name][1]]
-            ss = dt.simpleString()
-            if ss == "timestamp":
-                # kernels carry epoch MICROS (Spark's internal unit, hence
-                # the stored arrow unit); a plain long->timestamp cast
-                # would misread the value as seconds
-                sel.append(F.timestamp_micros(col).alias(name))
-            elif ss == "timestamp_ntz":
-                sel.append(_ntz_from_micros(kname).alias(name))
-            elif ss == "date":
-                sel.append(F.date_from_unix_date(col.cast("int")).alias(name))
-            else:
-                sel.append(col.cast(dt).alias(name))
+            sel.append(
+                _minmax_back(kname, by_field[aggs[name][1]]).alias(name))
         else:
             sel.append(base[names[fn]].alias(name))
     return _finish(base.select(*sel), r)

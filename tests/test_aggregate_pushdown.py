@@ -522,3 +522,51 @@ def test_wrap_i64_matches_spark_long_overflow():
     assert engine._wrap_i64(2 ** 63) == -(2 ** 63)
     assert engine._wrap_i64(2 ** 64 + 7) == 7
     assert engine._wrap_i64(-(2 ** 63) - 1) == 2 ** 63 - 1
+
+
+# --------------------------------------------------------------------------
+# min/max over time columns (round 5): epoch int64 domain
+# --------------------------------------------------------------------------
+
+
+def _epoch_us(dt_value):
+    """Naive datetime (timestamp_ntz) -> epoch micros, pure integer math —
+    no tz/utcfromtimestamp round-trips that could shift values."""
+    import datetime as _dt
+    return (dt_value - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+        microseconds=1)
+
+
+def test_agg_minmax_timestamp_metadata_only(spark, store, src_df):
+    """Bare MIN/MAX(warc_ts) answers from commit-record zone stats (epoch
+    micros) — the '10^12-row corpus time span' query with zero decode."""
+    got = engine.agg_table(spark, store, {
+        "mn": ("min", "warc_ts"), "mx": ("max", "warc_ts")}).collect()[0]
+    want = src_df.agg(F.min("warc_ts").alias("mn"),
+                      F.max("warc_ts").alias("mx")).collect()[0]
+    assert (got["mn"], got["mx"]) \
+        == (_epoch_us(want["mn"]), _epoch_us(want["mx"]))
+
+
+def test_agg_minmax_timestamp_with_predicate(spark, store, src_df):
+    """Predicates force boundary buckets through the exact kernel path,
+    which must aggregate the decoded timestamp array in int64 (a raw
+    pc.min_max would yield a datetime and break the long accumulator)."""
+    got = engine.agg_table(
+        spark, store,
+        {"mn": ("min", "warc_ts"), "mx": ("max", "warc_ts"),
+         "c": ("count",)},
+        predicates={"lang": ("in", ["en", "de"])}).collect()[0]
+    want = src_df.filter(F.col("lang").isin("en", "de")).agg(
+        F.min("warc_ts").alias("mn"), F.max("warc_ts").alias("mx"),
+        F.count("*").alias("c")).collect()[0]
+    assert (got["mn"], got["mx"], got["c"]) \
+        == (_epoch_us(want["mn"]), _epoch_us(want["mx"]), want["c"])
+
+
+def test_agg_sum_over_timestamp_still_rejected(spark, store):
+    """Only MIN/MAX extend to time columns — SQL has no sum(timestamp)."""
+    with pytest.raises(ValueError, match="integral"):
+        engine.agg_table(spark, store, {"s": ("sum", "warc_ts")})
+    with pytest.raises(ValueError, match="integral"):
+        engine.agg_table(spark, store, {"a": ("avg", "warc_ts")})

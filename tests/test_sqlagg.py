@@ -273,3 +273,47 @@ def test_route_pruning_stats(spark, store):
     assert stats2["buckets_total"] == 8
     assert 0 < stats2["buckets_read"] <= 8
     assert sqlagg.route_pruning_stats(None) is None
+
+
+def test_time_minmax_cast_back_all_types(spark, tmp_path):
+    """Routed MIN/MAX over timestamp, timestamp_ntz and date columns
+    (grouped AND global) must reconstruct Spark-identical typed values
+    from the kernels' epoch-int64 domain — micros for timestamps (a plain
+    long->timestamp cast would misread them as seconds), days for dates,
+    pure integer splitting for ntz (no session-tz arithmetic)."""
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            ["x", "y", None][i % 3],
+            None if i % 11 == 0
+            else dt.date(2020, 1, 1) + dt.timedelta(days=i % 400),
+            None if i % 13 == 0
+            else dt.datetime(2021, 6, 1, 12, 0, 0)
+            + dt.timedelta(minutes=7 * i, microseconds=i),
+            dt.datetime(2021, 6, 1, 12, 0, 0) + dt.timedelta(seconds=13 * i),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, k string, d date, tn timestamp_ntz, tz timestamp")
+    out = str(tmp_path) + "/store"
+    engine.run_encode(spark, df, out, buckets=4, salt_col="id")
+    stores = {"tt": out}
+    for sql in [
+        "SELECT k, min(d) AS mn, max(d) AS mx FROM tt GROUP BY k",
+        "SELECT k, min(tn) AS mn, max(tn) AS mx FROM tt GROUP BY k",
+        "SELECT k, count(*) AS c, min(tz) AS mn, max(tz) AS mx "
+        "FROM tt GROUP BY k",
+        "SELECT min(d) AS mn, max(d) AS mx FROM tt",
+        "SELECT min(tn) AS mn, max(tn) AS mx FROM tt WHERE k = 'x'",
+        "SELECT min(tz) AS mn, max(tz) AS mx, count(*) AS c FROM tt",
+    ]:
+        assert sqlagg.route_agg_sql(spark, sql, stores) is not None, sql
+        fast = sqlagg.store_agg_sql(spark, sql, stores)
+        slow = spark.sql(sql)
+        assert [f.dataType for f in fast.schema.fields] \
+            == [f.dataType for f in slow.schema.fields], sql
+        assert sorted(map(repr, map(tuple, fast.collect()))) \
+            == sorted(map(repr, map(tuple, slow.collect()))), sql
