@@ -169,7 +169,8 @@ def oracle_sql() -> dict[str, str]:
         # source (CASTs: DuckDB sum(BIGINT) returns HUGEINT)
         "store_agg_window": (
             "SELECT count(*) AS cnt, min(event_id) AS min_id, "
-            "max(event_id) AS max_id, CAST(sum(user_id) AS BIGINT) AS sum_uid "
+            "max(event_id) AS max_id, CAST(sum(user_id) AS BIGINT) AS sum_uid, "
+            "epoch_us(min(ts)) AS min_ts_us, epoch_us(max(ts)) AS max_ts_us "
             "FROM events "
             f"WHERE epoch_us(ts) BETWEEN {1_704_067_200_000_000 + 5 * 86_400_000_000} "
             f"AND {1_704_067_200_000_000 + 20 * 86_400_000_000}"
@@ -200,9 +201,13 @@ def oracle_sql() -> dict[str, str]:
         # combined-code-stream kernel; HAVING post-filters routed partials
         "store_sqlagg_grouped2": (
             "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
-            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
-            "WHERE n_chars BETWEEN 50 AND 5000 "
-            "GROUP BY lang, source HAVING count(*) >= 2"
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
+            "FROM documents WHERE n_chars BETWEEN 50 AND 5000 "
+            "GROUP BY lang, source HAVING count(*) >= 2 "
+            "ORDER BY cnt DESC, lang NULLS FIRST, source NULLS FIRST "
+            "LIMIT 40"
         ),
         # filtered top-k (round 5): WHERE reaches the topk kernel masks;
         # tie column keeps the 25-row set deterministic

@@ -287,7 +287,10 @@ def q_store_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.agg_table(
         spark, out,
         aggs={"cnt": ("count",), "min_id": ("min", "event_id"),
-              "max_id": ("max", "event_id"), "sum_uid": ("sum", "user_id")},
+              "max_id": ("max", "event_id"), "sum_uid": ("sum", "user_id"),
+              # round 5: MIN/MAX over the time column itself — epoch-micros
+              # longs off the same zone stats (the corpus-time-span query)
+              "min_ts_us": ("min", "ts"), "max_ts_us": ("max", "ts")},
         predicates={"ts": (lo, hi)})
 
 
@@ -406,9 +409,17 @@ def q_store_sqlagg_grouped2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    sql = ("SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sum_chars "
+    # round 5 widened: the FULL grouped family (count/sum/min/max/avg of
+    # one column) + ORDER BY/LIMIT above the aggregate all route; the
+    # (cnt DESC, lang, source) keys are tie-free per group so the 40-row
+    # set is deterministic (NULLS FIRST spelled out for oracle parity)
+    sql = ("SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sum_chars, "
+           "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+           "avg(n_chars) AS avg_chars "
            "FROM docs WHERE n_chars BETWEEN 50 AND 5000 "
-           "GROUP BY lang, source HAVING count(*) >= 2")
+           "GROUP BY lang, source HAVING count(*) >= 2 "
+           "ORDER BY cnt DESC, lang NULLS FIRST, source NULLS FIRST "
+           "LIMIT 40")
     if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
         raise RuntimeError("store_sqlagg_grouped2: statement failed to route")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
