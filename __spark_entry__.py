@@ -185,14 +185,15 @@ def oracle_sql() -> dict[str, str]:
         # SQL-text aggregate routing (flowforge/sqlagg.py): same semantics
         # the user's statement has, oracled against the source table
         "store_sqlagg_route": (
-            "SELECT count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "SELECT count(*) AS cnt, count(text) AS nn_text, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
             "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
             "FROM documents WHERE lang IN ('en', 'de') "
             "AND source LIKE 'src1%' AND n_chars BETWEEN 50 AND 5000"
         ),
         "store_sqlagg_grouped_where": (
-            "SELECT lang, count(*) AS cnt, "
+            "SELECT lang, count(*) AS cnt, count(n_chars) AS nn_chars, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
             "WHERE source LIKE 'src1%' AND n_chars BETWEEN 100 AND 4000 "
             "GROUP BY lang"

@@ -424,9 +424,25 @@ def chunk_value_counts(payload: bytes, meta: dict, n: int,
                      "cnt": pa.concat_arrays(out_cnts)})
 
 
+def chunk_nonnull_count(payload: bytes | None, meta: dict, n: int,
+                        mask: np.ndarray | None = None) -> int:
+    """Non-null row count of one chunk — the COUNT(col) pushdown (round 5).
+    Reads the validity section ONLY, never decoding values, and touches no
+    payload at all for a chunk whose meta shows zero nulls (``payload`` may
+    then be None): counting a text column costs bitmap bytes, not FSST
+    decompression. ``mask`` restricts to matching rows (WHERE)."""
+    if not int(meta["nulls"]):
+        return int(mask.sum()) if mask is not None else n
+    valid = unpack_validity(unpack_sections(payload)[0], n)
+    if mask is not None:
+        valid = valid & mask
+    return int(valid.sum())
+
+
 def chunk_group_sums(g_payload: bytes, g_meta: dict,
-                     a_payload: bytes, a_meta: dict, n: int,
-                     mask: np.ndarray | None = None) -> pa.Table:
+                     a_payload: bytes | None, a_meta: dict, n: int,
+                     mask: np.ndarray | None = None,
+                     count_only: bool = False) -> pa.Table:
     """Partial ``(value, cnt, sum, nn, mn, mx)`` rows for one chunk —
     grouped COUNT(*)/SUM/MIN/MAX pushed to the codec layer
     (engine.group_agg_table reduces). ``nn`` is the group's non-null
@@ -447,15 +463,33 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
     ``mask`` (bool[n], from the predicate machinery) restricts the
     aggregation to matching rows — filtered grouped aggregates stay at the
     codec layer: in the dict path the mask indexes the CODE stream, so
-    group values still never materialize per row."""
-    a_arr = decode_array(a_payload, a_meta, n)
-    if mask is not None:
-        a_arr = a_arr.filter(pa.array(mask))
-    if not pa.types.is_integer(a_arr.type):
-        # timestamps/dates aggregate in their epoch int64 domain (round 5:
-        # grouped MIN/MAX over time columns); the engine casts mn/mx back
-        a_arr = a_arr.cast(pa.int64()) if not pa.types.is_date(a_arr.type) \
-            else a_arr.cast(pa.int32()).cast(pa.int64())
+    group values still never materialize per row.
+
+    ``count_only`` is the COUNT(col) pushdown (round 5): only ``nn`` (the
+    group's non-null count of the counted column) is real — sum/mn/mx come
+    back NULL — and the counted column's VALUES never decode. Its payload
+    is touched only for its validity section, and not at all for a chunk
+    whose meta shows zero nulls (``a_payload`` may then be None), so a
+    per-language count of a text column reads group codes + bitmaps, never
+    FSST text bytes. Works for ANY stored column type."""
+    a_valid: np.ndarray | None = None
+    if count_only:
+        if int(a_meta["nulls"]):
+            a_valid = unpack_validity(unpack_sections(a_payload)[0], n)
+            if mask is not None:
+                a_valid = a_valid[mask]
+        a_arr = None
+    else:
+        a_arr = decode_array(a_payload, a_meta, n)
+        if mask is not None:
+            a_arr = a_arr.filter(pa.array(mask))
+        if not pa.types.is_integer(a_arr.type):
+            # timestamps/dates aggregate in their epoch int64 domain
+            # (round 5: grouped MIN/MAX over time columns); the engine
+            # casts mn/mx back
+            a_arr = (a_arr.cast(pa.int64())
+                     if not pa.types.is_date(a_arr.type)
+                     else a_arr.cast(pa.int32()).cast(pa.int64()))
     t = parse_type(g_meta["type"])
     m = g_meta["m"]
     nulls = int(g_meta["nulls"])
@@ -477,27 +511,35 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
             codes = codes[mask]
         ngroups = ndv + (1 if nulls else 0)
         cnt = np.bincount(codes, minlength=ngroups)
-        if a_arr.null_count:
-            a_valid = np.asarray(a_arr.is_valid(), dtype=bool)
-            av = np.asarray(a_arr.fill_null(0), dtype=np.int64)[a_valid]
-            acodes = codes[a_valid]
+        if count_only:
+            nn = np.asarray(
+                cnt if a_valid is None
+                else np.bincount(codes[a_valid], minlength=ngroups),
+                dtype=np.int64)
+            sums = mns = mxs = pa.nulls(ngroups, pa.int64())
         else:
-            av = np.asarray(a_arr, dtype=np.int64)
-            acodes = codes
-        nn = np.bincount(acodes, minlength=ngroups)  # non-null agg per group
-        # int64 accumulation: wrap-around addition is associative mod 2^64,
-        # so on overflow this yields bit-for-bit what Spark's own (non-ANSI)
-        # sum(long) over the decoded rows would — the output column is long,
-        # so a wider exact value would be unrepresentable anyway
-        acc = np.zeros(ngroups, dtype=np.int64)
-        np.add.at(acc, acodes, av)
-        sums = pa.array(acc, type=pa.int64(), mask=nn == 0)
-        mn_a = np.full(ngroups, np.iinfo(np.int64).max, dtype=np.int64)
-        mx_a = np.full(ngroups, np.iinfo(np.int64).min, dtype=np.int64)
-        np.minimum.at(mn_a, acodes, av)
-        np.maximum.at(mx_a, acodes, av)
-        mns = pa.array(mn_a, type=pa.int64(), mask=nn == 0)
-        mxs = pa.array(mx_a, type=pa.int64(), mask=nn == 0)
+            if a_arr.null_count:
+                avalid = np.asarray(a_arr.is_valid(), dtype=bool)
+                av = np.asarray(a_arr.fill_null(0), dtype=np.int64)[avalid]
+                acodes = codes[avalid]
+            else:
+                av = np.asarray(a_arr, dtype=np.int64)
+                acodes = codes
+            nn = np.bincount(acodes, minlength=ngroups)  # non-null agg/group
+            # int64 accumulation: wrap-around addition is associative mod
+            # 2^64, so on overflow this yields bit-for-bit what Spark's own
+            # (non-ANSI) sum(long) over the decoded rows would — the output
+            # column is long, so a wider exact value would be
+            # unrepresentable anyway
+            acc = np.zeros(ngroups, dtype=np.int64)
+            np.add.at(acc, acodes, av)
+            sums = pa.array(acc, type=pa.int64(), mask=nn == 0)
+            mn_a = np.full(ngroups, np.iinfo(np.int64).max, dtype=np.int64)
+            mx_a = np.full(ngroups, np.iinfo(np.int64).min, dtype=np.int64)
+            np.minimum.at(mn_a, acodes, av)
+            np.maximum.at(mx_a, acodes, av)
+            mns = pa.array(mn_a, type=pa.int64(), mask=nn == 0)
+            mxs = pa.array(mx_a, type=pa.int64(), mask=nn == 0)
         values = _bytes_logical_cast(
             bytescodecs.parts_to_arrow(d_lens, d_data), t)
         if nulls:
@@ -513,6 +555,18 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
     g_arr = decode_array(g_payload, g_meta, n)
     if mask is not None:
         g_arr = g_arr.filter(pa.array(mask))
+    if count_only:
+        v = (np.ones(len(g_arr), dtype=np.int64) if a_valid is None
+             else a_valid.astype(np.int64))
+        r = (pa.table({"value": g_arr, "v": pa.array(v, type=pa.int64())})
+             .group_by("value")
+             .aggregate([([], "count_all"), ("v", "sum")]))
+        null64 = pa.nulls(r.num_rows, pa.int64())
+        return pa.table({"value": r.column("value"),
+                         "cnt": r.column("count_all").cast(pa.int64()),
+                         "sum": null64,
+                         "nn": r.column("v_sum").cast(pa.int64()),
+                         "mn": null64, "mx": null64})
     r = (pa.table({"value": g_arr, "v": a_arr})
          .group_by("value")
          .aggregate([("v", "sum"), ([], "count_all"), ("v", "count"),
@@ -573,8 +627,9 @@ def _group_codes(payload: bytes, meta: dict, n: int
 
 
 def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
-                      a_chunk: tuple[bytes, dict] | None, n: int,
-                      mask: np.ndarray | None = None) -> pa.Table:
+                      a_chunk: tuple[bytes | None, dict] | None, n: int,
+                      mask: np.ndarray | None = None,
+                      count_only: bool = False) -> pa.Table:
     """Partial ``(g0..g{k-1}, cnt[, sum, nn, mn, mx])`` rows for one
     chunk — composite
     GROUP BY pushed to the codec layer (round-5 verdict, next #2:
@@ -592,7 +647,18 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
     mod 2^64 (Spark non-ANSI parity). If the combined-key domain would
     overflow int64 (astronomically wide composite groups), falls back to
     Arrow's multi-key hash aggregation on decoded columns.
+
+    ``count_only`` is the composite COUNT(col) pushdown (round 5): only
+    ``nn`` is real (sum/mn/mx NULL) and the counted column's values never
+    decode — validity section only, no payload at all when its meta shows
+    zero nulls (``a_chunk[0]`` may then be None). Any column type counts.
     """
+    a_valid: np.ndarray | None = None
+    if count_only and a_chunk is not None:
+        if int(a_chunk[1]["nulls"]):
+            a_valid = unpack_validity(
+                unpack_sections(a_chunk[0])[0], n)
+        # a_valid stays None for a null-free chunk: nn == cnt per group
     cols = [_group_codes(p, m, n) for p, m in g_chunks]
     ngs = [len(v) for _, v in cols]
     prod = 1
@@ -601,7 +667,11 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
     if prod >= (1 << 62):  # no composite code space: decode + hash-agg
         names = [f"g{i}" for i in range(len(g_chunks))]
         data = {f"g{i}": decode_array(p, m, n) for i, (p, m) in enumerate(g_chunks)}
-        if a_chunk is not None:
+        if a_chunk is not None and count_only:
+            data["v"] = pa.array(
+                (np.ones(n, dtype=bool) if a_valid is None else a_valid)
+                .astype(np.int64))
+        elif a_chunk is not None:
             v = decode_array(a_chunk[0], a_chunk[1], n)
             if not pa.types.is_integer(v.type):
                 v = (v.cast(pa.int64()) if not pa.types.is_date(v.type)
@@ -610,13 +680,23 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         tbl = pa.table(data)
         if mask is not None:
             tbl = tbl.filter(pa.array(mask))
-        aggs = [([], "count_all")] + (
-            [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max")]
-            if a_chunk is not None else [])
+        if a_chunk is None:
+            aggs = [([], "count_all")]
+        elif count_only:
+            aggs = [([], "count_all"), ("v", "sum")]
+        else:
+            aggs = [([], "count_all"), ("v", "sum"), ("v", "count"),
+                    ("v", "min"), ("v", "max")]
         r = tbl.group_by(names).aggregate(aggs)
         out = {f"g{i}": r.column(f"g{i}") for i in range(len(g_chunks))}
         out["cnt"] = r.column("count_all").cast(pa.int64())
-        if a_chunk is not None:
+        if a_chunk is not None and count_only:
+            null64 = pa.nulls(r.num_rows, pa.int64())
+            out["sum"] = null64
+            out["nn"] = r.column("v_sum").cast(pa.int64())
+            out["mn"] = null64
+            out["mx"] = null64
+        elif a_chunk is not None:
             out["sum"] = r.column("v_sum").cast(pa.int64())
             out["nn"] = r.column("v_count").cast(pa.int64())
             out["mn"] = r.column("v_min").cast(pa.int64())
@@ -628,7 +708,20 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         combined += codes
     if mask is not None:
         combined = combined[mask]
-    if a_chunk is not None:
+    if a_chunk is not None and count_only:
+        if mask is not None and a_valid is not None:
+            a_valid = a_valid[mask]
+        u, inv, cnt = np.unique(combined, return_inverse=True,
+                                return_counts=True)
+        nn = np.asarray(
+            cnt if a_valid is None
+            else np.bincount(inv[a_valid], minlength=len(u)),
+            dtype=np.int64)
+        null64 = pa.nulls(len(u), pa.int64())
+        sums = null64
+        extra = {"nn": pa.array(nn, type=pa.int64()),
+                 "mn": null64, "mx": null64}
+    elif a_chunk is not None:
         a_arr = decode_array(a_chunk[0], a_chunk[1], n)
         if mask is not None:
             a_arr = a_arr.filter(pa.array(mask))

@@ -1817,7 +1817,7 @@ _TIME_TYPES = {"timestamp", "timestamp_ntz", "date"}
 def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
     if not aggs:
         raise ValueError("aggs is empty; pass {alias: ('count',) | "
-                         "('sum'|'min'|'max', column)}")
+                         "('sum'|'min'|'max'|'avg'|'nncount', column)}")
     for alias, spec in aggs.items():
         if not isinstance(spec, tuple) or not spec:
             raise ValueError(f"agg {alias!r}: spec must be a tuple, "
@@ -1834,16 +1834,18 @@ def _validate_aggs(aggs: dict, by_name: dict[str, str]) -> None:
             if len(spec) != 1:
                 raise ValueError(
                     f"agg {alias!r}: count takes no column (COUNT(*) "
-                    f"semantics; COUNT(col) = count - the column's null "
-                    f"total, not exposed here)")
+                    f"semantics; COUNT(col) is the ('nncount', col) spec)")
             continue
-        if fn not in ("sum", "min", "max", "avg") or len(spec) != 2:
+        if fn not in ("sum", "min", "max", "avg", "nncount") \
+                or len(spec) != 2:
             raise ValueError(
                 f"agg {alias!r}: unknown spec {spec!r}; supported: "
-                f"('count',), ('sum'|'min'|'max'|'avg', col)")
+                f"('count',), ('sum'|'min'|'max'|'avg'|'nncount', col)")
         col = spec[1]
         if col not in by_name:
             raise ValueError(f"agg {alias!r}: unknown column {col!r}")
+        if fn == "nncount":
+            continue  # COUNT(col): any stored type counts (round 5)
         if by_name[col] in _INTEGRAL_TYPES:
             continue
         if fn in ("min", "max") and by_name[col] in _TIME_TYPES:
@@ -1900,7 +1902,17 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
     decodes only predicate + agg columns and aggregates the masked rows."""
     pred_cols = list(predicates)
     agg_cols = sorted({spec[1] for spec in aggs.values() if spec[0] != "count"})
+    # columns referenced ONLY by nncount specs (and by no predicate) never
+    # decode (round 5, COUNT(col)): chunk metas prove null-free chunks and
+    # validity bitmaps settle the rest (chunk.chunk_nonnull_count), so
+    # COUNT(text) touches no FSST bytes even at boundary chunks
+    value_cols = {spec[1] for spec in aggs.values()
+                  if spec[0] not in ("count", "nncount")}
+    count_only_cols = ({spec[1] for spec in aggs.values()
+                        if spec[0] == "nncount"}
+                       - value_cols - set(pred_cols))
     need_cols = list(dict.fromkeys(pred_cols + agg_cols))
+    decode_cols = [c for c in need_cols if c not in count_only_cols]
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
@@ -1941,10 +1953,16 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
                             _combine_agg(acc, alias, spec[0], st, nr)
                     else:
                         need.append(s)
-                payloads = {
-                    c: _read_chunk_payloads(manifest, c, bucket, need)
-                    for c in need_cols
-                } if need else {}
+                payloads: dict[str, dict[int, bytes]] = {}
+                if need:
+                    for c in need_cols:
+                        # count-only columns read payload bytes ONLY for
+                        # chunks whose meta shows nulls (validity needed)
+                        seqs = (need if c not in count_only_cols else
+                                [s for s in need
+                                 if int(col_meta[c][s][0].get("nulls", 0))])
+                        payloads[c] = (_read_chunk_payloads(
+                            manifest, c, bucket, seqs) if seqs else {})
                 for s in need:
                     skip = False
                     for c in pred_cols:
@@ -1962,19 +1980,29 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
                     arrs = {
                         c: chunklib.decode_array(
                             payloads[c][s], *col_meta[c][s])
-                        for c in need_cols
+                        for c in decode_cols
                     }
                     mask = _chunk_mask(arrs, predicates)
                     if mask is not None:
                         matched = int(pc.sum(
                             mask.cast(pa.int32()).fill_null(0)).as_py() or 0)
+                        bmask = np.asarray(mask.fill_null(False), dtype=bool)
                     else:
                         matched = col_meta[need_cols[0]][s][1]
+                        bmask = None
                     if not matched:
                         continue
                     for alias, spec in aggs.items():
                         if spec[0] == "count":
                             acc[alias] = (acc[alias] or 0) + matched
+                            continue
+                        if spec[0] == "nncount" \
+                                and spec[1] in count_only_cols:
+                            m2, nr2 = col_meta[spec[1]][s]
+                            acc[alias] = (acc[alias] or 0) + \
+                                chunklib.chunk_nonnull_count(
+                                    payloads[spec[1]].get(s), m2, nr2,
+                                    mask=bmask)
                             continue
                         a = arrs[spec[1]]
                         if mask is not None:
@@ -2011,9 +2039,14 @@ def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
     ``("sum", col)``, ``("min", col)``, ``("max", col)``, ``("avg", col)``
     — over integral columns, exact off chunk/commit metadata (avg is the
     one double output: exact sum / exact non-null count, divided once at
-    the end). Returns a one-row DataFrame with one column per alias
-    (count 0 / others NULL when no row matches, matching SQL over an
-    empty relation).
+    the end) — and ``("nncount", col)`` (COUNT(col), round 5) over ANY
+    stored column type: non-null counts come from the per-column null
+    totals every commit record / chunk meta carries, so the column's
+    values never decode (boundary chunks under a WHERE read its validity
+    bitmap only, and no payload at all when the chunk is null-free).
+    Returns a one-row DataFrame with one column per alias (counts 0 /
+    others NULL when no row matches, matching SQL over an empty
+    relation).
 
     Same three cost tiers as :func:`count_table`, now per aggregate:
     proven-all-match buckets contribute their commit-record n_rows / exact
@@ -2063,7 +2096,8 @@ def agg_table(spark: SparkSession, out_dir: str, aggs: dict,
         ).unionByName(driver_row)
     exprs = []
     for alias, spec in aggs.items():
-        if spec[0] == "count":
+        if spec[0] in ("count", "nncount"):
+            # SQL count semantics: 0 (not NULL) over empty / all-null input
             e = F.coalesce(F.sum(alias), F.lit(0)).cast("long")
         elif spec[0] == "sum":
             e = F.sum(alias).cast("long")
@@ -2212,7 +2246,8 @@ def _bucket_chunk_masks(manifest: "Manifest", bucket: int,
 
 
 def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
-                           predicates: dict | None = None):
+                           predicates: dict | None = None,
+                           count_only: bool = False):
     """Per-bucket partial (group, cnt, sum) rows at the codec layer — the
     map-side combine of GROUP BY g -> count(*), sum(a): dict-coded group
     chunks aggregate on the packed code stream (bincount + np.add.at); the
@@ -2243,14 +2278,33 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
                        if need_mask else None)
                 gt = pq.read_table(manifest.chunk_read_path(group_col, bucket),
                                    filters=flt)
-                at = pq.read_table(manifest.chunk_read_path(agg_col, bucket),
-                                   filters=flt)
-                a_by_seq = {
-                    int(s): (json.loads(m), p)
-                    for s, m, p in zip(at.column("chunk_seq").to_pylist(),
-                                       at.column("meta").to_pylist(),
-                                       at.column("payload").to_pylist())
-                }
+                if count_only:
+                    # COUNT(col): metas only; payload bytes are read just
+                    # for chunks whose meta shows nulls (validity section)
+                    at = pq.read_table(
+                        manifest.chunk_read_path(agg_col, bucket),
+                        columns=["chunk_seq", "meta"], filters=flt)
+                    metas = {int(s): json.loads(m)
+                             for s, m in zip(
+                                 at.column("chunk_seq").to_pylist(),
+                                 at.column("meta").to_pylist())}
+                    nseqs = [s for s, m in metas.items()
+                             if int(m.get("nulls", 0))]
+                    pays = (_read_chunk_payloads(
+                        manifest, agg_col, bucket, nseqs) if nseqs else {})
+                    a_by_seq = {s: (m, pays.get(s))
+                                for s, m in metas.items()}
+                else:
+                    at = pq.read_table(
+                        manifest.chunk_read_path(agg_col, bucket),
+                        filters=flt)
+                    a_by_seq = {
+                        int(s): (json.loads(m), p)
+                        for s, m, p in zip(
+                            at.column("chunk_seq").to_pylist(),
+                            at.column("meta").to_pylist(),
+                            at.column("payload").to_pylist())
+                    }
                 parts = []
                 for s, gm, gp, nr in zip(gt.column("chunk_seq").to_pylist(),
                                          gt.column("meta").to_pylist(),
@@ -2264,7 +2318,8 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
                         mask = None
                     am, ap = a_by_seq[int(s)]
                     parts.append(chunklib.chunk_group_sums(
-                        gp, json.loads(gm), ap, am, int(nr), mask=mask))
+                        gp, json.loads(gm), ap, am, int(nr), mask=mask,
+                        count_only=count_only))
                 if parts:
                     out = pa.concat_tables(parts)
                     yield from out.rename_columns(
@@ -2276,7 +2331,8 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
 
 def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
                     agg_col: str,
-                    predicates: dict | None = None) -> DataFrame:
+                    predicates: dict | None = None,
+                    count_only: bool = False) -> DataFrame:
     """``SELECT g, COUNT(*), SUM(a) [WHERE ...] GROUP BY g`` pushed to the
     codec layer; returns ``(group_col, cnt long, sum long, nn long,
     mn long, mx long)`` with SQL semantics (null is a group; a group whose
@@ -2295,7 +2351,14 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
     zone maps, proven-all-match ones aggregate unmasked, and only boundary
     chunks decode their predicate columns to mask the packed group code
     stream — a time-windowed per-language rollup on a ts-clustered store
-    does predicate work at the two boundary buckets only."""
+    does predicate work at the two boundary buckets only.
+
+    ``count_only`` (round 5) is the grouped COUNT(col) pushdown: only
+    ``cnt``/``nn`` are real (sum/mn/mx come back NULL), ANY stored column
+    type counts, and the counted column's values never decode — its
+    payload is read only for null-carrying chunks, validity section
+    only, so a per-language COUNT(text) reads group codes + bitmaps,
+    never FSST text bytes."""
     for col, role in ((group_col, "group"), (agg_col, "agg")):
         if col in ("cnt", "sum", "nn", "mn", "mx"):
             raise ValueError(
@@ -2310,11 +2373,13 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     by_field = {f.name: f for f in spark_schema.fields}
     a_type = by_field[agg_col].dataType.simpleString()
-    if a_type not in _INTEGRAL_TYPES and not _is_predicate_type(a_type):
+    if not count_only and a_type not in _INTEGRAL_TYPES \
+            and not _is_predicate_type(a_type):
         raise ValueError(
             f"grouped-agg pushdown needs an integral or time agg column; "
             f"{agg_col!r} is {a_type} (float sums are order-dependent; "
-            f"decode_table + DataFrame agg handles those)")
+            f"decode_table + DataFrame agg handles those). COUNT(col) over "
+            f"any type: pass count_only=True")
     # time columns aggregate in their epoch int64 domain: mn/mx are epoch
     # values (micros for timestamps, days for dates) the caller casts back;
     # sum over a time column is epoch arithmetic (SQL has no sum(timestamp))
@@ -2341,7 +2406,8 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
                       T.StructField("all_match", T.BooleanType(), False)])
     ).repartition(len(rows))
     partials = buckets_df.mapInArrow(
-        _make_group_agg_kernel(out_dir, group_col, agg_col, preds),
+        _make_group_agg_kernel(out_dir, group_col, agg_col, preds,
+                               count_only=count_only),
         out_schema)
     return partials.groupBy(group_col).agg(
         F.sum("cnt").cast("long").alias("cnt"),
@@ -2353,7 +2419,8 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
 
 def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                              agg_col: str | None,
-                             predicates: dict | None = None):
+                             predicates: dict | None = None,
+                             count_only: bool = False):
     """Per-bucket partial (g0..gk, cnt[, sum]) rows at the codec layer —
     the map-side combine of GROUP BY g0, g1, ... Chunk boundaries align
     across columns, so zipping the chunk files by chunk_seq is exact; the
@@ -2384,7 +2451,7 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                        if need_mask else None)
                 tabs = {c: pq.read_table(manifest.chunk_read_path(c, bucket),
                                          filters=flt)
-                        for c in read_cols}
+                        for c in group_cols}
                 by_seq = {
                     c: {int(s): (json.loads(m), p)
                         for s, m, p in zip(t.column("chunk_seq").to_pylist(),
@@ -2392,6 +2459,33 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                                            t.column("payload").to_pylist())}
                     for c, t in tabs.items()
                 }
+                if agg_col and count_only:
+                    # COUNT(col): metas only; payload bytes read just for
+                    # chunks whose meta shows nulls (validity section)
+                    at = pq.read_table(
+                        manifest.chunk_read_path(agg_col, bucket),
+                        columns=["chunk_seq", "meta"], filters=flt)
+                    metas = {int(s): json.loads(m)
+                             for s, m in zip(
+                                 at.column("chunk_seq").to_pylist(),
+                                 at.column("meta").to_pylist())}
+                    nseqs = [s for s, m in metas.items()
+                             if int(m.get("nulls", 0))]
+                    pays = (_read_chunk_payloads(
+                        manifest, agg_col, bucket, nseqs) if nseqs else {})
+                    by_seq[agg_col] = {s: (m, pays.get(s))
+                                       for s, m in metas.items()}
+                elif agg_col:
+                    at = pq.read_table(
+                        manifest.chunk_read_path(agg_col, bucket),
+                        filters=flt)
+                    by_seq[agg_col] = {
+                        int(s): (json.loads(m), p)
+                        for s, m, p in zip(
+                            at.column("chunk_seq").to_pylist(),
+                            at.column("meta").to_pylist(),
+                            at.column("payload").to_pylist())
+                    }
                 first = tabs[read_cols[0]]
                 parts = []
                 for s, nr in zip(first.column("chunk_seq").to_pylist(),
@@ -2410,7 +2504,8 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                         am, ap = by_seq[agg_col][s]
                         a_chunk = (ap, am)
                     parts.append(chunklib.chunk_group_multi(
-                        g_chunks, a_chunk, int(nr), mask=mask))
+                        g_chunks, a_chunk, int(nr), mask=mask,
+                        count_only=count_only))
                 if parts:
                     out = pa.concat_tables(parts)
                     yield from out.rename_columns(out_names).to_batches()
@@ -2420,7 +2515,8 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
 
 def group_multi_table(spark: SparkSession, out_dir: str,
                       group_cols: list[str], agg_col: str | None = None,
-                      predicates: dict | None = None) -> DataFrame:
+                      predicates: dict | None = None,
+                      count_only: bool = False) -> DataFrame:
     """``SELECT g0, g1, ..., COUNT(*)[, SUM(a)] [WHERE ...] GROUP BY
     g0, g1, ...`` pushed to the codec layer (round-5 verdict, next #2) —
     the corpus-audit shape ``GROUP BY lang, source``. Returns
@@ -2433,7 +2529,8 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     groupBy-sum, never O(rows); dict-coded group columns aggregate on
     combined packed code streams without materializing group values per
     row. HAVING composes as a filter on the returned partial-summed
-    DataFrame (see sqlagg)."""
+    DataFrame (see sqlagg). ``count_only`` (round 5) is the composite
+    COUNT(col) pushdown — see :func:`group_agg_table`."""
     if len(group_cols) < 1:
         raise ValueError("group_multi_table needs at least one group column")
     if len(set(group_cols)) != len(group_cols):
@@ -2451,12 +2548,13 @@ def group_multi_table(spark: SparkSession, out_dir: str,
                 f"unknown column {col!r}; store has {meta['columns']}")
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     by_field = {f.name: f for f in spark_schema.fields}
-    if agg_col:
+    if agg_col and not count_only:
         a_type = by_field[agg_col].dataType.simpleString()
         if a_type not in _INTEGRAL_TYPES and not _is_predicate_type(a_type):
             raise ValueError(
                 f"grouped-agg pushdown needs an integral or time agg "
-                f"column; {agg_col!r} is {a_type}")
+                f"column; {agg_col!r} is {a_type}. COUNT(col) over any "
+                f"type: pass count_only=True")
     fields = [T.StructField(c, by_field[c].dataType, True)
               for c in group_cols]
     fields.append(T.StructField("cnt", T.LongType(), False))
@@ -2479,7 +2577,8 @@ def group_multi_table(spark: SparkSession, out_dir: str,
                       T.StructField("all_match", T.BooleanType(), False)])
     ).repartition(len(rows))
     partials = buckets_df.mapInArrow(
-        _make_group_multi_kernel(out_dir, group_cols, agg_col, preds),
+        _make_group_multi_kernel(out_dir, group_cols, agg_col, preds,
+                                 count_only=count_only),
         out_schema)
     aggs = [F.sum("cnt").cast("long").alias("cnt")]
     if agg_col:

@@ -332,7 +332,9 @@ def q_store_sqlagg_grouped_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    sql = ("SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars "
+    # count(n_chars) rides the kernel's nn partial (round-5 COUNT(col))
+    sql = ("SELECT lang, count(*) AS cnt, count(n_chars) AS nn_chars, "
+           "sum(n_chars) AS sum_chars "
            "FROM docs WHERE source LIKE 'src1%' AND n_chars "
            "BETWEEN 100 AND 4000 GROUP BY lang")
     if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
@@ -373,7 +375,10 @@ def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    sql = ("SELECT count(*) AS cnt, sum(n_chars) AS sum_chars, "
+    # count(text) is the round-5 COUNT(col) pushdown: non-null totals come
+    # off commit records / validity bitmaps — the text values never decode
+    sql = ("SELECT count(*) AS cnt, count(text) AS nn_text, "
+           "sum(n_chars) AS sum_chars, "
            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
            "avg(n_chars) AS avg_chars FROM docs "
            "WHERE lang IN ('en', 'de') AND source LIKE 'src1%' "
@@ -391,8 +396,9 @@ def q_store_sqlagg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    sql = ("SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars "
-           "FROM docs GROUP BY lang")
+    # count(n_chars) rides the kernel's nn partial (round-5 COUNT(col))
+    sql = ("SELECT lang, count(*) AS cnt, count(n_chars) AS nn_chars, "
+           "sum(n_chars) AS sum_chars FROM docs GROUP BY lang")
     if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
         raise RuntimeError("store_sqlagg_grouped: statement failed to route")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})

@@ -11,7 +11,8 @@ that gap the way Spark itself would: let Spark PARSE AND ANALYZE the SQL
 a regex's), then walk the analyzed logical plan; if it is exactly the
 shape the engine can answer —
 
-    Aggregate(count(*) / sum / min / max / avg over int columns,
+    Aggregate(count(*) / count(col) over any stored type /
+              sum / min / max / avg over int columns,
               [group by one column],
               [Filter(AND of eq / IN / LIKE-prefix / range)],
               one registered chunk-store view)
@@ -255,7 +256,13 @@ def _parse_agg_fn(named) -> tuple[str, tuple]:
         if args.size() == 1 and _cls(args.apply(0)) == "Literal" \
                 and str(args.apply(0).value()) == "1":
             return alias, ("count",)
-        raise _Unroutable("count over an expression (only count(*))")
+        if args.size() == 1 \
+                and _cls(args.apply(0)) == "AttributeReference":
+            # COUNT(col) = non-null count (round 5): commit records and
+            # chunk metas carry per-column null totals, so this routes
+            # for ANY stored type without decoding the column's values
+            return alias, ("nncount", str(args.apply(0).name()))
+        raise _Unroutable("count over an expression")
     if args.size() != 1:
         raise _Unroutable("multi-arg aggregate")
     return alias, (head, _attr_name(args.apply(0)))
@@ -599,6 +606,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             continue  # any stored column type groups (composite kernel)
         if spec[0] == "count":
             continue
+        if spec[0] == "nncount":
+            if spec[1] not in by_type:
+                raise _Unroutable(f"count over unknown column {spec[1]!r}")
+            continue  # any stored type: null totals are chunk metadata
         a_type = by_type.get(spec[1])
         if a_type in engine._INTEGRAL_TYPES:
             continue
@@ -634,15 +645,18 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     elif group_cols:
         # the codec-layer grouped kernels (single and composite keys)
         # carry cnt/sum/nn/mn/mx partials over ONE agg column, so the
-        # whole grouped family routes: count(*) + sum/avg/min/max of one
-        # column; WHERE masks their code streams (round 4/5)
+        # whole grouped family routes: count(*) + count/sum/avg/min/max
+        # of one column; WHERE masks their code streams (round 4/5).
+        # COUNT(col) rides the same nn partial — count-only shapes run
+        # the kernels in count_only mode (validity bitmaps, no decode)
         src_cols = {spec[1] for spec in aggs.values()
-                    if spec[0] in ("sum", "avg", "min", "max")}
-        if any(spec[0] not in ("count", "sum", "avg", "min", "max")
+                    if spec[0] in ("sum", "avg", "min", "max", "nncount")}
+        if any(spec[0] not in ("count", "sum", "avg", "min", "max",
+                               "nncount")
                for spec in aggs.values()) or len(src_cols) > 1:
             raise _Unroutable(
                 "grouped aggregate beyond count(*) + "
-                "sum/avg/min/max(one col)")
+                "count/sum/avg/min/max(one col)")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
     if having is not None and ts_minmax_aliases \
@@ -749,18 +763,23 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                 sel.append(F.col(name))
         return _finish(df.select(*sel), r)
     src_cols = {spec[1] for spec in aggs.values()
-                if spec[0] in ("sum", "avg", "min", "max")}
+                if spec[0] in ("sum", "avg", "min", "max", "nncount")}
+    # COUNT(col) with no value aggregates runs the kernels in count_only
+    # mode: the counted column's values never decode (validity only)
+    count_only = bool(src_cols) and all(
+        spec[0] in ("count", "nncount") for spec in aggs.values())
     if len(group_cols) > 1:
         base = engine.group_multi_table(
             spark, out_dir, group_cols,
             agg_col=next(iter(src_cols)) if src_cols else None,
-            predicates=preds or None)
-        names = {"count": "cnt", "sum": "sum"}
+            predicates=preds or None, count_only=count_only)
+        names = {"count": "cnt", "sum": "sum", "nncount": "nn"}
     elif src_cols:
         base = engine.group_agg_table(spark, out_dir, group_cols[0],
                                       next(iter(src_cols)),
-                                      predicates=preds or None)
-        names = {"count": "cnt", "sum": "sum"}
+                                      predicates=preds or None,
+                                      count_only=count_only)
+        names = {"count": "cnt", "sum": "sum", "nncount": "nn"}
     else:
         base = engine.value_counts_table(spark, out_dir, group_cols[0],
                                          predicates=preds or None)

@@ -570,3 +570,145 @@ def test_agg_sum_over_timestamp_still_rejected(spark, store):
         engine.agg_table(spark, store, {"s": ("sum", "warc_ts")})
     with pytest.raises(ValueError, match="integral"):
         engine.agg_table(spark, store, {"a": ("avg", "warc_ts")})
+
+
+# --------------------------------------------------------------------------
+# COUNT(col) pushdown (round 5): nncount specs / count_only kernels.
+# The counted column's VALUES never decode — null totals come off commit
+# records (global, no predicates), and boundary chunks read the validity
+# section only. Null-free chunks pass payload=None into the codec layer,
+# so these end-to-end tests structurally prove no decode happens (any
+# attempt would crash on the missing payload).
+# --------------------------------------------------------------------------
+
+
+def test_agg_nncount_global_matches_exact(spark, store, src_df):
+    got = engine.agg_table(spark, store, {
+        "c_html": ("nncount", "html"), "c_lang": ("nncount", "lang"),
+        "c": ("count",)}).collect()[0]
+    want = src_df.agg(F.count("html").alias("c_html"),
+                      F.count("lang").alias("c_lang"),
+                      F.count(F.lit(1)).alias("c")).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got["c_html"] < got["c"]  # html really has nulls
+
+
+def test_agg_nncount_no_predicates_is_metadata_only(spark, store, src_df,
+                                                    monkeypatch):
+    """COUNT(col) without predicates = count(*) minus the commit records'
+    per-column null totals; the kernel must never run."""
+    def boom(*a, **k):
+        raise AssertionError("kernel ran on a metadata-only COUNT(col)")
+
+    monkeypatch.setattr(engine, "_make_agg_kernel", boom)
+    got = engine.agg_table(spark, store, {"c": ("nncount", "html")})
+    assert got.collect()[0]["c"] \
+        == src_df.filter(F.col("html").isNotNull()).count()
+
+
+def test_agg_nncount_with_predicate(spark, store, src_df):
+    got = engine.agg_table(
+        spark, store, {"c": ("nncount", "html"), "n": ("count",)},
+        predicates={"lang": ("in", ["en"])}).collect()[0]
+    want = src_df.filter(F.col("lang") == "en")
+    assert got["c"] == want.filter(F.col("html").isNotNull()).count()
+    assert got["n"] == want.count()
+
+
+def test_agg_nncount_binary_type_allowed(spark, store):
+    # nncount is the ONE agg that takes any stored type; sum still rejects
+    with pytest.raises(ValueError, match="integral"):
+        engine.agg_table(spark, store, {"s": ("sum", "html")})
+    engine.agg_table(spark, store, {"s": ("nncount", "html")}).collect()
+
+
+def test_group_count_only_any_type(spark, store, src_df):
+    got = engine.group_agg_table(spark, store, "lang", "html",
+                                 count_only=True)
+    g = {r["lang"]: (r["cnt"], r["nn"], r["sum"], r["mn"], r["mx"])
+         for r in got.collect()}
+    w = {r["lang"]: (r["cnt"], r["nn"])
+         for r in src_df.groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.count("html").alias("nn")).collect()}
+    assert {k: v[:2] for k, v in g.items()} == w
+    # count_only: sum/mn/mx come back NULL for every group
+    assert all(v[2] is None and v[3] is None and v[4] is None
+               for v in g.values())
+
+
+def test_group_count_only_requires_flag_for_nonintegral(spark, store):
+    with pytest.raises(ValueError, match="count_only"):
+        engine.group_agg_table(spark, store, "lang", "html")
+
+
+def test_group_multi_count_only_composite(spark, tmpdir_clean):
+    """Composite GROUP BY + COUNT(double col) with nulls in group AND
+    counted columns; predicate masking composes."""
+    rows = []
+    for i in range(1500):
+        g1 = ["x", "y", None][i % 3]
+        g2 = ["p", "q"][i % 2]
+        v = None if i % 5 == 0 else float(i)
+        rows.append((i, g1, g2, v))
+    df = spark.createDataFrame(rows, "id long, g1 string, g2 string, "
+                                     "v double")
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode(spark, df, out, buckets=4, salt_col="id")
+    got = engine.group_multi_table(spark, out, ["g1", "g2"], "v",
+                                   count_only=True)
+    g = {(r["g1"], r["g2"]): (r["cnt"], r["nn"]) for r in got.collect()}
+    w = {(r["g1"], r["g2"]): (r["cnt"], r["nn"])
+         for r in df.groupBy("g1", "g2")
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.count("v").alias("nn")).collect()}
+    assert g == w
+    got2 = engine.group_multi_table(
+        spark, out, ["g1", "g2"], "v", count_only=True,
+        predicates={"id": (100, 1000)})
+    g2_ = {(r["g1"], r["g2"]): (r["cnt"], r["nn"]) for r in got2.collect()}
+    w2 = {(r["g1"], r["g2"]): (r["cnt"], r["nn"])
+          for r in df.filter(F.col("id").between(100, 1000))
+          .groupBy("g1", "g2")
+          .agg(F.count(F.lit(1)).alias("cnt"),
+               F.count("v").alias("nn")).collect()}
+    assert g2_ == w2
+
+
+def test_chunk_nonnull_count_unit():
+    import numpy as np
+
+    a = pa.array([None if i % 7 == 0 else i for i in range(200)],
+                 type=pa.int64())
+    p, m = chunklib.encode_array(a, "plain")
+    assert chunklib.chunk_nonnull_count(p, m, 200) \
+        == sum(1 for i in range(200) if i % 7)
+    mask = np.zeros(200, dtype=bool)
+    mask[:50] = True
+    assert chunklib.chunk_nonnull_count(p, m, 200, mask=mask) \
+        == sum(1 for i in range(50) if i % 7)
+    # null-free chunk: meta alone answers; payload may be None
+    b = pa.array(list(range(100)), type=pa.int64())
+    _, m2 = chunklib.encode_array(b, "plain")
+    assert chunklib.chunk_nonnull_count(None, m2, 100) == 100
+    assert chunklib.chunk_nonnull_count(None, m2, 100, mask=mask[:100]) == 50
+
+
+def test_chunk_group_sums_count_only_unit():
+    gvals = (["alpha"] * 30 + ["beta"] * 20 + [None] * 10) * 3
+    avals = [None if i % 7 == 0 else f"t{i}" for i in range(len(gvals))]
+    g = pa.array(gvals, type=pa.large_string())
+    a = pa.array(avals, type=pa.large_string())
+    gp, gm = chunklib.encode_array(g, "dict")
+    ap, am = chunklib.encode_array(a, "dict")
+    t = chunklib.chunk_group_sums(gp, gm, ap, am, len(gvals),
+                                  count_only=True)
+    got = {v: (c, nn) for v, c, nn in zip(t.column("value").to_pylist(),
+                                          t.column("cnt").to_pylist(),
+                                          t.column("nn").to_pylist())}
+    cnt = collections.Counter(gvals)
+    nn = collections.Counter(gv for gv, av in zip(gvals, avals)
+                             if av is not None)
+    assert got == {k: (cnt[k], nn.get(k, 0)) for k in cnt}
+    assert all(x is None for x in t.column("sum").to_pylist())
+    assert all(x is None for x in t.column("mn").to_pylist())

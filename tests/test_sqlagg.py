@@ -87,6 +87,24 @@ ROUTABLE = [
     "SELECT lang, source, count(*) AS c, avg(n_chars) AS a FROM docs "
     "WHERE n_chars > 100 GROUP BY lang, source "
     "HAVING c >= 5 ORDER BY c DESC, lang, source LIMIT 10",
+    # round 5: COUNT(col) = non-null count — routes for ANY stored type
+    # (null totals are commit/chunk metadata; count-only shapes never
+    # decode the counted column's values)
+    "SELECT count(n_chars) AS c FROM docs",
+    "SELECT count(lang) AS cl, count(*) AS c FROM docs",
+    "SELECT count(lang) AS cl, count(*) AS c FROM docs "
+    "WHERE n_chars BETWEEN 100 AND 2000",
+    "SELECT count(lang) AS cl, sum(n_chars) AS s, avg(n_chars) AS a "
+    "FROM docs WHERE n_chars > 500",
+    "SELECT source, count(lang) AS cl, count(*) AS c FROM docs "
+    "GROUP BY source",
+    "SELECT lang, count(source) AS cs FROM docs GROUP BY lang",
+    "SELECT lang, count(n_chars) AS c, sum(n_chars) AS s FROM docs "
+    "GROUP BY lang",
+    "SELECT lang, source, count(score) AS cs FROM docs "
+    "GROUP BY lang, source",
+    "SELECT source, count(lang) AS cl FROM docs WHERE n_chars > 500 "
+    "GROUP BY source HAVING count(lang) > 10",
 ]
 
 FALLBACK = [
@@ -105,9 +123,11 @@ FALLBACK = [
     "SELECT count(*) AS c FROM docs WHERE score > 0.5",    # strict float
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
-    "SELECT count(n_chars) AS c FROM docs",                # count(col)
     "SELECT lang, avg(n_chars) AS a, sum(doc_id) AS s2 FROM docs "
     "GROUP BY lang",                   # two agg source columns
+    "SELECT lang, count(source) AS c, sum(n_chars) AS s FROM docs "
+    "GROUP BY lang",            # count(col) + sum over a DIFFERENT column
+    "SELECT lang, count(lang) AS c FROM docs GROUP BY lang",  # agg==group
     # bare LIMIT (no ORDER BY) over an aggregate: which rows survive is
     # plan-dependent, so it must NOT route (LIMIT 10 > group count keeps
     # the parity assertion deterministic here)
