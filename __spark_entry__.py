@@ -204,7 +204,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
-            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars, "
+            "min(doc_id) AS min_id "
             "FROM documents WHERE n_chars BETWEEN 50 AND 5000 "
             "GROUP BY lang, source HAVING count(*) >= 2 "
             "ORDER BY cnt DESC, lang NULLS FIRST, source NULLS FIRST "

@@ -629,7 +629,9 @@ def _group_codes(payload: bytes, meta: dict, n: int
 def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
                       a_chunk: tuple[bytes | None, dict] | None, n: int,
                       mask: np.ndarray | None = None,
-                      count_only: bool = False) -> pa.Table:
+                      count_only: bool = False,
+                      a_specs: list[tuple[bytes | None, dict, bool]]
+                      | None = None) -> pa.Table:
     """Partial ``(g0..g{k-1}, cnt[, sum, nn, mn, mx])`` rows for one
     chunk — composite
     GROUP BY pushed to the codec layer (round-5 verdict, next #2:
@@ -652,13 +654,33 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
     ``nn`` is real (sum/mn/mx NULL) and the counted column's values never
     decode — validity section only, no payload at all when its meta shows
     zero nulls (``a_chunk[0]`` may then be None). Any column type counts.
-    """
-    a_valid: np.ndarray | None = None
-    if count_only and a_chunk is not None:
-        if int(a_chunk[1]["nulls"]):
-            a_valid = unpack_validity(
-                unpack_sections(a_chunk[0])[0], n)
-        # a_valid stays None for a null-free chunk: nn == cnt per group
+
+    ``a_specs`` (round 5, multi-agg-column grouped pushdown) generalizes
+    ``a_chunk``/``count_only`` to a LIST of ``(payload, meta, count_only)``
+    agg columns aggregated in this same single pass over the group code
+    streams — the combined key, ``np.unique`` and inverse index are
+    computed ONCE and every agg column scatters through them. Output
+    columns are then ``sum{j}/nn{j}/mn{j}/mx{j}`` per spec index j
+    (mutually exclusive with ``a_chunk``)."""
+    legacy = a_specs is None
+    if legacy:
+        a_specs = ([] if a_chunk is None
+                   else [(a_chunk[0], a_chunk[1], count_only)])
+    # pre-computed validity for count-only specs (payload is None for a
+    # null-free chunk: validity stays None -> the group's nn == cnt)
+    pre_valid: list[np.ndarray | None] = [
+        (unpack_validity(unpack_sections(p)[0], n)
+         if co and int(m["nulls"]) else None)
+        for p, m, co in a_specs]
+
+    def _names(tbl: pa.Table) -> pa.Table:
+        # the legacy single-agg call keeps its historical column names
+        if legacy and a_specs:
+            return tbl.rename_columns(
+                [c[:-1] if c in ("sum0", "nn0", "mn0", "mx0") else c
+                 for c in tbl.schema.names])
+        return tbl
+
     cols = [_group_codes(p, m, n) for p, m in g_chunks]
     ngs = [len(v) for _, v in cols]
     prod = 1
@@ -666,63 +688,73 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         prod *= max(1, ng)
     if prod >= (1 << 62):  # no composite code space: decode + hash-agg
         names = [f"g{i}" for i in range(len(g_chunks))]
-        data = {f"g{i}": decode_array(p, m, n) for i, (p, m) in enumerate(g_chunks)}
-        if a_chunk is not None and count_only:
-            data["v"] = pa.array(
-                (np.ones(n, dtype=bool) if a_valid is None else a_valid)
-                .astype(np.int64))
-        elif a_chunk is not None:
-            v = decode_array(a_chunk[0], a_chunk[1], n)
-            if not pa.types.is_integer(v.type):
-                v = (v.cast(pa.int64()) if not pa.types.is_date(v.type)
-                     else v.cast(pa.int32()).cast(pa.int64()))
-            data["v"] = v
+        data = {f"g{i}": decode_array(p, m, n)
+                for i, (p, m) in enumerate(g_chunks)}
+        for j, (p, m, co) in enumerate(a_specs):
+            if co:
+                data[f"v{j}"] = pa.array(
+                    (np.ones(n, dtype=bool) if pre_valid[j] is None
+                     else pre_valid[j]).astype(np.int64))
+            else:
+                v = decode_array(p, m, n)
+                if not pa.types.is_integer(v.type):
+                    v = (v.cast(pa.int64())
+                         if not pa.types.is_date(v.type)
+                         else v.cast(pa.int32()).cast(pa.int64()))
+                data[f"v{j}"] = v
         tbl = pa.table(data)
         if mask is not None:
             tbl = tbl.filter(pa.array(mask))
-        if a_chunk is None:
-            aggs = [([], "count_all")]
-        elif count_only:
-            aggs = [([], "count_all"), ("v", "sum")]
-        else:
-            aggs = [([], "count_all"), ("v", "sum"), ("v", "count"),
-                    ("v", "min"), ("v", "max")]
+        aggs = [([], "count_all")]
+        for j, (_, _, co) in enumerate(a_specs):
+            aggs.append((f"v{j}", "sum"))
+            if not co:
+                aggs += [(f"v{j}", "count"), (f"v{j}", "min"),
+                         (f"v{j}", "max")]
         r = tbl.group_by(names).aggregate(aggs)
         out = {f"g{i}": r.column(f"g{i}") for i in range(len(g_chunks))}
         out["cnt"] = r.column("count_all").cast(pa.int64())
-        if a_chunk is not None and count_only:
-            null64 = pa.nulls(r.num_rows, pa.int64())
-            out["sum"] = null64
-            out["nn"] = r.column("v_sum").cast(pa.int64())
-            out["mn"] = null64
-            out["mx"] = null64
-        elif a_chunk is not None:
-            out["sum"] = r.column("v_sum").cast(pa.int64())
-            out["nn"] = r.column("v_count").cast(pa.int64())
-            out["mn"] = r.column("v_min").cast(pa.int64())
-            out["mx"] = r.column("v_max").cast(pa.int64())
-        return pa.table(out)
+        null64 = pa.nulls(r.num_rows, pa.int64())
+        for j, (_, _, co) in enumerate(a_specs):
+            if co:
+                out[f"sum{j}"] = null64
+                out[f"nn{j}"] = r.column(f"v{j}_sum").cast(pa.int64())
+                out[f"mn{j}"] = null64
+                out[f"mx{j}"] = null64
+            else:
+                out[f"sum{j}"] = r.column(f"v{j}_sum").cast(pa.int64())
+                out[f"nn{j}"] = r.column(f"v{j}_count").cast(pa.int64())
+                out[f"mn{j}"] = r.column(f"v{j}_min").cast(pa.int64())
+                out[f"mx{j}"] = r.column(f"v{j}_max").cast(pa.int64())
+        return _names(pa.table(out))
     combined = np.zeros(n, dtype=np.int64)
     for (codes, _), ng in zip(cols, ngs):
         combined *= max(1, ng)
         combined += codes
     if mask is not None:
         combined = combined[mask]
-    if a_chunk is not None and count_only:
-        if mask is not None and a_valid is not None:
-            a_valid = a_valid[mask]
+    if a_specs:
         u, inv, cnt = np.unique(combined, return_inverse=True,
                                 return_counts=True)
-        nn = np.asarray(
-            cnt if a_valid is None
-            else np.bincount(inv[a_valid], minlength=len(u)),
-            dtype=np.int64)
-        null64 = pa.nulls(len(u), pa.int64())
-        sums = null64
-        extra = {"nn": pa.array(nn, type=pa.int64()),
-                 "mn": null64, "mx": null64}
-    elif a_chunk is not None:
-        a_arr = decode_array(a_chunk[0], a_chunk[1], n)
+    else:
+        u, cnt = np.unique(combined, return_counts=True)
+    extra: dict[str, pa.Array] = {}
+    for j, (p, m, co) in enumerate(a_specs):
+        if co:
+            av_valid = pre_valid[j]
+            if mask is not None and av_valid is not None:
+                av_valid = av_valid[mask]
+            nn = np.asarray(
+                cnt if av_valid is None
+                else np.bincount(inv[av_valid], minlength=len(u)),
+                dtype=np.int64)
+            null64 = pa.nulls(len(u), pa.int64())
+            extra[f"sum{j}"] = null64
+            extra[f"nn{j}"] = pa.array(nn, type=pa.int64())
+            extra[f"mn{j}"] = null64
+            extra[f"mx{j}"] = null64
+            continue
+        a_arr = decode_array(p, m, n)
         if mask is not None:
             a_arr = a_arr.filter(pa.array(mask))
         if not pa.types.is_integer(a_arr.type):
@@ -730,12 +762,10 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
             a_arr = (a_arr.cast(pa.int64())
                      if not pa.types.is_date(a_arr.type)
                      else a_arr.cast(pa.int32()).cast(pa.int64()))
-        u, inv, cnt = np.unique(combined, return_inverse=True,
-                                return_counts=True)
         if a_arr.null_count:
-            a_valid = np.asarray(a_arr.is_valid(), dtype=bool)
-            av = np.asarray(a_arr.fill_null(0), dtype=np.int64)[a_valid]
-            ainv = inv[a_valid]
+            avalid = np.asarray(a_arr.is_valid(), dtype=bool)
+            av = np.asarray(a_arr.fill_null(0), dtype=np.int64)[avalid]
+            ainv = inv[avalid]
         else:
             av = np.asarray(a_arr, dtype=np.int64)
             ainv = inv
@@ -743,18 +773,14 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         # wrap-around int64 accumulation == Spark non-ANSI sum(long)
         acc = np.zeros(len(u), dtype=np.int64)
         np.add.at(acc, ainv, av)
-        sums = pa.array(acc, type=pa.int64(), mask=nn == 0)
         mn_a = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
         mx_a = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
         np.minimum.at(mn_a, ainv, av)
         np.maximum.at(mx_a, ainv, av)
-        extra = {"nn": pa.array(nn, type=pa.int64()),
-                 "mn": pa.array(mn_a, type=pa.int64(), mask=nn == 0),
-                 "mx": pa.array(mx_a, type=pa.int64(), mask=nn == 0)}
-    else:
-        u, cnt = np.unique(combined, return_counts=True)
-        sums = None
-        extra = {}
+        extra[f"sum{j}"] = pa.array(acc, type=pa.int64(), mask=nn == 0)
+        extra[f"nn{j}"] = pa.array(nn, type=pa.int64())
+        extra[f"mn{j}"] = pa.array(mn_a, type=pa.int64(), mask=nn == 0)
+        extra[f"mx{j}"] = pa.array(mx_a, type=pa.int64(), mask=nn == 0)
     out = {}
     rem = u
     for i in reversed(range(len(cols))):
@@ -764,10 +790,8 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
         out[f"g{i}"] = cols[i][1].take(pa.array(idx, type=pa.int64()))
     out = {f"g{i}": out[f"g{i}"] for i in range(len(cols))}
     out["cnt"] = pa.array(cnt, type=pa.int64())
-    if sums is not None:
-        out["sum"] = sums
-        out.update(extra)
-    return pa.table(out)
+    out.update(extra)
+    return _names(pa.table(out))
 
 
 def _spread_nulls(valid_arr: pa.Array, mask: np.ndarray) -> pa.Array:

@@ -2418,23 +2418,29 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
 
 
 def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
-                             agg_col: str | None,
+                             agg_specs: list[tuple[str, bool]],
                              predicates: dict | None = None,
-                             count_only: bool = False):
-    """Per-bucket partial (g0..gk, cnt[, sum]) rows at the codec layer —
+                             out_names: list[str] | None = None):
+    """Per-bucket partial (g0..gk, cnt[, per-agg sum/nn/mn/mx]) rows at the
+    codec layer —
     the map-side combine of GROUP BY g0, g1, ... Chunk boundaries align
     across columns, so zipping the chunk files by chunk_seq is exact; the
-    composite-key aggregation itself is chunk.chunk_group_multi. Predicate
+    composite-key aggregation itself is chunk.chunk_group_multi (ALL agg
+    columns scatter through one combined key + np.unique pass). Predicate
     handling mirrors _make_group_agg_kernel (bucket flags, zone proofs,
-    boundary-chunk masks)."""
+    boundary-chunk masks). ``agg_specs`` is [(col, count_only)] per agg
+    column; a count-only column's payloads are read just for null-carrying
+    chunks (validity section), never decoded."""
     predicates = predicates or {}
     pred_cols = list(predicates)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         manifest = Manifest(out_dir)
-        read_cols = list(group_cols) + ([agg_col] if agg_col else [])
-        out_names = list(group_cols) + ["cnt"] + (
-            ["sum", "nn", "mn", "mx"] if agg_col else [])
+        read_cols = list(group_cols)
+        names = out_names or (
+            list(group_cols) + ["cnt"]
+            + [f"{k}{j}" for j in range(len(agg_specs))
+               for k in ("sum", "nn", "mn", "mx")])
         for batch in batches:
             flags = (batch.column("all_match").to_pylist()
                      if "all_match" in batch.schema.names
@@ -2459,33 +2465,36 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                                            t.column("payload").to_pylist())}
                     for c, t in tabs.items()
                 }
-                if agg_col and count_only:
-                    # COUNT(col): metas only; payload bytes read just for
-                    # chunks whose meta shows nulls (validity section)
-                    at = pq.read_table(
-                        manifest.chunk_read_path(agg_col, bucket),
-                        columns=["chunk_seq", "meta"], filters=flt)
-                    metas = {int(s): json.loads(m)
-                             for s, m in zip(
-                                 at.column("chunk_seq").to_pylist(),
-                                 at.column("meta").to_pylist())}
-                    nseqs = [s for s, m in metas.items()
-                             if int(m.get("nulls", 0))]
-                    pays = (_read_chunk_payloads(
-                        manifest, agg_col, bucket, nseqs) if nseqs else {})
-                    by_seq[agg_col] = {s: (m, pays.get(s))
-                                       for s, m in metas.items()}
-                elif agg_col:
-                    at = pq.read_table(
-                        manifest.chunk_read_path(agg_col, bucket),
-                        filters=flt)
-                    by_seq[agg_col] = {
-                        int(s): (json.loads(m), p)
-                        for s, m, p in zip(
-                            at.column("chunk_seq").to_pylist(),
-                            at.column("meta").to_pylist(),
-                            at.column("payload").to_pylist())
-                    }
+                a_by_seq: list[dict] = []
+                for acol, co in agg_specs:
+                    if co:
+                        # COUNT(col): metas only; payload bytes read just
+                        # for chunks whose meta shows nulls (validity)
+                        at = pq.read_table(
+                            manifest.chunk_read_path(acol, bucket),
+                            columns=["chunk_seq", "meta"], filters=flt)
+                        metas = {int(s): json.loads(m)
+                                 for s, m in zip(
+                                     at.column("chunk_seq").to_pylist(),
+                                     at.column("meta").to_pylist())}
+                        nseqs = [s for s, m in metas.items()
+                                 if int(m.get("nulls", 0))]
+                        pays = (_read_chunk_payloads(
+                            manifest, acol, bucket, nseqs)
+                            if nseqs else {})
+                        a_by_seq.append({s: (m, pays.get(s))
+                                         for s, m in metas.items()})
+                    else:
+                        at = pq.read_table(
+                            manifest.chunk_read_path(acol, bucket),
+                            filters=flt)
+                        a_by_seq.append({
+                            int(s): (json.loads(m), p)
+                            for s, m, p in zip(
+                                at.column("chunk_seq").to_pylist(),
+                                at.column("meta").to_pylist(),
+                                at.column("payload").to_pylist())
+                        })
                 first = tabs[read_cols[0]]
                 parts = []
                 for s, nr in zip(first.column("chunk_seq").to_pylist(),
@@ -2499,16 +2508,16 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                         mask = None
                     g_chunks = [by_seq[c][s] for c in group_cols]
                     g_chunks = [(p, m) for m, p in g_chunks]
-                    a_chunk = None
-                    if agg_col:
-                        am, ap = by_seq[agg_col][s]
-                        a_chunk = (ap, am)
+                    specs = []
+                    for (acol, co), seq_map in zip(agg_specs, a_by_seq):
+                        am, ap = seq_map[s]
+                        specs.append((ap, am, co))
                     parts.append(chunklib.chunk_group_multi(
-                        g_chunks, a_chunk, int(nr), mask=mask,
-                        count_only=count_only))
+                        g_chunks, None, int(nr), mask=mask,
+                        a_specs=specs))
                 if parts:
                     out = pa.concat_tables(parts)
-                    yield from out.rename_columns(out_names).to_batches()
+                    yield from out.rename_columns(names).to_batches()
 
     return kernel
 
@@ -2516,7 +2525,9 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
 def group_multi_table(spark: SparkSession, out_dir: str,
                       group_cols: list[str], agg_col: str | None = None,
                       predicates: dict | None = None,
-                      count_only: bool = False) -> DataFrame:
+                      count_only: bool = False,
+                      agg_specs: list[tuple[str, bool]] | None = None
+                      ) -> DataFrame:
     """``SELECT g0, g1, ..., COUNT(*)[, SUM(a)] [WHERE ...] GROUP BY
     g0, g1, ...`` pushed to the codec layer (round-5 verdict, next #2) —
     the corpus-audit shape ``GROUP BY lang, source``. Returns
@@ -2530,39 +2541,64 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     combined packed code streams without materializing group values per
     row. HAVING composes as a filter on the returned partial-summed
     DataFrame (see sqlagg). ``count_only`` (round 5) is the composite
-    COUNT(col) pushdown — see :func:`group_agg_table`."""
+    COUNT(col) pushdown — see :func:`group_agg_table`.
+
+    ``agg_specs`` (round 5, multi-agg-column grouped pushdown) aggregates
+    SEVERAL columns in the one kernel pass: [(col, count_only)] per agg
+    column; the partial columns come back as ``sum{j}/nn{j}/mn{j}/mx{j}``
+    per spec index, so ``SELECT lang, count(*), sum(n_chars), count(html),
+    max(warc_ts) GROUP BY lang`` is one read of the group code streams
+    with each agg payload read once (count-only columns: validity only).
+    Mutually exclusive with ``agg_col``."""
+    if agg_specs is not None and agg_col is not None:
+        raise ValueError("pass agg_col or agg_specs, not both")
+    legacy = agg_specs is None
+    specs = ([(agg_col, count_only)] if agg_col else []) if legacy \
+        else [(c, bool(co)) for c, co in agg_specs]
+    spec_cols = [c for c, _ in specs]
     if len(group_cols) < 1:
         raise ValueError("group_multi_table needs at least one group column")
     if len(set(group_cols)) != len(group_cols):
         raise ValueError("duplicate group columns")
-    for col in group_cols + ([agg_col] if agg_col else []):
-        if col in ("cnt", "sum", "nn", "mn", "mx"):
+    if len(set(spec_cols)) != len(spec_cols):
+        raise ValueError("duplicate agg columns")
+    if legacy and specs:
+        quads = [("sum", "nn", "mn", "mx")]
+    else:
+        quads = [(f"sum{j}", f"nn{j}", f"mn{j}", f"mx{j}")
+                 for j in range(len(specs))]
+    reserved = {"cnt", "sum", "nn", "mn", "mx",
+                *(nm for quad in quads for nm in quad)}
+    for col in group_cols + spec_cols:
+        if col in reserved:
             raise ValueError(
                 f"column name {col!r} collides with an output alias")
-    if agg_col in group_cols:
+    if any(c in group_cols for c in spec_cols):
         raise ValueError("agg column must differ from group columns")
     meta, nonempty = _plan_store(out_dir)
-    for col in group_cols + ([agg_col] if agg_col else []):
+    for col in group_cols + spec_cols:
         if col not in meta["columns"]:
             raise ValueError(
                 f"unknown column {col!r}; store has {meta['columns']}")
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     by_field = {f.name: f for f in spark_schema.fields}
-    if agg_col and not count_only:
-        a_type = by_field[agg_col].dataType.simpleString()
+    for acol, co in specs:
+        if co:
+            continue  # COUNT(col): any stored type counts
+        a_type = by_field[acol].dataType.simpleString()
         if a_type not in _INTEGRAL_TYPES and not _is_predicate_type(a_type):
             raise ValueError(
                 f"grouped-agg pushdown needs an integral or time agg "
-                f"column; {agg_col!r} is {a_type}. COUNT(col) over any "
+                f"column; {acol!r} is {a_type}. COUNT(col) over any "
                 f"type: pass count_only=True")
     fields = [T.StructField(c, by_field[c].dataType, True)
               for c in group_cols]
     fields.append(T.StructField("cnt", T.LongType(), False))
-    if agg_col:
-        fields.append(T.StructField("sum", T.LongType(), True))
-        fields.append(T.StructField("nn", T.LongType(), False))
-        fields.append(T.StructField("mn", T.LongType(), True))
-        fields.append(T.StructField("mx", T.LongType(), True))
+    for sname, nname, mnname, mxname in quads:
+        fields.append(T.StructField(sname, T.LongType(), True))
+        fields.append(T.StructField(nname, T.LongType(), False))
+        fields.append(T.StructField(mnname, T.LongType(), True))
+        fields.append(T.StructField(mxname, T.LongType(), True))
     out_schema = T.StructType(fields)
     by_name = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     preds = _normalize_predicates(predicates or {}, by_name)
@@ -2577,15 +2613,15 @@ def group_multi_table(spark: SparkSession, out_dir: str,
                       T.StructField("all_match", T.BooleanType(), False)])
     ).repartition(len(rows))
     partials = buckets_df.mapInArrow(
-        _make_group_multi_kernel(out_dir, group_cols, agg_col, preds,
-                                 count_only=count_only),
+        _make_group_multi_kernel(out_dir, group_cols, specs, preds,
+                                 out_names=[f.name for f in fields]),
         out_schema)
     aggs = [F.sum("cnt").cast("long").alias("cnt")]
-    if agg_col:
-        aggs.append(F.sum("sum").cast("long").alias("sum"))
-        aggs.append(F.sum("nn").cast("long").alias("nn"))
-        aggs.append(F.min("mn").cast("long").alias("mn"))
-        aggs.append(F.max("mx").cast("long").alias("mx"))
+    for sname, nname, mnname, mxname in quads:
+        aggs.append(F.sum(sname).cast("long").alias(sname))
+        aggs.append(F.sum(nname).cast("long").alias(nname))
+        aggs.append(F.min(mnname).cast("long").alias(mnname))
+        aggs.append(F.max(mxname).cast("long").alias(mxname))
     return partials.groupBy(*group_cols).agg(*aggs)
 
 

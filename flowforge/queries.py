@@ -419,9 +419,11 @@ def q_store_sqlagg_grouped2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one column) + ORDER BY/LIMIT above the aggregate all route; the
     # (cnt DESC, lang, source) keys are tie-free per group so the 40-row
     # set is deterministic (NULLS FIRST spelled out for oracle parity)
+    # min(doc_id) adds a SECOND agg source column: the multi-agg kernel
+    # (one pass, per-column partials — round 5) is on the oracle path
     sql = ("SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sum_chars, "
            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
-           "avg(n_chars) AS avg_chars "
+           "avg(n_chars) AS avg_chars, min(doc_id) AS min_id "
            "FROM docs WHERE n_chars BETWEEN 50 AND 5000 "
            "GROUP BY lang, source HAVING count(*) >= 2 "
            "ORDER BY cnt DESC, lang NULLS FIRST, source NULLS FIRST "

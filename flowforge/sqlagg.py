@@ -12,8 +12,10 @@ a regex's), then walk the analyzed logical plan; if it is exactly the
 shape the engine can answer —
 
     Aggregate(count(*) / count(col) over any stored type /
-              sum / min / max / avg over int columns,
-              [group by one column],
+              sum / min / max / avg over int columns — any MIX of agg
+              columns (multi-column shapes ride one group_multi_table
+              pass with per-column partials),
+              [group by one or more columns],
               [Filter(AND of eq / IN / LIKE-prefix / range)],
               one registered chunk-store view)
 
@@ -643,20 +645,20 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if any(c.startswith("__") for c in group_cols + [dcol]):
             raise _Unroutable("column with reserved '__' prefix")
     elif group_cols:
-        # the codec-layer grouped kernels (single and composite keys)
-        # carry cnt/sum/nn/mn/mx partials over ONE agg column, so the
-        # whole grouped family routes: count(*) + count/sum/avg/min/max
-        # of one column; WHERE masks their code streams (round 4/5).
-        # COUNT(col) rides the same nn partial — count-only shapes run
-        # the kernels in count_only mode (validity bitmaps, no decode)
-        src_cols = {spec[1] for spec in aggs.values()
-                    if spec[0] in ("sum", "avg", "min", "max", "nncount")}
+        # the codec-layer grouped kernels carry cnt/sum/nn/mn/mx partials
+        # per agg column — one column via group_agg_table's dict-bincount
+        # fast path, SEVERAL via group_multi_table(agg_specs=...) in one
+        # combined-key pass (round 5) — so the whole grouped family
+        # routes: count(*) + count/sum/avg/min/max over any mix of
+        # columns; WHERE masks their code streams. COUNT(col) rides the
+        # nn partial; columns referenced ONLY by count(col) never decode
+        # (validity bitmaps)
         if any(spec[0] not in ("count", "sum", "avg", "min", "max",
                                "nncount")
-               for spec in aggs.values()) or len(src_cols) > 1:
+               for spec in aggs.values()):
             raise _Unroutable(
                 "grouped aggregate beyond count(*) + "
-                "count/sum/avg/min/max(one col)")
+                "count/sum/avg/min/max")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
     if having is not None and ts_minmax_aliases \
@@ -762,28 +764,49 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             else:
                 sel.append(F.col(name))
         return _finish(df.select(*sel), r)
-    src_cols = {spec[1] for spec in aggs.values()
-                if spec[0] in ("sum", "avg", "min", "max", "nncount")}
-    # COUNT(col) with no value aggregates runs the kernels in count_only
-    # mode: the counted column's values never decode (validity only)
-    count_only = bool(src_cols) and all(
-        spec[0] in ("count", "nncount") for spec in aggs.values())
-    if len(group_cols) > 1:
+    # ordered distinct agg source columns; a column is value-aggregated
+    # if any sum/avg/min/max spec touches it (nncount alone = count-only)
+    src_list: list[str] = []
+    value_cols: set[str] = set()
+    for spec in aggs.values():
+        if spec[0] in ("sum", "avg", "min", "max", "nncount"):
+            if spec[1] not in src_list:
+                src_list.append(spec[1])
+            if spec[0] != "nncount":
+                value_cols.add(spec[1])
+    jmap: dict[str, int] | None = None
+    if len(src_list) > 1:
+        # several agg columns: ONE group_multi_table pass carries per-
+        # column partials (round 5) — the full corpus-audit SELECT routes
         base = engine.group_multi_table(
-            spark, out_dir, group_cols,
-            agg_col=next(iter(src_cols)) if src_cols else None,
-            predicates=preds or None, count_only=count_only)
-        names = {"count": "cnt", "sum": "sum", "nncount": "nn"}
-    elif src_cols:
-        base = engine.group_agg_table(spark, out_dir, group_cols[0],
-                                      next(iter(src_cols)),
-                                      predicates=preds or None,
-                                      count_only=count_only)
-        names = {"count": "cnt", "sum": "sum", "nncount": "nn"}
+            spark, out_dir, group_cols, predicates=preds or None,
+            agg_specs=[(c, c not in value_cols) for c in src_list])
+        jmap = {c: j for j, c in enumerate(src_list)}
+    elif src_list:
+        # COUNT(col) with no value aggregates runs the kernels in
+        # count_only mode: the column's values never decode
+        count_only = not value_cols
+        if len(group_cols) > 1:
+            base = engine.group_multi_table(
+                spark, out_dir, group_cols, agg_col=src_list[0],
+                predicates=preds or None, count_only=count_only)
+        else:
+            base = engine.group_agg_table(spark, out_dir, group_cols[0],
+                                          src_list[0],
+                                          predicates=preds or None,
+                                          count_only=count_only)
+    elif len(group_cols) > 1:
+        base = engine.group_multi_table(spark, out_dir, group_cols,
+                                        predicates=preds or None)
     else:
         base = engine.value_counts_table(spark, out_dir, group_cols[0],
                                          predicates=preds or None)
-        names = {"count": "cnt"}
+
+    def kname(kind: str, col: str) -> str:
+        # partial-column name for (sum|nn|mn|mx, agg col): indexed when the
+        # multi-agg kernel ran, the legacy single names otherwise
+        return f"{kind}{jmap[col]}" if jmap is not None else kind
+
     by_field = None
     if any(spec[0] in ("min", "max") for spec in aggs.values()):
         # Spark's min/max keep the column's own type; the kernels
@@ -798,16 +821,23 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             sel.append(base[gcol].alias(name))
             continue
         fn = aggs[name][0]
-        if fn == "avg":
+        if fn == "count":
+            sel.append(base["cnt"].alias(name))
+        elif fn == "avg":
             # Spark avg(long) = wrap-sum / non-null count in one double
             # division — both operands here are those exact values
-            sel.append((base["sum"] / base["nn"]).alias(name))
+            col = aggs[name][1]
+            sel.append((base[kname("sum", col)]
+                        / base[kname("nn", col)]).alias(name))
         elif fn in ("min", "max"):
-            kname = "mn" if fn == "min" else "mx"
-            sel.append(
-                _minmax_back(kname, by_field[aggs[name][1]]).alias(name))
-        else:
-            sel.append(base[names[fn]].alias(name))
+            col = aggs[name][1]
+            sel.append(_minmax_back(
+                kname("mn" if fn == "min" else "mx", col),
+                by_field[col]).alias(name))
+        elif fn == "nncount":
+            sel.append(base[kname("nn", aggs[name][1])].alias(name))
+        else:  # sum
+            sel.append(base[kname("sum", aggs[name][1])].alias(name))
     return _finish(base.select(*sel), r)
 
 

@@ -115,3 +115,82 @@ def test_validation(spark, store):
         engine.group_multi_table(spark, store, ["nope"])
     with pytest.raises(ValueError, match="integral"):
         engine.group_multi_table(spark, store, ["lang"], "text")
+
+
+# --------------------------------------------------------------------------
+# agg_specs: several agg columns in one kernel pass (round 5)
+# --------------------------------------------------------------------------
+
+
+def test_agg_specs_multi_column(spark, store):
+    """Two value columns + per-column partials vs Spark's own groupBy."""
+    src = spark.read.parquet(DOCS)
+    got = engine.group_multi_table(
+        spark, store, ["lang"],
+        agg_specs=[("n_chars", False), ("doc_id", False)])
+    want = (src.groupBy("lang")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("n_chars").alias("sum0"),
+                 F.count("n_chars").alias("nn0"),
+                 F.min("n_chars").cast("long").alias("mn0"),
+                 F.max("n_chars").cast("long").alias("mx0"),
+                 F.sum("doc_id").alias("sum1"),
+                 F.count("doc_id").alias("nn1"),
+                 F.min("doc_id").cast("long").alias("mn1"),
+                 F.max("doc_id").cast("long").alias("mx1")))
+    assert _rows(got) == _rows(want)
+
+
+def test_agg_specs_count_only_mix(spark, null_store):
+    """A count-only TEXT column beside a value column, with nulls in both
+    group and agg dimensions; sum/mn/mx of the count-only column NULL."""
+    src = engine.decode_table(spark, null_store)
+    got = engine.group_multi_table(
+        spark, null_store, ["source"],
+        agg_specs=[("n_chars", False), ("lang", True)])
+    g = {r["source"]: (r["cnt"], r["sum0"], r["nn0"], r["nn1"],
+                       r["sum1"], r["mn1"], r["mx1"])
+         for r in got.collect()}
+    w = {r["source"]: (r["cnt"], r["sum0"], r["nn0"], r["nn1"])
+         for r in src.groupBy("source")
+         .agg(F.count("*").alias("cnt"),
+              F.sum("n_chars").alias("sum0"),
+              F.count("n_chars").alias("nn0"),
+              F.count("lang").alias("nn1")).collect()}
+    assert {k: v[:4] for k, v in g.items()} == w
+    assert all(v[4] is None and v[5] is None and v[6] is None
+               for v in g.values())
+
+
+def test_agg_specs_with_predicates(spark, store):
+    src = spark.read.parquet(DOCS)
+    got = engine.group_multi_table(
+        spark, store, ["lang", "source"],
+        agg_specs=[("n_chars", False), ("doc_id", True)],
+        predicates={"n_chars": (100, 2000)}
+    ).select("lang", "source", "cnt", "sum0", "nn1")
+    want = (src.filter(F.col("n_chars").between(100, 2000))
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("n_chars").alias("sum0"),
+                 F.count("doc_id").alias("nn1")))
+    assert _rows(got) == _rows(want)
+
+
+def test_agg_specs_validation(spark, store):
+    with pytest.raises(ValueError, match="not both"):
+        engine.group_multi_table(spark, store, ["lang"], "n_chars",
+                                 agg_specs=[("doc_id", False)])
+    with pytest.raises(ValueError, match="duplicate agg"):
+        engine.group_multi_table(
+            spark, store, ["lang"],
+            agg_specs=[("n_chars", False), ("n_chars", True)])
+    with pytest.raises(ValueError, match="differ"):
+        engine.group_multi_table(spark, store, ["lang"],
+                                 agg_specs=[("lang", True)])
+    with pytest.raises(ValueError, match="integral"):
+        engine.group_multi_table(spark, store, ["lang"],
+                                 agg_specs=[("text", False)])
+    # count-only lifts the type restriction
+    engine.group_multi_table(spark, store, ["lang"],
+                             agg_specs=[("text", True)]).collect()

@@ -105,6 +105,25 @@ ROUTABLE = [
     "GROUP BY lang, source",
     "SELECT source, count(lang) AS cl FROM docs WHERE n_chars > 500 "
     "GROUP BY source HAVING count(lang) > 10",
+    # round 5: SEVERAL agg source columns per grouped statement — one
+    # group_multi_table pass carries per-column sum/nn/mn/mx partials
+    # (the full corpus-audit SELECT), count-only columns validity-only
+    "SELECT lang, count(*) AS c, sum(n_chars) AS s, min(doc_id) AS mn, "
+    "max(doc_id) AS mx, avg(doc_id) AS a FROM docs GROUP BY lang",
+    "SELECT lang, count(source) AS c, sum(n_chars) AS s FROM docs "
+    "GROUP BY lang",
+    "SELECT lang, min(doc_id) AS a, max(n_chars) AS b "
+    "FROM docs GROUP BY lang",
+    "SELECT lang, avg(n_chars) AS a, sum(doc_id) AS s2 FROM docs "
+    "GROUP BY lang",
+    "SELECT lang, source, count(score) AS c, sum(n_chars) AS s, "
+    "min(doc_id) AS mn FROM docs GROUP BY lang, source",
+    "SELECT source, count(lang) AS cl, count(score) AS cs, "
+    "max(doc_id) AS m FROM docs WHERE n_chars > 500 GROUP BY source "
+    "HAVING count(*) > 5",
+    "SELECT lang, sum(n_chars) AS s, sum(doc_id) AS s2, "
+    "count(score) AS ct FROM docs GROUP BY lang "
+    "ORDER BY s DESC, lang LIMIT 3",
 ]
 
 FALLBACK = [
@@ -112,8 +131,6 @@ FALLBACK = [
     "SELECT count(DISTINCT lang) AS a, count(DISTINCT source) AS b "
     "FROM docs",                                           # two distinct cols
     "SELECT sum(DISTINCT n_chars) AS s FROM docs",         # distinct sum
-    "SELECT lang, min(doc_id) AS a, max(n_chars) AS b "
-    "FROM docs GROUP BY lang",         # two agg source columns (min/max)
     "SELECT upper(lang) AS l, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",                                # computed group
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
@@ -123,11 +140,11 @@ FALLBACK = [
     "SELECT count(*) AS c FROM docs WHERE score > 0.5",    # strict float
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
-    "SELECT lang, avg(n_chars) AS a, sum(doc_id) AS s2 FROM docs "
-    "GROUP BY lang",                   # two agg source columns
-    "SELECT lang, count(source) AS c, sum(n_chars) AS s FROM docs "
-    "GROUP BY lang",            # count(col) + sum over a DIFFERENT column
     "SELECT lang, count(lang) AS c FROM docs GROUP BY lang",  # agg==group
+    "SELECT lang, count(lang) AS c, sum(n_chars) AS s FROM docs "
+    "GROUP BY lang",          # agg==group inside a multi-agg statement
+    "SELECT lang, sum(score) AS s, count(*) AS c, sum(n_chars) AS s2 "
+    "FROM docs GROUP BY lang",     # float sum poisons the multi-agg pass
     # bare LIMIT (no ORDER BY) over an aggregate: which rows survive is
     # plan-dependent, so it must NOT route (LIMIT 10 > group count keeps
     # the parity assertion deterministic here)
