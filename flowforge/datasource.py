@@ -62,6 +62,7 @@ chunks).
 from __future__ import annotations
 
 import datetime as _dt
+import math
 from typing import Iterator
 
 import pyarrow as pa
@@ -338,13 +339,21 @@ class ChunkStoreReader(DataSourceReader):
         if isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
             v = f.value
             if is_float and isinstance(v, (int, float)) and not isinstance(v, bool):
-                # strict float bounds have no closed-form inclusive range;
-                # the kernel mask would be wrong at the boundary value
                 if isinstance(f, GreaterThanOrEqual):
                     return ("lo", col, float(v))
                 if isinstance(f, LessThanOrEqual):
                     return ("hi", col, float(v))
-                return None
+                # strict float bound -> inclusive via nextafter (round 5,
+                # see sqlagg._leaf_to_constraint: exact for double AND
+                # promoted float32; NaN parity via the kernel's range
+                # legs). +-inf literals stay Spark-side: x > inf must
+                # keep NaN but drop +inf, inexpressible as one bound.
+                fv = float(v)
+                if math.isinf(fv):
+                    return None
+                if isinstance(f, GreaterThan):
+                    return ("lo", col, math.nextafter(fv, math.inf))
+                return ("hi", col, math.nextafter(fv, -math.inf))
             if not is_int:
                 return None
             ep = self._to_epoch(v, t)

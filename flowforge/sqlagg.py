@@ -55,13 +55,25 @@ class _Unroutable(Exception):
     (NOT an error — the caller falls back to ordinary execution)."""
 
 
-def _literal(e):
-    """Unwrap Cast(Literal)/Literal -> Python value (str/int/float).
+def _literal(e, domain: str | None = None):
+    """Unwrap Cast(Literal)/Literal -> Python value (str/int/float), in the
+    COMPARISON'S domain: the analyzed plan wraps the literal in a Cast to
+    the type the comparison actually runs in, so ``value > 1`` against a
+    double column carries Cast(1 AS double) — the bound must come back as
+    the float 1.0, NOT the int 1 (an int here would later take the
+    strict-bound ±1 adjustment and silently drop e.g. value=1.5; round-5
+    fix). SQL float literals analyze as decimal (``0.5`` is decimal(1,1));
+    cast to a float domain they convert exactly as Spark's own
+    decimal->double cast does. ``domain`` overrides the cast-derived type
+    for expressions whose children stay uncast (BETWEEN is
+    RuntimeReplaceable: its raw bounds carry no Cast, so the caller passes
+    the input column's type).
 
     Timestamp/date literals surface in the ANALYZED plan already converted
     to the engine's epoch units (micros / days), so no timezone math
-    happens here. Anything else (null literals, decimals, non-literal
-    expressions) is unroutable."""
+    happens here. Anything else (null literals, decimals outside a float
+    comparison, non-literal expressions) is unroutable."""
+    outer = domain or e.dataType().simpleString()
     while _cls(e) == "Cast":
         e = e.child()
     if _cls(e) != "Literal":
@@ -72,11 +84,16 @@ def _literal(e):
     dt = e.dataType().simpleString()
     if dt == "string":
         return str(v)  # py4j surfaces UTF8String as an opaque JavaObject
+    if dt in ("float", "double") or outer in ("float", "double"):
+        # float-domain comparison: int and decimal literals convert the
+        # way Spark's own cast to double would
+        if dt in ("float", "double") or dt.startswith("decimal") \
+                or dt in ("tinyint", "smallint", "int", "bigint"):
+            return float(str(v))
+        raise _Unroutable(f"literal type {dt} in a float comparison")
     if dt in ("tinyint", "smallint", "int", "bigint", "date",
               "timestamp", "timestamp_ntz"):
         return int(str(v))
-    if dt in ("float", "double"):
-        return float(str(v))
     raise _Unroutable(f"literal type {dt}")
 
 
@@ -102,7 +119,9 @@ def _constraint_to_userform(kind: str, v) -> tuple | str:
     """One OR-branch constraint -> an engine USER predicate form (the
     shapes engine._normalize_spec accepts inside ("or", [...]))."""
     if kind == "eq":
-        return ("eq", v)
+        # float equality -> the inclusive [v, v] range (same Spark-parity
+        # reasoning as the AND path: the upper leg excludes NaN)
+        return (v, v) if isinstance(v, float) else ("eq", v)
     if kind == "in":
         return ("in", v)
     if kind == "prefix":
@@ -113,10 +132,13 @@ def _constraint_to_userform(kind: str, v) -> tuple | str:
         return "isnull"
     if kind == "notnull":
         return "notnull"
+    # one-sided float ranges keep None (unbounded) so the kernel skips the
+    # missing leg: closing with +-inf would wrongly exclude NaN from a
+    # lower bound (Spark: NaN >= v is true; NaN <= +inf is false)
     if kind == "lo":
-        return (v, math.inf if isinstance(v, float) else _I64_MAX)
+        return (v, None if isinstance(v, float) else _I64_MAX)
     if kind == "hi":
-        return (-math.inf if isinstance(v, float) else _I64_MIN, v)
+        return (None if isinstance(v, float) else _I64_MIN, v)
     raise _Unroutable(f"OR branch kind {kind}")
 
 
@@ -142,7 +164,9 @@ def _leaf_to_constraint(c) -> tuple:
         return ("or", cols.pop(), forms)
     if name == "Between":  # RuntimeReplaceable: input BETWEEN lower AND upper
         col = _attr_name(c.input())
-        return ("between", col, (_literal(c.lower()), _literal(c.upper())))
+        dom = str(c.input().dataType().simpleString())
+        return ("between", col,
+                (_literal(c.lower(), dom), _literal(c.upper(), dom)))
     if name == "EqualTo":
         l, r = c.left(), c.right()
         if _cls(l) != "AttributeReference":  # literal = col form
@@ -168,9 +192,18 @@ def _leaf_to_constraint(c) -> tuple:
         col, v = _attr_name(l), _literal(r)
         lower = name.startswith("Greater") ^ flip
         if isinstance(v, float):
-            # strict float bounds have no closed-form inclusive range
             if name in ("GreaterThan", "LessThan"):
-                raise _Unroutable("strict float bound")
+                # strict float bound -> inclusive via nextafter (round 5):
+                # doubles are discrete, so x > v == x >= nextafter(v, inf)
+                # exactly, and float32 columns compare promoted to float64
+                # (Spark semantics) so the same bound is exact for them.
+                # NaN parity holds: the engine's lower leg explicitly ORs
+                # is_nan (NaN > v is TRUE in Spark) and the upper leg
+                # excludes NaN. Infinite literals stay unroutable (x > inf
+                # must keep NaN but drop +inf; one inclusive bound cannot).
+                if math.isinf(v):
+                    raise _Unroutable("strict bound at +-inf")
+                v = math.nextafter(v, math.inf if lower else -math.inf)
             return ("lo" if lower else "hi", col, v)
         if name in ("GreaterThan", "LessThan"):
             v = v + 1 if lower else v - 1
@@ -214,7 +247,15 @@ def _constraints_to_predicates(constraints: list) -> dict:
         elif "notnull" in slot:
             preds[col] = "notnull"
         elif "eq" in slot:
-            preds[col] = ("eq", slot["eq"])
+            v = slot["eq"]
+            if isinstance(v, float):
+                # float equality == the inclusive range [v, v] (round 5):
+                # the kernel's upper leg excludes NaN (Spark: NaN = v is
+                # false) and +-inf compare exactly; a NaN literal makes
+                # the engine refuse the bound -> clean fallback
+                preds[col] = (v, v)
+            else:
+                preds[col] = ("eq", v)
         elif "in" in slot:
             preds[col] = ("in", slot["in"])
         elif "prefix" in slot:
@@ -222,8 +263,12 @@ def _constraints_to_predicates(constraints: list) -> dict:
         else:
             lo, hi = slot.get("lo"), slot.get("hi")
             if isinstance(lo, float) or isinstance(hi, float):
-                preds[col] = (-math.inf if lo is None else lo,
-                              math.inf if hi is None else hi)
+                # an ABSENT float side must stay None (unbounded), not be
+                # closed with +-inf: the kernel's `<= hi` leg excludes NaN
+                # even at hi=+inf, while Spark's one-sided `value >= v`
+                # keeps NaN (NaN sorts above +inf) — None skips the leg
+                # entirely, matching Spark (round-5 fix)
+                preds[col] = (lo, hi)
             else:
                 preds[col] = (_I64_MIN if lo is None else lo,
                               _I64_MAX if hi is None else hi)

@@ -12,8 +12,9 @@ the WHERE clause reach the SAME three-layer pruning the explicit
    ``engine._prune_buckets`` on the same commits — chunk skips therefore
    equal the explicit path's by construction (shared decode kernel);
 3. end-to-end exactness over spark.sql for eq/LIKE-prefix/int-range/
-   float-range/IN/IS [NOT] NULL, including filters the reader must NOT
-   consume (OR, strict float bounds) — those come back right because
+   float-range (strict bounds consumed via nextafter since round 5)/IN/
+   IS [NOT] NULL, including filters the reader must NOT consume
+   (cross-column OR, bounds at +-inf) — those come back right because
    Spark re-applies them;
 4. the Spark 4.1.2 readInfo plan-caching hazard (module docstring of
    datasource.py): a pushdown relation reused for a second, different
@@ -168,13 +169,23 @@ def test_pushfilters_null_specs(docs_store):
 
 
 def test_pushfilters_float_bounds(events_store):
+    import math
+
     r = _reader(events_store)
     f_ge = GreaterThanOrEqual(attribute=("value",), value=10.0)
     f_le = LessThanOrEqual(attribute=("value",), value=25.0)
-    f_gt = GreaterThan(attribute=("value",), value=1.0)  # strict: not exact
+    # strict bound: consumed exactly via nextafter (round 5) — doubles are
+    # discrete, so x > 1.0 == x >= nextafter(1.0, inf)
+    f_gt = GreaterThan(attribute=("value",), value=1.0)
     rem = list(r.pushFilters([f_ge, f_le, f_gt]))
-    assert rem == [f_gt]
-    assert r.predicates == {"value": (10.0, 25.0)}
+    assert rem == []
+    lo, hi = r.predicates["value"]
+    assert lo == max(10.0, math.nextafter(1.0, math.inf)) == 10.0
+    assert hi == 25.0
+    # strict bound at +-inf stays Spark-side (x > inf keeps NaN only)
+    r2 = _reader(events_store)
+    f_inf = GreaterThan(attribute=("value",), value=float("inf"))
+    assert list(r2.pushFilters([f_inf])) == [f_inf]
 
 
 def test_pushfilters_range_lost_to_in_is_reyielded(docs_store):

@@ -258,3 +258,51 @@ def test_float32_range_decode_exact(spark, tmpdir_clean):
         assert got.count() == want.count(), (lo, hi)
         assert got.exceptAll(want).count() == 0, (lo, hi)
         assert want.exceptAll(got).count() == 0, (lo, hi)
+
+
+def test_strict_float_bounds_route_with_specials(spark, tmpdir_clean):
+    """Strict float bounds (round 5: consumed via nextafter) on NaN/±0/±inf
+    data, through BOTH SQL surfaces — the routed aggregate (count must
+    include NaN for >, exclude it for <) and the datasource filter
+    pushdown — each against Spark's own evaluation of the same statement
+    over the raw parquet."""
+    from pyspark.sql import functions as F
+
+    from flowforge import datasource, sqlagg
+
+    src = os.path.join(tmpdir_clean, "src.parquet")
+    _special_df(spark).write.parquet(src)
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode_path(spark, src, out, target_rows=256, chunk_rows=64)
+    spark.read.parquet(src).createOrReplaceTempView("raw_ev")
+    for cond in ["value > 0.0", "value < 0.0", "value > -1e-300",
+                 "value < 1e308", "value > 1e308",
+                 "value > -2.5 AND value < 2.5"]:
+        agg_sql = f"SELECT count(*) AS c FROM ev WHERE {cond}"
+        assert sqlagg.route_agg_sql(spark, agg_sql, {"ev": out}) \
+            is not None, cond
+        got = sqlagg.store_agg_sql(spark, agg_sql, {"ev": out}) \
+            .collect()[0]["c"]
+        want = spark.sql(
+            f"SELECT count(*) AS c FROM raw_ev WHERE {cond}"
+        ).collect()[0]["c"]
+        assert got == want, cond
+        rows = datasource.store_sql(
+            spark, f"SELECT event_id FROM ev WHERE {cond}", {"ev": out})
+        want_rows = spark.sql(
+            f"SELECT event_id FROM raw_ev WHERE {cond}")
+        assert sorted(r[0] for r in rows.collect()) \
+            == sorted(r[0] for r in want_rows.collect()), cond
+    # NaN > 0.0 is TRUE in Spark: the routed count for a lower bound
+    # must include every NaN row
+    n_nan = spark.sql(
+        "SELECT count(*) c FROM raw_ev WHERE isnan(value)").collect()[0][0]
+    assert n_nan > 0
+    got_hi = sqlagg.store_agg_sql(
+        spark, "SELECT count(*) AS c FROM ev WHERE value > 1e308",
+        {"ev": out}).collect()[0]["c"]
+    # only +inf and NaN exceed 1e308's successor... except 1e308 itself is
+    # excluded: strict bound correctness at the exact stored value
+    want_hi = spark.sql(
+        "SELECT count(*) c FROM raw_ev WHERE value > 1e308").collect()[0][0]
+    assert got_hi == want_hi

@@ -124,6 +124,12 @@ ROUTABLE = [
     "SELECT lang, sum(n_chars) AS s, sum(doc_id) AS s2, "
     "count(score) AS ct FROM docs GROUP BY lang "
     "ORDER BY s DESC, lang LIMIT 3",
+    # round 5: strict float bounds route via nextafter (doubles are
+    # discrete; NaN parity through the kernel's range legs)
+    "SELECT count(*) AS c FROM docs WHERE score > 0.5",
+    "SELECT count(*) AS c FROM docs WHERE score < -0.25 AND score > -2.0",
+    "SELECT lang, count(*) AS c FROM docs WHERE score > 0.0 "
+    "GROUP BY lang",
 ]
 
 FALLBACK = [
@@ -137,7 +143,6 @@ FALLBACK = [
     "SELECT count(*) AS c FROM docs "
     "WHERE lang = 'en' OR source = 'src2'",                # cross-column OR
     "SELECT sum(score) AS s FROM docs",                    # float sum
-    "SELECT count(*) AS c FROM docs WHERE score > 0.5",    # strict float
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
     "SELECT lang, count(lang) AS c FROM docs GROUP BY lang",  # agg==group
