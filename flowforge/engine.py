@@ -915,11 +915,29 @@ def _spec_mask(a, spec: tuple):
     return _value_spec_mask(a, spec, pc)
 
 
+def _int_type_range(t) -> tuple[int, int]:
+    """Representable [min, max] of an arrow integer type."""
+    bits = t.bit_width
+    if pa.types.is_signed_integer(t):
+        return -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    return 0, (1 << bits) - 1
+
+
 def _value_spec_mask(a, spec: tuple, pc):
     if spec[0] == "range":
+        lo, hi = spec[1], spec[2]
+        if pa.types.is_integer(a.type):
+            # bounds arrive in int64 (e.g. a bigint literal compared
+            # against an int32 column); clamp to the physical dtype so
+            # pa.scalar doesn't overflow — an empty clamped range is the
+            # Kleene all-false mask (false for values, null for nulls)
+            tmin, tmax = _int_type_range(a.type)
+            if lo > tmax or hi < tmin:
+                return pc.less(a, a)
+            lo, hi = max(lo, tmin), min(hi, tmax)
         return pc.and_kleene(
-            pc.greater_equal(a, pa.scalar(spec[1], type=a.type)),
-            pc.less_equal(a, pa.scalar(spec[2], type=a.type)),
+            pc.greater_equal(a, pa.scalar(lo, type=a.type)),
+            pc.less_equal(a, pa.scalar(hi, type=a.type)),
         )
     if spec[0] == "frange":
         # Spark float semantics: NaN sorts above +inf, so NaN satisfies
@@ -949,7 +967,13 @@ def _value_spec_mask(a, spec: tuple, pc):
             cm = pm if cm is None else pc.or_kleene(cm, pm)
         return cm
     # "in"/"intin": SQL semantics — null never matches
-    return pc.is_in(a, value_set=pa.array(spec[2], type=a.type))
+    vals = spec[2]
+    if pa.types.is_integer(a.type):
+        tmin, tmax = _int_type_range(a.type)
+        vals = [v for v in vals if tmin <= v <= tmax]
+        if not vals:
+            return pc.less(a, a)
+    return pc.is_in(a, value_set=pa.array(vals, type=a.type))
 
 
 def _chunk_mask(arrs: dict, predicates: dict):

@@ -103,6 +103,74 @@ def _attr_name(e) -> str:
     return str(e.name())
 
 
+_INT_WIDEN = ("tinyint", "smallint", "int", "bigint")
+
+
+def _is_col(e) -> bool:
+    """True if e is a column reference, possibly under Casts."""
+    while _cls(e) == "Cast":
+        e = e.child()
+    return _cls(e) == "AttributeReference"
+
+
+def _session_tz_fixed_utc(tz: str | None = None) -> bool:
+    """True iff the (session) timezone is a FIXED zero offset — UTC,
+    Etc/UTC, GMT, +00:00 — checked against the JVM's own zone rules, not a
+    string allow-list. This is exactly the condition under which Spark's
+    timestamp_ntz <-> timestamp cast is the identity on epoch micros; any
+    zone with DST has a non-monotone wall-clock <-> instant map, so a
+    comparison bound cannot be translated across the cast at all."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    if tz is None:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        jvm = spark._jvm
+        rules = jvm.java.time.ZoneId.of(tz).getRules()
+        return bool(rules.isFixedOffset()) and rules.getOffset(
+            jvm.java.time.Instant.EPOCH).getTotalSeconds() == 0
+    except Exception:
+        return False
+
+
+def _unwrap_col(e):
+    """Strip a value-preserving Cast around the COLUMN side of a
+    comparison so natural phrasings route: the analyzer casts the column
+    when its type is narrower than the literal's (an int column vs a
+    bigint literal; a timestamp_ntz column vs a ``timestamp'...'``
+    literal). Unwrapping is sound only when the cast is the identity on
+    the engine's physical representation (int64 zone maps / epoch micros):
+
+    - integer widening (tinyint -> ... -> bigint): exact embedding;
+    - timestamp <-> timestamp_ntz when the session zone is a fixed zero
+      offset (see _session_tz_fixed_utc): both sides are the same
+      epoch-micros int64.
+
+    Any other cast stays wrapped and _attr_name falls the plan back.
+    Returns (expr, comparison_domain): the possibly-unwrapped expression
+    plus the type the comparison actually runs in (the outermost type),
+    which is the domain literal bounds must resolve in."""
+    dom = str(e.dataType().simpleString())
+    if _cls(e) != "Cast":
+        return e, dom
+    child = e.child()
+    if _cls(child) != "AttributeReference":
+        return e, dom
+    src = str(child.dataType().simpleString())
+    if (src in _INT_WIDEN and dom in _INT_WIDEN
+            and _INT_WIDEN.index(dom) >= _INT_WIDEN.index(src)):
+        return child, dom
+    if src == "float" and dom == "double":
+        # exact embedding, and the engine's float32 kernels already
+        # compare promoted to double (tests/test_float_predicates)
+        return child, dom
+    if ({src, dom} <= {"timestamp", "timestamp_ntz"}
+            and _session_tz_fixed_utc()):
+        return child, dom
+    return e, dom
+
+
 def _flatten_and(cond) -> list:
     if _cls(cond) == "And":
         return _flatten_and(cond.left()) + _flatten_and(cond.right())
@@ -163,19 +231,22 @@ def _leaf_to_constraint(c) -> tuple:
         forms = [_constraint_to_userform(k, v) for k, _, v in subs]
         return ("or", cols.pop(), forms)
     if name == "Between":  # RuntimeReplaceable: input BETWEEN lower AND upper
-        col = _attr_name(c.input())
-        dom = str(c.input().dataType().simpleString())
+        inp, dom = _unwrap_col(c.input())
+        col = _attr_name(inp)
         return ("between", col,
                 (_literal(c.lower(), dom), _literal(c.upper(), dom)))
     if name == "EqualTo":
         l, r = c.left(), c.right()
-        if _cls(l) != "AttributeReference":  # literal = col form
+        if not _is_col(l):  # literal = col form
             l, r = r, l
-        return ("eq", _attr_name(l), _literal(r))
+        l, dom = _unwrap_col(l)
+        return ("eq", _attr_name(l), _literal(r, dom))
     if name == "In":
-        col = _attr_name(c.value())
+        v, dom = _unwrap_col(c.value())
+        col = _attr_name(v)
         lst = c.list()
-        return ("in", col, [_literal(lst.apply(i)) for i in range(lst.size())])
+        return ("in", col,
+                [_literal(lst.apply(i), dom) for i in range(lst.size())])
     if name == "Like":
         col = _attr_name(c.left())
         pat = _literal(c.right())
@@ -186,10 +257,11 @@ def _leaf_to_constraint(c) -> tuple:
     if name in ("GreaterThan", "GreaterThanOrEqual",
                 "LessThan", "LessThanOrEqual"):
         l, r = c.left(), c.right()
-        flip = _cls(l) != "AttributeReference"
+        flip = not _is_col(l)
         if flip:  # literal <op> col == col <flipped-op> literal
             l, r = r, l
-        col, v = _attr_name(l), _literal(r)
+        l, dom = _unwrap_col(l)
+        col, v = _attr_name(l), _literal(r, dom)
         lower = name.startswith("Greater") ^ flip
         if isinstance(v, float):
             if name in ("GreaterThan", "LessThan"):

@@ -359,3 +359,104 @@ def test_time_minmax_cast_back_all_types(spark, tmp_path):
             == [f.dataType for f in slow.schema.fields], sql
         assert sorted(map(repr, map(tuple, fast.collect()))) \
             == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+@pytest.fixture(scope="module")
+def cast_store(spark, tmp_path_factory):
+    """Store whose column types are NARROWER than natural SQL literals:
+    timestamp_ntz vs timestamp'...' (session-tz) literals, int vs bigint
+    literals, float vs double literals — the analyzer wraps the COLUMN in
+    a Cast for each, which the router must unwrap (value-preserving under
+    a fixed-UTC session zone / exact widening) for the statement to
+    route."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(hours=3 * i, microseconds=i),
+            int(i % 997),
+            float(np.float32(i) / np.float32(7)),
+            ["a", "b", "c"][i % 3],
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp_ntz, iv int, fv float, tag string")
+    out = str(tmp_path_factory.mktemp("caststore")) + "/store"
+    engine.run_encode(spark, df, out, buckets=4, salt_col="tag")
+    return out
+
+
+CAST_ROUTABLE = [
+    # timestamp_ntz column vs session-tz timestamp literal (UTC session)
+    "SELECT count(*) AS c FROM ev WHERE ts > timestamp'2024-03-01'",
+    "SELECT count(*) AS c FROM ev WHERE timestamp'2024-03-01' <= ts",
+    "SELECT count(*) AS c FROM ev WHERE timestamp'2024-06-01' > ts",
+    "SELECT tag, count(*) AS c, min(ts) AS mn FROM ev "
+    "WHERE ts BETWEEN timestamp'2024-02-01' AND timestamp'2024-06-01' "
+    "GROUP BY tag",
+    "SELECT count(*) AS c FROM ev "
+    "WHERE ts IN (timestamp'2024-01-01', timestamp'2024-01-01 03:00:00')",
+    # int column vs bigint literal (cast only appears past int32 range)
+    "SELECT count(*) AS c FROM ev WHERE iv < 5000000000",
+    "SELECT count(*) AS c FROM ev WHERE iv > CAST(500 AS BIGINT)",
+    "SELECT tag, sum(iv) AS s FROM ev WHERE iv = CAST(13 AS BIGINT) "
+    "GROUP BY tag",
+    # in-list / bounds beyond the column's physical int32 range: the
+    # kernels clamp to the dtype (never overflow pa.scalar)
+    "SELECT count(*) AS c FROM ev WHERE iv IN (13, 5000000000)",
+    "SELECT count(*) AS c FROM ev WHERE iv = 5000000000",
+    "SELECT count(*) AS c FROM ev WHERE iv > CAST(500 AS BIGINT) "
+    "AND iv < 6000000000",
+    # float column vs double literal (exact widening; kernel compares
+    # promoted)
+    "SELECT count(*) AS c FROM ev WHERE fv > 100.5",
+    "SELECT count(*) AS c FROM ev WHERE fv <= 10.25 AND fv >= 0.5",
+]
+
+
+@pytest.mark.parametrize("sql", CAST_ROUTABLE)
+def test_cast_wrapped_columns_route(spark, cast_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": cast_store}) \
+        is not None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": cast_store})
+    slow = spark.sql(sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+def test_ntz_cast_falls_back_outside_fixed_utc(spark, cast_store):
+    """Under a DST zone the wall-clock <-> instant map is non-monotone, so
+    the ntz<->tz cast must NOT be unwrapped — the statement falls back
+    (and is still correct via Spark's own execution)."""
+    sql = "SELECT count(*) AS c FROM ev WHERE ts > timestamp'2024-03-01'"
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert sqlagg.route_agg_sql(spark, sql, {"ev": cast_store}) is None
+        fast = sqlagg.store_agg_sql(spark, sql, {"ev": cast_store})
+        slow = spark.sql(sql)
+        assert fast.collect()[0]["c"] == slow.collect()[0]["c"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    # int widening is zone-independent: still routes under the DST zone
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert sqlagg.route_agg_sql(
+            spark, "SELECT count(*) AS c FROM ev WHERE iv < 5000000000",
+            {"ev": cast_store}) is not None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_session_tz_fixed_utc_rules(spark):
+    """The zone check consults the JVM's own rules: every fixed-zero-offset
+    spelling passes, any DST or nonzero-offset zone fails."""
+    for tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        assert sqlagg._session_tz_fixed_utc(tz), tz
+    for tz in ("America/New_York", "Europe/Berlin", "Etc/GMT-1",
+               "+01:00", "Asia/Kolkata", "not-a-zone"):
+        assert not sqlagg._session_tz_fixed_utc(tz), tz
