@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_clustered_prune": Q.q_roundtrip_clustered_prune,
         "decode_value_range": Q.q_decode_value_range,
         "store_sql_filter": Q.q_store_sql_filter,
-        "store_group_counts": Q.q_store_group_counts,
+        "store_group_daily": Q.q_store_group_daily,
         "store_agg_window": Q.q_store_agg_window,
         "store_group_sums": Q.q_store_group_sums,
         "store_sqlagg_route": Q.q_store_sqlagg_route,
@@ -159,10 +159,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE lang = 'en' AND source LIKE 'src1%'"
         ),
-        # GROUP BY pushed to the codec layer (dictionary bincount / RLE run
-        # lengths); oracle GROUP BYs the source
-        "store_group_counts": (
-            "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+        # derived time-key GROUP BY (round 5): calendar keys computed inside
+        # the grouped kernel before code assignment; oracle GROUP BYs the
+        # source (CASTs: DuckDB year/month/day return BIGINT, sum HUGEINT)
+        "store_group_daily": (
+            "SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, "
+            "CAST(day(ts) AS INT) AS d, count(*) AS cnt, "
+            "CAST(sum(user_id) AS BIGINT) AS sum_uid, "
+            "count(value) AS nn_value, min(event_id) AS min_id "
+            "FROM events GROUP BY year(ts), month(ts), day(ts)"
         ),
         # SUM/MIN/MAX pushdown (format v7): interior window buckets answered
         # from commit-record exact sums; oracle aggregates the filtered

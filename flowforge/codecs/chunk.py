@@ -579,13 +579,64 @@ def chunk_group_sums(g_payload: bytes, g_meta: dict,
                      "mx": r.column("v_max").cast(pa.int64())})
 
 
-def _group_codes(payload: bytes, meta: dict, n: int
-                 ) -> tuple[np.ndarray, pa.Array]:
+#: date_trunc units the derived-key kernel flooring supports (identical
+#: vocabularies in pyarrow's floor_temporal and Spark's date_trunc)
+TRUNC_UNITS = frozenset((
+    "year", "quarter", "month", "week", "day",
+    "hour", "minute", "second", "millisecond", "microsecond"))
+
+#: calendar-part extractors for derived ("part", name) group keys
+_PART_FNS = ("year", "quarter", "month", "day",
+             "hour", "minute", "second")
+
+
+def apply_group_transform(arr: pa.Array, transform) -> pa.Array:
+    """Project a time column onto its derived GROUP BY key — ``("date",)``
+    (CAST AS DATE / to_date), ``("trunc", unit[, out_tz])`` (date_trunc),
+    or ``("part", name)`` (year/month/.../second) — BEFORE dictionary
+    encoding, so the per-chunk ndv collapses from O(rows) raw timestamps
+    to a handful of buckets and the docs-per-day rollup aggregates on tiny
+    code streams (round 5).
+
+    Instant (tz-aware) inputs first drop the zone label: Arrow stores
+    tz-aware timestamps physically as UTC epoch, so the naive view IS the
+    UTC wall clock — the SQL router only routes instant columns under a
+    fixed-zero-offset session zone, where Spark's own wall-clock
+    projection is exactly UTC. All three kinds floor CALENDAR-wise
+    (floor_temporal), matching Spark for pre-1970 values where a plain
+    integer division would round toward zero."""
+    if pa.types.is_timestamp(arr.type) and arr.type.tz is not None:
+        arr = arr.cast(pa.timestamp(arr.type.unit))
+    import pyarrow.compute as pc
+    kind = transform[0]
+    if kind == "date":
+        if pa.types.is_date(arr.type):
+            return arr
+        return pc.floor_temporal(arr, unit="day").cast(pa.date32())
+    if kind == "trunc":
+        unit = transform[1]
+        if unit not in TRUNC_UNITS:
+            raise ValueError(f"unsupported trunc unit {unit!r}")
+        out = pc.floor_temporal(arr, unit=unit, week_starts_monday=True)
+        tz = transform[2] if len(transform) > 2 and transform[2] else "UTC"
+        return out.cast(pa.timestamp("us")).cast(pa.timestamp("us", tz=tz))
+    if kind == "part":
+        name = transform[1]
+        if name not in _PART_FNS:
+            raise ValueError(f"unsupported part extractor {name!r}")
+        return getattr(pc, name)(arr).cast(pa.int32())
+    raise ValueError(f"unknown group transform {transform!r}")
+
+
+def _group_codes(payload: bytes, meta: dict, n: int,
+                 transform=None) -> tuple[np.ndarray, pa.Array]:
     """One group column chunk -> (codes int64[n], values) where
     ``values[codes[i]]`` is row i's group value and nulls take the last
     code (a null entry appended to values). Dict-coded bytes chunks read
     the packed code stream directly (no row materialization); anything
-    else decodes and dictionary-encodes (vectorized Arrow hash)."""
+    else decodes and dictionary-encodes (vectorized Arrow hash).
+    ``transform`` (round 5) derives the key via
+    :func:`apply_group_transform` before the dictionary encode."""
     t = parse_type(meta["type"])
     m = meta["m"]
     nulls = int(meta["nulls"])
@@ -607,6 +658,9 @@ def _group_codes(payload: bytes, meta: dict, n: int
             bytescodecs.parts_to_arrow(d_lens, d_data), t)
     else:
         arr = decode_array(payload, meta, n)
+        if transform is not None:
+            arr = apply_group_transform(arr, transform)
+            t = arr.type  # derived key domain (date32/timestamp/int32)
         denc = arr.dictionary_encode()
         idx = denc.indices
         values = denc.dictionary.cast(t)
@@ -661,7 +715,15 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
     streams — the combined key, ``np.unique`` and inverse index are
     computed ONCE and every agg column scatters through them. Output
     columns are then ``sum{j}/nn{j}/mn{j}/mx{j}`` per spec index j
-    (mutually exclusive with ``a_chunk``)."""
+    (mutually exclusive with ``a_chunk``).
+
+    A ``g_chunks`` entry may be ``(payload, meta, transform)`` (round 5,
+    derived time keys): the transform projects the column through
+    :func:`apply_group_transform` before its codes are computed, so
+    ``GROUP BY to_date(ts)`` groups on per-day codes, never raw
+    timestamps."""
+    g_chunks = [(e[0], e[1], e[2] if len(e) > 2 else None)
+                for e in g_chunks]
     legacy = a_specs is None
     if legacy:
         a_specs = ([] if a_chunk is None
@@ -681,15 +743,17 @@ def chunk_group_multi(g_chunks: list[tuple[bytes, dict]],
                  for c in tbl.schema.names])
         return tbl
 
-    cols = [_group_codes(p, m, n) for p, m in g_chunks]
+    cols = [_group_codes(p, m, n, transform=tr) for p, m, tr in g_chunks]
     ngs = [len(v) for _, v in cols]
     prod = 1
     for ng in ngs:
         prod *= max(1, ng)
     if prod >= (1 << 62):  # no composite code space: decode + hash-agg
         names = [f"g{i}" for i in range(len(g_chunks))]
-        data = {f"g{i}": decode_array(p, m, n)
-                for i, (p, m) in enumerate(g_chunks)}
+        data = {f"g{i}": (decode_array(p, m, n) if tr is None
+                          else apply_group_transform(
+                              decode_array(p, m, n), tr))
+                for i, (p, m, tr) in enumerate(g_chunks)}
         for j, (p, m, co) in enumerate(a_specs):
             if co:
                 data[f"v{j}"] = pa.array(

@@ -2441,7 +2441,8 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
         F.max("mx").cast("long").alias("mx"))
 
 
-def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
+def _make_group_multi_kernel(out_dir: str,
+                             group_specs: list[tuple[str, object, str]],
                              agg_specs: list[tuple[str, bool]],
                              predicates: dict | None = None,
                              out_names: list[str] | None = None):
@@ -2454,15 +2455,21 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
     handling mirrors _make_group_agg_kernel (bucket flags, zone proofs,
     boundary-chunk masks). ``agg_specs`` is [(col, count_only)] per agg
     column; a count-only column's payloads are read just for null-carrying
-    chunks (validity section), never decoded."""
+    chunks (validity section), never decoded.
+
+    ``group_specs`` is [(src_col, transform|None, out_name)] per group
+    dimension (round 5): a transform derives the key
+    (chunk.apply_group_transform — to_date/date_trunc/year...) inside the
+    kernel, before code computation; a source column shared by several
+    derived keys is read once."""
     predicates = predicates or {}
     pred_cols = list(predicates)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         manifest = Manifest(out_dir)
-        read_cols = list(group_cols)
+        read_cols = list(dict.fromkeys(src for src, _, _ in group_specs))
         names = out_names or (
-            list(group_cols) + ["cnt"]
+            [out for _, _, out in group_specs] + ["cnt"]
             + [f"{k}{j}" for j in range(len(agg_specs))
                for k in ("sum", "nn", "mn", "mx")])
         for batch in batches:
@@ -2481,14 +2488,14 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                        if need_mask else None)
                 tabs = {c: pq.read_table(manifest.chunk_read_path(c, bucket),
                                          filters=flt)
-                        for c in group_cols}
+                        for c in read_cols}
                 by_seq = {
                     c: {int(s): (json.loads(m), p)
                         for s, m, p in zip(t.column("chunk_seq").to_pylist(),
                                            t.column("meta").to_pylist(),
                                            t.column("payload").to_pylist())}
                     for c, t in tabs.items()
-                }
+                }  # keyed by SOURCE column; group_specs map srcs to keys
                 a_by_seq: list[dict] = []
                 for acol, co in agg_specs:
                     if co:
@@ -2530,8 +2537,10 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
                         mask = masks[s]
                     else:
                         mask = None
-                    g_chunks = [by_seq[c][s] for c in group_cols]
-                    g_chunks = [(p, m) for m, p in g_chunks]
+                    g_chunks = []
+                    for src, transform, _ in group_specs:
+                        m, p = by_seq[src][s]
+                        g_chunks.append((p, m, transform))
                     specs = []
                     for (acol, co), seq_map in zip(agg_specs, a_by_seq):
                         am, ap = seq_map[s]
@@ -2547,7 +2556,8 @@ def _make_group_multi_kernel(out_dir: str, group_cols: list[str],
 
 
 def group_multi_table(spark: SparkSession, out_dir: str,
-                      group_cols: list[str], agg_col: str | None = None,
+                      group_cols: list[str | tuple],
+                      agg_col: str | None = None,
                       predicates: dict | None = None,
                       count_only: bool = False,
                       agg_specs: list[tuple[str, bool]] | None = None
@@ -2573,7 +2583,20 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     per spec index, so ``SELECT lang, count(*), sum(n_chars), count(html),
     max(warc_ts) GROUP BY lang`` is one read of the group code streams
     with each agg payload read once (count-only columns: validity only).
-    Mutually exclusive with ``agg_col``."""
+    Mutually exclusive with ``agg_col``.
+
+    A ``group_cols`` entry may be ``(src_col, transform, out_name)``
+    (round 5, derived time keys): the kernel projects ``src_col`` through
+    ``chunk.apply_group_transform`` — ``("date",)`` for
+    CAST AS DATE/to_date, ``("trunc", unit[, tz_label])`` for date_trunc,
+    ``("part", name)`` for year/quarter/month/day/hour/minute/second —
+    before computing group codes, so ``GROUP BY to_date(warc_ts), lang``
+    (the docs-per-day corpus audit) aggregates per-chunk on a handful of
+    derived codes and the shuffle stays O(buckets x observed groups). The
+    source must be a time column (timestamp/timestamp_ntz/date); instant
+    sources assume a fixed-UTC wall clock (the SQL router gates on the
+    session zone). Output field: date for "date", timestamp for "trunc"
+    (Spark's date_trunc always returns timestamp), int for "part"."""
     if agg_specs is not None and agg_col is not None:
         raise ValueError("pass agg_col or agg_specs, not both")
     legacy = agg_specs is None
@@ -2582,7 +2605,19 @@ def group_multi_table(spark: SparkSession, out_dir: str,
     spec_cols = [c for c, _ in specs]
     if len(group_cols) < 1:
         raise ValueError("group_multi_table needs at least one group column")
-    if len(set(group_cols)) != len(group_cols):
+    # normalize group entries to (src, transform|None, out_name)
+    groups: list[tuple[str, tuple | None, str]] = []
+    for g in group_cols:
+        if isinstance(g, str):
+            groups.append((g, None, g))
+        else:
+            src, transform, out_name = g
+            groups.append((str(src),
+                           tuple(transform) if transform else None,
+                           str(out_name)))
+    out_group_names = [out for _, _, out in groups]
+    plain_srcs = {src for src, tr, _ in groups if tr is None}
+    if len(set(out_group_names)) != len(out_group_names):
         raise ValueError("duplicate group columns")
     if len(set(spec_cols)) != len(spec_cols):
         raise ValueError("duplicate agg columns")
@@ -2593,19 +2628,30 @@ def group_multi_table(spark: SparkSession, out_dir: str,
                  for j in range(len(specs))]
     reserved = {"cnt", "sum", "nn", "mn", "mx",
                 *(nm for quad in quads for nm in quad)}
-    for col in group_cols + spec_cols:
+    for col in out_group_names + spec_cols:
         if col in reserved:
             raise ValueError(
                 f"column name {col!r} collides with an output alias")
-    if any(c in group_cols for c in spec_cols):
+    # an agg column may equal a DERIVED key's source (min(ts) grouped by
+    # to_date(ts) is the natural first/last-per-day audit); only a plain
+    # group dimension conflicts
+    if any(c in plain_srcs or c in out_group_names for c in spec_cols):
         raise ValueError("agg column must differ from group columns")
     meta, nonempty = _plan_store(out_dir)
-    for col in group_cols + spec_cols:
+    for col in [src for src, _, _ in groups] + spec_cols:
         if col not in meta["columns"]:
             raise ValueError(
                 f"unknown column {col!r}; store has {meta['columns']}")
     spark_schema = T.StructType.fromJson(meta["spark_schema"])
     by_field = {f.name: f for f in spark_schema.fields}
+    for src, transform, _ in groups:
+        if transform is None:
+            continue
+        s_type = by_field[src].dataType.simpleString()
+        if s_type not in _TIME_TYPES:
+            raise ValueError(
+                f"derived group key needs a time source column; "
+                f"{src!r} is {s_type}")
     for acol, co in specs:
         if co:
             continue  # COUNT(col): any stored type counts
@@ -2615,8 +2661,12 @@ def group_multi_table(spark: SparkSession, out_dir: str,
                 f"grouped-agg pushdown needs an integral or time agg "
                 f"column; {acol!r} is {a_type}. COUNT(col) over any "
                 f"type: pass count_only=True")
-    fields = [T.StructField(c, by_field[c].dataType, True)
-              for c in group_cols]
+    _DERIVED_FIELD = {"date": T.DateType(), "trunc": T.TimestampType(),
+                      "part": T.IntegerType()}
+    fields = [T.StructField(
+        out, by_field[src].dataType if transform is None
+        else _DERIVED_FIELD[transform[0]], True)
+        for src, transform, out in groups]
     fields.append(T.StructField("cnt", T.LongType(), False))
     for sname, nname, mnname, mxname in quads:
         fields.append(T.StructField(sname, T.LongType(), True))
@@ -2637,8 +2687,8 @@ def group_multi_table(spark: SparkSession, out_dir: str,
                       T.StructField("all_match", T.BooleanType(), False)])
     ).repartition(len(rows))
     partials = buckets_df.mapInArrow(
-        _make_group_multi_kernel(out_dir, group_cols, specs, preds,
-                                 out_names=[f.name for f in fields]),
+        _make_group_multi_kernel(out_dir, groups, specs, preds,
+                                 out_names=[f.name for f in out_schema]),
         out_schema)
     aggs = [F.sum("cnt").cast("long").alias("cnt")]
     for sname, nname, mnname, mxname in quads:
@@ -2646,7 +2696,7 @@ def group_multi_table(spark: SparkSession, out_dir: str,
         aggs.append(F.sum(nname).cast("long").alias(nname))
         aggs.append(F.min(mnname).cast("long").alias(mnname))
         aggs.append(F.max(mxname).cast("long").alias(mxname))
-    return partials.groupBy(*group_cols).agg(*aggs)
+    return partials.groupBy(*out_group_names).agg(*aggs)
 
 
 def decode_table(

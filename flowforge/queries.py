@@ -264,14 +264,30 @@ def q_store_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.count_table(spark, out, predicates={"ts": (lo, hi)})
 
 
-def q_store_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY pushdown to the codec layer (round-4): lang value counts
-    from the documents store where dict-coded chunks bincount the packed
-    code stream against the dictionary store — the n-row lang column is
-    never materialized, per-bucket partials (O(buckets x ndv) rows) shuffle
-    into the final groupBy-sum. The oracle GROUP BYs the source."""
-    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    return engine.value_counts_table(spark, out, "lang")
+def q_store_group_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived time-key GROUP BY pushdown (round 5): the events-per-day
+    corpus audit typed as plain SQL — ``GROUP BY year(ts), month(ts),
+    day(ts)`` routes to the composite group kernel with the calendar keys
+    computed INSIDE the kernel (chunk.apply_group_transform) before code
+    assignment, so the per-chunk key cardinality collapses from O(rows)
+    raw timestamps to a handful of days and the shuffle stays
+    O(buckets x days); count(value) rides the validity-only nn partial
+    and sum/min scatter through the same single np.unique pass. Route is
+    asserted (a silent fallback would test nothing). Supersedes round-4's
+    ``store_group_counts`` (plain single-column value counts — the same
+    packed-code bincount family, still driver-oracled via
+    store_group_sums / store_sqlagg_grouped_where and pytest-pinned in
+    tests/test_aggregate_pushdown.py)."""
+    from . import sqlagg
+
+    out = _ensure_store_clustered(spark, sf_dir, "events", "ts")
+    sql = ("SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, "
+           "count(*) AS cnt, sum(user_id) AS sum_uid, "
+           "count(value) AS nn_value, min(event_id) AS min_id "
+           "FROM ev GROUP BY year(ts), month(ts), day(ts)")
+    if sqlagg.route_agg_sql(spark, sql, {"ev": out}) is None:
+        raise RuntimeError("store_group_daily: statement failed to route")
+    return sqlagg.store_agg_sql(spark, sql, {"ev": out})
 
 
 def q_store_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:

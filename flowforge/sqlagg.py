@@ -171,6 +171,97 @@ def _unwrap_col(e):
     return e, dom
 
 
+#: Spark date_trunc format spellings -> arrow floor_temporal units
+_TRUNC_FMT = {
+    "year": "year", "yyyy": "year", "yy": "year",
+    "quarter": "quarter",
+    "month": "month", "mon": "month", "mm": "month",
+    "week": "week",
+    "day": "day", "dd": "day",
+    "hour": "hour", "minute": "minute", "second": "second",
+    "millisecond": "millisecond", "microsecond": "microsecond",
+}
+
+#: Catalyst calendar-part extractors -> kernel ("part", name) transforms
+_PART_CLS = {"Year": "year", "Quarter": "quarter", "Month": "month",
+             "DayOfMonth": "day", "Hour": "hour", "Minute": "minute",
+             "Second": "second"}
+
+
+def _time_src(e) -> str:
+    """The underlying time-typed source column of a derived group key.
+    Wall-clock projections of an INSTANT (``timestamp``) column are
+    session-zone-dependent, so those route only under a fixed-zero-offset
+    session zone — the kernels floor in UTC (arrow's physical tz-aware
+    representation IS UTC epoch). ``timestamp_ntz`` and ``date`` sources
+    are wall-clock-native and route under any zone; the ntz->timestamp
+    cast Spark injects under date_trunc is unwrapped (and thereby
+    UTC-gated) by _unwrap_col."""
+    e, _ = _unwrap_col(e)
+    if _cls(e) != "AttributeReference":
+        raise _Unroutable(f"derived key over {e.sql()}")
+    st = str(e.dataType().simpleString())
+    if st not in ("timestamp", "timestamp_ntz", "date"):
+        raise _Unroutable(f"derived key over a {st} column")
+    if st == "timestamp" and not _session_tz_fixed_utc():
+        raise _Unroutable(
+            "derived time key on an instant column outside a fixed-UTC "
+            "session zone")
+    return str(e.name())
+
+
+def _opt_empty(opt) -> bool:
+    """True if a py4j-surfaced scala Option is None/empty."""
+    if opt is None:
+        return True
+    try:
+        return bool(opt.isEmpty())
+    except Exception:
+        return str(opt) == "None"
+
+
+def _parse_group_expr(e) -> tuple[str, tuple | None]:
+    """Analyzed grouping expression -> (source column, engine transform).
+    Plain columns pass through (transform None); the derived time keys a
+    corpus audit types — ``CAST(ts AS DATE)`` / ``to_date(ts)``,
+    ``date_trunc(unit, ts)``, ``year/quarter/month/day/hour/minute/
+    second(ts)`` — become chunk.apply_group_transform specs computed
+    inside the grouped kernels, so docs-per-day over 10^12 rows
+    aggregates per-chunk on a handful of derived codes, never raw
+    timestamps. Anything else is unroutable (falls back)."""
+    name = _cls(e)
+    if name == "AttributeReference":
+        return str(e.name()), None
+    if name == "Cast" and str(e.dataType().simpleString()) == "date":
+        return _time_src(e.child()), ("date",)
+    if name == "ParseToDate":
+        if not _opt_empty(e.format()):
+            raise _Unroutable("to_date with an explicit format")
+        return _time_src(e.left()), ("date",)
+    if name == "TruncTimestamp":
+        fmt = e.format()
+        if _cls(fmt) != "Literal" or fmt.value() is None:
+            raise _Unroutable("non-literal date_trunc format")
+        unit = _TRUNC_FMT.get(str(fmt.value()).lower())
+        if unit is None:
+            # Spark returns NULL rows for an unknown format — never route
+            raise _Unroutable(f"date_trunc format {str(fmt.value())!r}")
+        spark = SparkSession.getActiveSession()
+        tz = str(spark.conf.get("spark.sql.session.timeZone"))
+        return _time_src(e.timestamp()), ("trunc", unit, tz)
+    part = _PART_CLS.get(name)
+    if part is not None:
+        ch = e.children()
+        if ch.size() != 1:
+            raise _Unroutable(f"{name} arity {ch.size()}")
+        inner = ch.apply(0)
+        if _cls(inner) == "Cast" \
+                and str(inner.dataType().simpleString()) == "date":
+            inner = inner.child()  # year(ts) analyzes as Year(CAST AS DATE)
+        return _time_src(inner), ("part", part)
+    raise _Unroutable(f"group expression {name}")
+
+
 def _flatten_and(cond) -> list:
     if _cls(cond) == "And":
         return _flatten_and(cond.left()) + _flatten_and(cond.right())
@@ -678,9 +769,14 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     constraints, view = _filter_and_relation(node.child(), stores)
 
     ges = node.groupingExpressions()
-    group_cols = [_attr_name(ges.apply(i)) for i in range(ges.size())]
-    if len(set(group_cols)) != len(group_cols):
-        raise _Unroutable("duplicate GROUP BY columns")
+    gexprs = [ges.apply(i) for i in range(ges.size())]
+    parsed = [_parse_group_expr(g) for g in gexprs]
+    # output names: a plain key keeps its column name; a derived key takes
+    # the SELECT alias of the first item semantically equal to it (a
+    # derived key that never appears in the SELECT has no name to carry
+    # into the partials — fall back, the shape is marginal anyway)
+    g_names: list[str | None] = [src if tr is None else None
+                                 for src, tr in parsed]
 
     aggs: dict[str, tuple] = {}
     # (output name, "group"|"agg", group col name | None)
@@ -689,15 +785,19 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     aes = node.aggregateExpressions()
     for i in range(aes.size()):
         e = aes.apply(i)
-        # a group column may appear plain or re-aliased in the SELECT
+        # a group key may appear plain, re-aliased, or as the full derived
+        # expression in the SELECT — match semantically, not by name
         named = e
         out_name = str(e.name())
         out_id = int(e.exprId().id())
         if _cls(e) == "Alias":
             named = e.child()
-        if _cls(named) == "AttributeReference" \
-                and str(named.name()) in group_cols:
-            out_cols.append((out_name, "group", str(named.name())))
+        matched = next((gi for gi, g in enumerate(gexprs)
+                        if named.semanticEquals(g)), None)
+        if matched is not None:
+            if g_names[matched] is None:
+                g_names[matched] = out_name
+            out_cols.append((out_name, "group", g_names[matched]))
         else:
             alias, spec = _parse_agg_fn(e)
             if alias in aggs:
@@ -707,6 +807,15 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if any(n == out_name for n, _, _ in out_cols[:-1]):
             raise _Unroutable(f"duplicate output name {out_name!r}")
         ids[out_id] = out_name
+    for (src, tr), out in zip(parsed, g_names):
+        if tr is not None and out is None:
+            raise _Unroutable("derived group key not in SELECT")
+    group_cols: list[str] = list(g_names)  # resolved output names
+    group_specs = [[src, list(tr) if tr else None, out]
+                   for (src, tr), out in zip(parsed, g_names)]
+    derived = any(tr for _, tr in parsed)
+    if len(set(group_cols)) != len(group_cols):
+        raise _Unroutable("duplicate GROUP BY columns")
     if not aggs and not group_cols:
         raise _Unroutable("no aggregate outputs")
     # group-by with no aggregates is how Spark analyzes SELECT DISTINCT col
@@ -799,8 +908,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             final.append((ids[key], out_name))
     return {
         "out_dir": stores[view],
-        "group_col": group_cols[0] if len(group_cols) == 1 else None,
+        "group_col": (group_cols[0]
+                      if len(group_cols) == 1 and not derived else None),
         "group_cols": group_cols,
+        "group_specs": group_specs,
         "aggs": aggs,
         "predicates": predicates,
         "out_cols": out_cols,
@@ -835,6 +946,17 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             predicates=r.get("predicates") or None)
     out_dir, group_cols = r["out_dir"], r["group_cols"]
     aggs, preds = r["aggs"], r["predicates"]
+    # engine-facing group args: plain names, or (src, transform, out_name)
+    # triples for derived time keys (group_specs absent on pre-round-5
+    # route dicts; group_cols alone then means all-plain)
+    gspecs = r.get("group_specs")
+    if gspecs:
+        gargs = [out if tr is None else (src, tuple(tr), out)
+                 for src, tr, out in gspecs]
+        derived = any(tr for _, tr, _ in gspecs)
+    else:
+        gargs = list(group_cols)
+        derived = False
     dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
     if dcols:
         # composite kernel with the distinct column as an extra dimension;
@@ -842,7 +964,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         dcol = next(iter(dcols))
         sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
         base = engine.group_multi_table(
-            spark, out_dir, group_cols + [dcol],
+            spark, out_dir, gargs + [dcol],
             agg_col=next(iter(sum_cols)) if sum_cols else None,
             predicates=preds or None)
         fin_aggs = [
@@ -896,24 +1018,24 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         # several agg columns: ONE group_multi_table pass carries per-
         # column partials (round 5) — the full corpus-audit SELECT routes
         base = engine.group_multi_table(
-            spark, out_dir, group_cols, predicates=preds or None,
+            spark, out_dir, gargs, predicates=preds or None,
             agg_specs=[(c, c not in value_cols) for c in src_list])
         jmap = {c: j for j, c in enumerate(src_list)}
     elif src_list:
         # COUNT(col) with no value aggregates runs the kernels in
         # count_only mode: the column's values never decode
         count_only = not value_cols
-        if len(group_cols) > 1:
+        if len(group_cols) > 1 or derived:
             base = engine.group_multi_table(
-                spark, out_dir, group_cols, agg_col=src_list[0],
+                spark, out_dir, gargs, agg_col=src_list[0],
                 predicates=preds or None, count_only=count_only)
         else:
             base = engine.group_agg_table(spark, out_dir, group_cols[0],
                                           src_list[0],
                                           predicates=preds or None,
                                           count_only=count_only)
-    elif len(group_cols) > 1:
-        base = engine.group_multi_table(spark, out_dir, group_cols,
+    elif len(group_cols) > 1 or derived:
+        base = engine.group_multi_table(spark, out_dir, gargs,
                                         predicates=preds or None)
     else:
         base = engine.value_counts_table(spark, out_dir, group_cols[0],

@@ -194,3 +194,75 @@ def test_agg_specs_validation(spark, store):
     # count-only lifts the type restriction
     engine.group_multi_table(spark, store, ["lang"],
                              agg_specs=[("text", True)]).collect()
+
+
+@pytest.fixture(scope="module")
+def ts_store(spark, tmp_path_factory):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=5 * i), ["en", "de"][i % 2],
+         i if i % 5 else None)
+        for i in range(1200)
+    ]
+    # pre-1970: calendar flooring must not round toward zero
+    rows += [(dt.datetime(1965, 3, 14, 22, 30) + dt.timedelta(hours=9 * i),
+              "old", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "ts timestamp, lang string, n int")
+    out = str(tmp_path_factory.mktemp("gmts")) + "/store"
+    engine.run_encode(spark, df, out, buckets=4, salt_col="lang")
+    return out, df
+
+
+def test_derived_time_keys_direct_api(spark, ts_store):
+    """group_multi_table with (src, transform, out_name) group entries:
+    derived keys (to_date / date_trunc / calendar parts) computed inside
+    the kernel match Spark's own expressions on the source rows — values
+    AND derived-field types — including two derived keys sharing one
+    source column (read once) and an agg over the derived key's source."""
+    out, df = ts_store
+    cases = [
+        ([("ts", ("date",), "day")], [F.to_date("ts").alias("day")]),
+        ([("ts", ("trunc", "week", "UTC"), "wk")],
+         [F.date_trunc("week", "ts").alias("wk")]),
+        ([("ts", ("part", "year"), "y"), ("ts", ("part", "month"), "m")],
+         [F.year("ts").alias("y"), F.month("ts").alias("m")]),
+        ([("ts", ("date",), "day"), "lang"],
+         [F.to_date("ts").alias("day"), F.col("lang")]),
+    ]
+    for gspec, exprs in cases:
+        fast = engine.group_multi_table(spark, out, gspec, agg_col="n")
+        slow = df.groupBy(*exprs).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n").cast("long").alias("sum"),
+            F.count("n").alias("nn"),
+            F.min("n").cast("long").alias("mn"),
+            F.max("n").cast("long").alias("mx"))
+        assert [f.dataType for f in fast.schema.fields] \
+            == [f.dataType for f in slow.schema.fields], gspec
+        assert sorted(map(repr, map(tuple, fast.collect()))) \
+            == sorted(map(repr, map(tuple, slow.collect()))), gspec
+    # min/max over the derived key's own SOURCE column is allowed
+    fast = engine.group_multi_table(
+        spark, out, [("ts", ("date",), "day")], agg_specs=[("ts", False)])
+    slow = df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.unix_micros(F.min("ts")).alias("mn0"),
+        F.unix_micros(F.max("ts")).alias("mx0"))
+    fr = {r["day"]: (r["cnt"], r["mn0"], r["mx0"])
+          for r in fast.collect()}
+    sr = {r["day"]: (r["cnt"], r["mn0"], r["mx0"])
+          for r in slow.collect()}
+    assert {d: (c, mn, mx) for d, (c, mn, mx) in fr.items()} == sr
+
+
+def test_derived_time_key_validation(spark, ts_store):
+    out, _ = ts_store
+    with pytest.raises(ValueError, match="time source"):
+        engine.group_multi_table(spark, out, [("lang", ("date",), "d")])
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.group_multi_table(spark, out, [("nope", ("date",), "d")])
+    with pytest.raises(ValueError, match="duplicate group"):
+        engine.group_multi_table(
+            spark, out, [("ts", ("date",), "d"), ("ts", ("trunc", "day"), "d")])

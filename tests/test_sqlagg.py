@@ -460,3 +460,147 @@ def test_session_tz_fixed_utc_rules(spark):
     for tz in ("America/New_York", "Europe/Berlin", "Etc/GMT-1",
                "+01:00", "Asia/Kolkata", "not-a-zone"):
         assert not sqlagg._session_tz_fixed_utc(tz), tz
+
+
+@pytest.fixture(scope="module")
+def time_store(spark, tmp_path_factory):
+    """Store with an instant timestamp, a wall-clock timestamp_ntz, a
+    dict-able group column, and a nullable int — the derived-time-key
+    routing surface (GROUP BY to_date/date_trunc/year/...). Includes
+    pre-1970 rows: calendar flooring must not round toward zero."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(hours=5 * i, microseconds=i),
+            base + dt.timedelta(hours=7 * i),
+            ["en", "de", "fr"][i % 3],
+            (i * 13) % 101 if i % 7 else None,
+        )
+        for i in range(2000)
+    ]
+    rows += [
+        (
+            dt.datetime(1965, 3, 14, 22, 30) + dt.timedelta(hours=9 * i),
+            dt.datetime(1965, 3, 14) + dt.timedelta(hours=11 * i),
+            "old",
+            i,
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, tn timestamp_ntz, lang string, n int")
+    out = str(tmp_path_factory.mktemp("timestore")) + "/store"
+    engine.run_encode(spark, df, out, buckets=4, salt_col="lang")
+    return out
+
+
+DERIVED_ROUTABLE = [
+    # CAST AS DATE / to_date over the instant column (UTC session)
+    "SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM ev "
+    "GROUP BY CAST(ts AS DATE)",
+    "SELECT to_date(ts) AS day, sum(n) AS s, count(*) AS c FROM ev "
+    "GROUP BY to_date(ts)",
+    # date_trunc across unit vocabularies, instant and ntz inputs
+    "SELECT date_trunc('week', ts) AS wk, count(*) AS c FROM ev "
+    "GROUP BY date_trunc('week', ts)",
+    "SELECT date_trunc('MM', ts) AS mo, count(*) AS c FROM ev "
+    "GROUP BY date_trunc('MM', ts)",
+    "SELECT date_trunc('month', tn) AS mo, avg(n) AS a FROM ev "
+    "GROUP BY date_trunc('month', tn)",
+    "SELECT date_trunc('quarter', ts) AS q, count(n) AS cn FROM ev "
+    "GROUP BY date_trunc('quarter', ts)",
+    # calendar parts (year/month over the injected CAST AS DATE; hour
+    # directly over the timestamp)
+    "SELECT year(ts) AS y, count(*) AS c FROM ev GROUP BY year(ts)",
+    "SELECT month(tn) AS m, count(*) AS c FROM ev GROUP BY month(tn)",
+    "SELECT hour(ts) AS h, min(n) AS mn, max(n) AS mx FROM ev "
+    "GROUP BY hour(ts)",
+    # derived + plain composite; WHERE/HAVING/ORDER BY/LIMIT compose;
+    # count(distinct) rides the composite kernel; agg over the derived
+    # key's own source column
+    "SELECT to_date(ts) AS day, lang, count(*) AS c, sum(n) AS s FROM ev "
+    "GROUP BY to_date(ts), lang",
+    "SELECT to_date(ts) AS day, count(*) AS c FROM ev WHERE lang = 'en' "
+    "GROUP BY to_date(ts)",
+    "SELECT to_date(ts) AS day, count(*) AS c FROM ev GROUP BY to_date(ts) "
+    "HAVING count(*) > 3 ORDER BY day LIMIT 10",
+    "SELECT to_date(ts) AS day, count(DISTINCT lang) AS dl FROM ev "
+    "GROUP BY to_date(ts)",
+    "SELECT to_date(ts) AS day, min(ts) AS first_ts FROM ev "
+    "GROUP BY to_date(ts)",
+]
+
+
+@pytest.mark.parametrize("sql", DERIVED_ROUTABLE)
+def test_derived_time_keys_route(spark, time_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) \
+        is not None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+DERIVED_FALLBACK = [
+    # Spark yields NULL for an unknown trunc format — must never route
+    "SELECT date_trunc('bogus', ts) AS b, count(*) AS c FROM ev "
+    "GROUP BY date_trunc('bogus', ts)",
+    # non-time group expression
+    "SELECT upper(lang) AS u, count(*) AS c FROM ev GROUP BY upper(lang)",
+    # a derived key that never appears in the SELECT has no output name
+    # to carry through the partials
+    "SELECT count(*) AS c FROM ev GROUP BY to_date(ts)",
+]
+
+
+@pytest.mark.parametrize("sql", DERIVED_FALLBACK)
+def test_derived_time_keys_fall_back(spark, time_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) is None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+def test_derived_time_keys_zone_gate(spark, time_store):
+    """Under a DST zone, wall-clock projections of the INSTANT column (and
+    date_trunc over ntz, whose analyzed form casts ntz->timestamp) must
+    fall back; pure wall-clock ntz keys are zone-independent and still
+    route with matching values."""
+    stores = {"ev": time_store}
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for sql in [
+            "SELECT to_date(ts) AS d, count(*) AS c FROM ev "
+            "GROUP BY to_date(ts)",
+            "SELECT date_trunc('day', ts) AS d, count(*) AS c FROM ev "
+            "GROUP BY date_trunc('day', ts)",
+            "SELECT hour(ts) AS h, count(*) AS c FROM ev GROUP BY hour(ts)",
+            "SELECT date_trunc('day', tn) AS d, count(*) AS c FROM ev "
+            "GROUP BY date_trunc('day', tn)",
+        ]:
+            assert sqlagg.route_agg_sql(spark, sql, stores) is None, sql
+            fast = sqlagg.store_agg_sql(spark, sql, stores)
+            slow = spark.sql(sql)
+            assert sorted(map(repr, map(tuple, fast.collect()))) \
+                == sorted(map(repr, map(tuple, slow.collect()))), sql
+        for sql in [
+            "SELECT to_date(tn) AS d, count(*) AS c FROM ev "
+            "GROUP BY to_date(tn)",
+            "SELECT month(tn) AS m, count(*) AS c FROM ev "
+            "GROUP BY month(tn)",
+        ]:
+            assert sqlagg.route_agg_sql(spark, sql, stores) is not None, sql
+            fast = sqlagg.store_agg_sql(spark, sql, stores)
+            slow = spark.sql(sql)
+            assert [f.dataType for f in fast.schema.fields] \
+                == [f.dataType for f in slow.schema.fields], sql
+            assert sorted(map(repr, map(tuple, fast.collect()))) \
+                == sorted(map(repr, map(tuple, slow.collect()))), sql
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
