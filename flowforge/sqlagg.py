@@ -733,7 +733,9 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     node, order = _peel_order(analyzed)
     if _cls(node) == "Distinct":
         # SELECT DISTINCT col analyzes as Distinct(Project([col])) — same
-        # engine answer as GROUP BY col with the counts dropped
+        # engine answer as GROUP BY col with the counts dropped. A derived
+        # time key ("SELECT DISTINCT to_date(ts)": which days have data)
+        # routes the same way through the transform-capable kernel.
         proj = node.child()
         if _cls(proj) != "Project" or proj.projectList().size() != 1:
             raise _Unroutable("DISTINCT beyond one plain column")
@@ -743,12 +745,17 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             out_name, item = str(item.name()), item.child()
         else:
             out_name = str(item.name())
-        group_col = _attr_name(item)
+        src, transform = _parse_group_expr(item)
+        gname = src if transform is None else out_name
         constraints, view = _filter_and_relation(proj.child(), stores)
-        return {"out_dir": stores[view], "group_col": group_col,
-                "group_cols": [group_col], "aggs": {},
+        return {"out_dir": stores[view],
+                "group_col": src if transform is None else None,
+                "group_cols": [gname],
+                "group_specs": [[src, list(transform) if transform else None,
+                                 gname]],
+                "aggs": {},
                 "predicates": _constraints_to_predicates(constraints),
-                "out_cols": [(out_name, "group", group_col)],
+                "out_cols": [(out_name, "group", gname)],
                 "having": None, "final": None,
                 "order": _resolve_order(order, {out_id: out_name}),
                 "limit": limit_k}

@@ -604,3 +604,24 @@ def test_derived_time_keys_zone_gate(spark, time_store):
                 == sorted(map(repr, map(tuple, slow.collect()))), sql
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_distinct_derived_time_key(spark, time_store):
+    """SELECT DISTINCT over a derived time key ('which days have data')
+    routes through the transform-capable kernel; plain DISTINCT and the
+    WHERE-filtered variant stay intact."""
+    stores = {"ev": time_store}
+    for sql in [
+        "SELECT DISTINCT to_date(ts) AS day FROM ev",
+        "SELECT DISTINCT date_trunc('month', ts) AS mo FROM ev "
+        "ORDER BY mo LIMIT 5",
+        "SELECT DISTINCT year(ts) AS y FROM ev WHERE lang = 'en'",
+        "SELECT DISTINCT lang FROM ev",
+    ]:
+        assert sqlagg.route_agg_sql(spark, sql, stores) is not None, sql
+        fast = sqlagg.store_agg_sql(spark, sql, stores)
+        slow = spark.sql(sql)
+        assert [f.dataType for f in fast.schema.fields] \
+            == [f.dataType for f in slow.schema.fields], sql
+        assert sorted(map(repr, map(tuple, fast.collect()))) \
+            == sorted(map(repr, map(tuple, slow.collect()))), sql
