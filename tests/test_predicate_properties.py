@@ -210,3 +210,91 @@ def test_null_or_bytes_soundness(values, spec, codec):
     mask = engine._chunk_mask({"c": decoded}, {"c": spec})
     got = [bool(m) if m is not None else False for m in mask.to_pylist()]
     assert got == expect, (values, spec)
+
+
+# ---------------------------------------------------------------------------
+# Derived time-key transforms (round 5): apply_group_transform vs an
+# INDEPENDENT pure-Python calendar derivation — no arrow temporal kernels
+# on the reference side, so a floor_temporal/cast bug cannot self-confirm.
+# Covers 1900-2100 (pre-1970 negatives included), microsecond payloads,
+# nulls, every trunc unit and calendar part.
+
+import datetime as _dt
+
+_dts = st.one_of(
+    st.none(),
+    st.datetimes(min_value=_dt.datetime(1900, 1, 1),
+                 max_value=_dt.datetime(2100, 12, 31, 23, 59, 59)),
+)
+_TRUNC = ["year", "quarter", "month", "week", "day",
+          "hour", "minute", "second", "millisecond", "microsecond"]
+_PARTS = ["year", "quarter", "month", "day", "hour", "minute", "second"]
+
+
+def _py_trunc(d: _dt.datetime, unit: str) -> _dt.datetime:
+    if unit == "year":
+        return d.replace(month=1, day=1, hour=0, minute=0, second=0,
+                         microsecond=0)
+    if unit == "quarter":
+        return d.replace(month=(d.month - 1) // 3 * 3 + 1, day=1, hour=0,
+                         minute=0, second=0, microsecond=0)
+    if unit == "month":
+        return d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if unit == "week":  # Monday
+        return (d - _dt.timedelta(days=d.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0)
+    if unit == "day":
+        return d.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "hour":
+        return d.replace(minute=0, second=0, microsecond=0)
+    if unit == "minute":
+        return d.replace(second=0, microsecond=0)
+    if unit == "second":
+        return d.replace(microsecond=0)
+    if unit == "millisecond":
+        return d.replace(microsecond=d.microsecond // 1000 * 1000)
+    return d  # microsecond
+
+
+def _py_part(d: _dt.datetime, part: str) -> int:
+    if part == "quarter":
+        return (d.month - 1) // 3 + 1
+    return getattr(d, part)
+
+
+@given(vals=st.lists(_dts, min_size=1, max_size=40),
+       unit=st.sampled_from(_TRUNC), tz_aware=st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_transform_trunc_matches_calendar(vals, unit, tz_aware):
+    t = pa.timestamp("us", tz="UTC") if tz_aware else pa.timestamp("us")
+    arr = pa.array(vals, type=t)
+    out = chunklib.apply_group_transform(arr, ("trunc", unit, "UTC"))
+    assert str(out.type) == "timestamp[us, tz=UTC]"
+    got = out.cast(pa.timestamp("us")).to_pylist()
+    want = [None if v is None else _py_trunc(v, unit) for v in vals]
+    assert got == want
+
+
+@given(vals=st.lists(_dts, min_size=1, max_size=40), tz_aware=st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_transform_date_matches_calendar(vals, tz_aware):
+    t = pa.timestamp("us", tz="UTC") if tz_aware else pa.timestamp("us")
+    arr = pa.array(vals, type=t)
+    out = chunklib.apply_group_transform(arr, ("date",))
+    assert out.type == pa.date32()
+    got = out.to_pylist()
+    want = [None if v is None else v.date() for v in vals]
+    assert got == want
+
+
+@given(vals=st.lists(_dts, min_size=1, max_size=40),
+       part=st.sampled_from(_PARTS), tz_aware=st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_transform_part_matches_calendar(vals, part, tz_aware):
+    t = pa.timestamp("us", tz="UTC") if tz_aware else pa.timestamp("us")
+    arr = pa.array(vals, type=t)
+    out = chunklib.apply_group_transform(arr, ("part", part))
+    assert out.type == pa.int32()
+    got = out.to_pylist()
+    want = [None if v is None else _py_part(v, part) for v in vals]
+    assert got == want
