@@ -188,15 +188,15 @@ _PART_CLS = {"Year": "year", "Quarter": "quarter", "Month": "month",
              "Second": "second"}
 
 
-def _time_src(e) -> str:
-    """The underlying time-typed source column of a derived group key.
-    Wall-clock projections of an INSTANT (``timestamp``) column are
-    session-zone-dependent, so those route only under a fixed-zero-offset
-    session zone — the kernels floor in UTC (arrow's physical tz-aware
-    representation IS UTC epoch). ``timestamp_ntz`` and ``date`` sources
-    are wall-clock-native and route under any zone; the ntz->timestamp
-    cast Spark injects under date_trunc is unwrapped (and thereby
-    UTC-gated) by _unwrap_col."""
+def _time_src(e) -> tuple[str, str]:
+    """The underlying time-typed source column of a derived time
+    expression, as (name, simple type). Wall-clock projections of an
+    INSTANT (``timestamp``) column are session-zone-dependent, so those
+    route only under a fixed-zero-offset session zone — the kernels floor
+    in UTC (arrow's physical tz-aware representation IS UTC epoch).
+    ``timestamp_ntz`` and ``date`` sources are wall-clock-native and
+    route under any zone; the ntz->timestamp cast Spark injects under
+    date_trunc is unwrapped (and thereby UTC-gated) by _unwrap_col."""
     e, _ = _unwrap_col(e)
     if _cls(e) != "AttributeReference":
         raise _Unroutable(f"derived key over {e.sql()}")
@@ -207,7 +207,7 @@ def _time_src(e) -> str:
         raise _Unroutable(
             "derived time key on an instant column outside a fixed-UTC "
             "session zone")
-    return str(e.name())
+    return str(e.name()), st
 
 
 def _opt_empty(opt) -> bool:
@@ -233,11 +233,11 @@ def _parse_group_expr(e) -> tuple[str, tuple | None]:
     if name == "AttributeReference":
         return str(e.name()), None
     if name == "Cast" and str(e.dataType().simpleString()) == "date":
-        return _time_src(e.child()), ("date",)
+        return _time_src(e.child())[0], ("date",)
     if name == "ParseToDate":
         if not _opt_empty(e.format()):
             raise _Unroutable("to_date with an explicit format")
-        return _time_src(e.left()), ("date",)
+        return _time_src(e.left())[0], ("date",)
     if name == "TruncTimestamp":
         fmt = e.format()
         if _cls(fmt) != "Literal" or fmt.value() is None:
@@ -248,7 +248,7 @@ def _parse_group_expr(e) -> tuple[str, tuple | None]:
             raise _Unroutable(f"date_trunc format {str(fmt.value())!r}")
         spark = SparkSession.getActiveSession()
         tz = str(spark.conf.get("spark.sql.session.timeZone"))
-        return _time_src(e.timestamp()), ("trunc", unit, tz)
+        return _time_src(e.timestamp())[0], ("trunc", unit, tz)
     part = _PART_CLS.get(name)
     if part is not None:
         ch = e.children()
@@ -258,8 +258,44 @@ def _parse_group_expr(e) -> tuple[str, tuple | None]:
         if _cls(inner) == "Cast" \
                 and str(inner.dataType().simpleString()) == "date":
             inner = inner.child()  # year(ts) analyzes as Year(CAST AS DATE)
-        return _time_src(inner), ("part", part)
+        return _time_src(inner)[0], ("part", part)
     raise _Unroutable(f"group expression {name}")
+
+
+_DAY_US = 86_400_000_000
+
+
+def _date_proj(e) -> str | None:
+    """Column name if ``e`` is a day projection — ``CAST(ts AS DATE)`` /
+    ``to_date(ts)`` — of a stored MICROS time column, else None (round 5,
+    derived-date predicates). ``WHERE to_date(ts) = date'D'`` then
+    rewrites to the exact epoch range ``ts BETWEEN D*day AND
+    (D+1)*day - 1`` (floor division: micros in [D*day, (D+1)*day) iff the
+    UTC day is D, exact for pre-1970 negatives too), so the predicate
+    reaches the zone maps and a ts-clustered store prunes to the day's
+    buckets instead of falling back to a full decode. Instant columns are
+    fixed-UTC-gated by _time_src; ntz is wall-clock-native. DATE-typed
+    sources (days, not micros) never produce these expressions — the
+    micros-type check is a guard, not a reachable branch."""
+    name = _cls(e)
+    try:
+        if name == "Cast" and str(e.dataType().simpleString()) == "date":
+            col, st = _time_src(e.child())
+        elif name == "ParseToDate" and _opt_empty(e.format()):
+            col, st = _time_src(e.left())
+        else:
+            return None
+    except _Unroutable:
+        return None  # the caller's _attr_name raises -> plan falls back
+    return col if st in ("timestamp", "timestamp_ntz") else None
+
+
+def _date_days(e) -> int:
+    """Date-typed literal -> days since epoch (int), else unroutable."""
+    v = _literal(e, "date")
+    if not isinstance(v, int):
+        raise _Unroutable(f"non-date literal {v!r} against a day projection")
+    return v
 
 
 def _flatten_and(cond) -> list:
@@ -322,20 +358,36 @@ def _leaf_to_constraint(c) -> tuple:
         forms = [_constraint_to_userform(k, v) for k, _, v in subs]
         return ("or", cols.pop(), forms)
     if name == "Between":  # RuntimeReplaceable: input BETWEEN lower AND upper
+        dcol = _date_proj(c.input())
+        if dcol:  # to_date(ts) BETWEEN d1 AND d2 -> exact micros range
+            lo, hi = _date_days(c.lower()), _date_days(c.upper())
+            return ("between", dcol,
+                    (lo * _DAY_US, (hi + 1) * _DAY_US - 1))
         inp, dom = _unwrap_col(c.input())
         col = _attr_name(inp)
         return ("between", col,
                 (_literal(c.lower(), dom), _literal(c.upper(), dom)))
     if name == "EqualTo":
         l, r = c.left(), c.right()
-        if not _is_col(l):  # literal = col form
+        if not (_is_col(l) or _date_proj(l)):  # literal = col form
             l, r = r, l
+        dcol = _date_proj(l)
+        if dcol:  # to_date(ts) = d -> micros in [d*day, (d+1)*day)
+            d = _date_days(r)
+            return ("between", dcol, (d * _DAY_US, (d + 1) * _DAY_US - 1))
         l, dom = _unwrap_col(l)
         return ("eq", _attr_name(l), _literal(r, dom))
     if name == "In":
+        lst = c.list()
+        dcol = _date_proj(c.value())
+        if dcol:  # to_date(ts) IN (...) -> OR of per-day micros ranges
+            forms = []
+            for i in range(lst.size()):
+                d = _date_days(lst.apply(i))
+                forms.append((d * _DAY_US, (d + 1) * _DAY_US - 1))
+            return ("or", dcol, forms)
         v, dom = _unwrap_col(c.value())
         col = _attr_name(v)
-        lst = c.list()
         return ("in", col,
                 [_literal(lst.apply(i), dom) for i in range(lst.size())])
     if name == "Like":
@@ -348,12 +400,24 @@ def _leaf_to_constraint(c) -> tuple:
     if name in ("GreaterThan", "GreaterThanOrEqual",
                 "LessThan", "LessThanOrEqual"):
         l, r = c.left(), c.right()
-        flip = not _is_col(l)
+        flip = not (_is_col(l) or _date_proj(l))
         if flip:  # literal <op> col == col <flipped-op> literal
             l, r = r, l
+        lower = name.startswith("Greater") ^ flip
+        dcol = _date_proj(l)
+        if dcol:
+            # day-projection bound -> exact micros bound: to_date(ts) > d
+            # iff ts >= (d+1)*day; >= d iff ts >= d*day; < d iff
+            # ts <= d*day - 1; <= d iff ts <= (d+1)*day - 1
+            d = _date_days(r)
+            strict = name in ("GreaterThan", "LessThan")
+            if lower:
+                return ("lo", dcol, (d + 1) * _DAY_US if strict
+                        else d * _DAY_US)
+            return ("hi", dcol, d * _DAY_US - 1 if strict
+                    else (d + 1) * _DAY_US - 1)
         l, dom = _unwrap_col(l)
         col, v = _attr_name(l), _literal(r, dom)
-        lower = name.startswith("Greater") ^ flip
         if isinstance(v, float):
             if name in ("GreaterThan", "LessThan"):
                 # strict float bound -> inclusive via nextafter (round 5):

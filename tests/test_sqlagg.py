@@ -625,3 +625,73 @@ def test_distinct_derived_time_key(spark, time_store):
             == [f.dataType for f in slow.schema.fields], sql
         assert sorted(map(repr, map(tuple, fast.collect()))) \
             == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+DATE_PRED_ROUTABLE = [
+    "SELECT count(*) AS c FROM ev WHERE to_date(ts) = date'2024-01-05'",
+    "SELECT count(*) AS c FROM ev WHERE CAST(ts AS DATE) > date'2024-02-01'",
+    "SELECT count(*) AS c FROM ev WHERE date'2024-02-01' >= to_date(ts)",
+    "SELECT count(*) AS c FROM ev WHERE to_date(ts) "
+    "BETWEEN date'2024-01-10' AND date'2024-01-20'",
+    "SELECT count(*) AS c FROM ev "
+    "WHERE to_date(ts) IN (date'2024-01-05', date'2024-02-11')",
+    # pre-1970: floor-division day math must hold for negative micros
+    "SELECT lang, count(*) AS c FROM ev "
+    "WHERE to_date(ts) = date'1965-03-20' GROUP BY lang",
+    "SELECT count(*) AS c FROM ev WHERE to_date(tn) < date'1970-01-01'",
+    "SELECT count(*) AS c FROM ev "
+    "WHERE to_date(ts) = date'2024-01-05' AND lang = 'en'",
+]
+
+
+@pytest.mark.parametrize("sql", DATE_PRED_ROUTABLE)
+def test_date_projection_predicates_route(spark, time_store, sql):
+    """WHERE over a day projection (to_date / CAST AS DATE) rewrites to
+    the exact epoch-micros range and routes — the predicate reaches the
+    zone maps instead of forcing a fallback decode."""
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) \
+        is not None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+def test_date_projection_predicate_prunes(spark, tmp_path_factory):
+    """On a ts-CLUSTERED store a single-day equality must read a strict
+    subset of buckets (the rewrite reaches the bucket zone maps)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=30 * i), i % 97) for i in range(4000)]
+    df = spark.createDataFrame(rows, "ts timestamp, n int")
+    out = str(tmp_path_factory.mktemp("datepruned")) + "/store"
+    engine.run_encode(spark, df, out, buckets=8, cluster_col="ts")
+    sql = "SELECT count(*) AS c FROM ev WHERE to_date(ts) = date'2024-01-20'"
+    r = sqlagg.route_agg_sql(spark, sql, {"ev": out})
+    assert r is not None
+    stats = sqlagg.route_pruning_stats(r)
+    assert stats["buckets_read"] < stats["buckets_total"], stats
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": out})
+    assert fast.collect()[0]["c"] == spark.sql(sql).collect()[0]["c"]
+
+
+def test_date_projection_predicate_zone_gate(spark, time_store):
+    """Instant-column day projections fall back outside fixed-UTC (and
+    stay correct); ntz day projections route under any zone."""
+    stores = {"ev": time_store}
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sql = "SELECT count(*) AS c FROM ev WHERE to_date(ts) = date'2024-01-05'"
+        assert sqlagg.route_agg_sql(spark, sql, stores) is None
+        fast = sqlagg.store_agg_sql(spark, sql, stores)
+        assert fast.collect()[0]["c"] == spark.sql(sql).collect()[0]["c"]
+        sql = "SELECT count(*) AS c FROM ev WHERE to_date(tn) = date'2024-01-05'"
+        assert sqlagg.route_agg_sql(spark, sql, stores) is not None
+        fast = sqlagg.store_agg_sql(spark, sql, stores)
+        assert fast.collect()[0]["c"] == spark.sql(sql).collect()[0]["c"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
