@@ -613,9 +613,14 @@ def _route_topk(analyzed, stores: dict[str, str]) -> dict:
 
 
 def _operand_spec(e, ids: dict[int, str]) -> list:
-    """HAVING operand -> ["col", routed-output-name] | ["lit", value].
-    Casts around an attribute unwrap (rebuilding the comparison in
-    DataFrame terms re-applies Spark's own type coercion)."""
+    """HAVING operand -> ["col", routed-output-name] | ["lit", value] |
+    ["tlit", time-type, epoch-int]. Casts around an attribute unwrap
+    (rebuilding the comparison in DataFrame terms re-applies Spark's own
+    type coercion — which is also why time literals come back TYPED, as
+    ["tlit", ...]: the executor reconstructs the literal in its own type
+    so ``HAVING max_ts > timestamp'X'`` compares timestamp-to-timestamp
+    exactly as Spark's original comparison did, instead of a raw
+    epoch-int against a timestamp column, round 5)."""
     while _cls(e) == "Cast":
         e = e.child()
     if _cls(e) == "AttributeReference":
@@ -623,7 +628,11 @@ def _operand_spec(e, ids: dict[int, str]) -> list:
         if key not in ids:
             raise _Unroutable("HAVING references a non-output expression")
         return ["col", ids[key]]
-    return ["lit", _literal(e)]
+    v = _literal(e)
+    dt = str(e.dataType().simpleString())
+    if dt in ("timestamp", "timestamp_ntz", "date"):
+        return ["tlit", dt, v]
+    return ["lit", v]
 
 
 def _having_spec(c, ids: dict[int, str]) -> list:
@@ -642,8 +651,13 @@ def _having_spec(c, ids: dict[int, str]) -> list:
         return ["notnull", _operand_spec(c.child(), ids)]
     if name == "In":
         lst = c.list()
+        items = [_operand_spec(lst.apply(i), ids) for i in range(lst.size())]
+        if any(s[0] != "lit" for s in items):
+            # time-typed IN values would compare raw epoch ints against a
+            # typed column in the rebuilt filter — conservative fallback
+            raise _Unroutable("HAVING IN over non-plain literals")
         return ["in", _operand_spec(c.value(), ids),
-                [_literal(lst.apply(i)) for i in range(lst.size())]]
+                [s[1] for s in items]]
     ops = {"EqualTo": "=", "GreaterThan": ">", "GreaterThanOrEqual": ">=",
            "LessThan": "<", "LessThanOrEqual": "<="}
     if name in ops:
@@ -674,12 +688,13 @@ def _having_col_refs(spec: list) -> set:
     return out
 
 
-def _ntz_from_micros(col_name: str):
-    """Epoch-micros long column -> TimestampNTZType, with NO timezone
-    arithmetic anywhere (session-tz-dependent casts shift values; DST gaps
-    make offset-based reconstructions ambiguous). Pure integer splitting:
-    days + intraday micros -> make_timestamp_ntz."""
-    c = f"`{col_name}`"
+def _ntz_from_micros(micros_sql: str):
+    """Epoch-micros long SQL expression (a backtick-quoted column or a
+    literal) -> TimestampNTZType, with NO timezone arithmetic anywhere
+    (session-tz-dependent casts shift values; DST gaps make offset-based
+    reconstructions ambiguous). Pure integer splitting: days + intraday
+    micros -> make_timestamp_ntz."""
+    c = f"({micros_sql})"
     rem = f"pmod({c}, 86400000000)"
     days = f"cast((({c}) - {rem}) div 86400000000 as int)"
     d = f"date_from_unix_date({days})"
@@ -701,14 +716,23 @@ def _minmax_back(col_name: str, dtype):
         # the value as seconds
         return F.timestamp_micros(F.col(col_name))
     if ss == "timestamp_ntz":
-        return _ntz_from_micros(col_name)
+        return _ntz_from_micros(f"`{col_name}`")
     if ss == "date":
         return F.date_from_unix_date(F.col(col_name).cast("int"))
     return F.col(col_name).cast(dtype)
 
 
 def _operand_col(spec: list, df: DataFrame):
-    return df[spec[1]] if spec[0] == "col" else F.lit(spec[1])
+    if spec[0] == "col":
+        return df[spec[1]]
+    if spec[0] == "tlit":  # typed time literal from its epoch int
+        dt, v = spec[1], int(spec[2])
+        if dt == "timestamp":
+            return F.timestamp_micros(F.lit(v))
+        if dt == "timestamp_ntz":
+            return _ntz_from_micros(str(v))
+        return F.date_from_unix_date(F.lit(v))  # date (days)
+    return F.lit(spec[1])
 
 
 def _having_col(spec: list, df: DataFrame):
@@ -897,7 +921,6 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     from pyspark.sql import types as T
     by_type = {f.name: f.dataType.simpleString()
                for f in T.StructType.fromJson(meta["spark_schema"]).fields}
-    ts_minmax_aliases = set()
     for alias, spec in aggs.items():
         if spec[0] == "cntd":
             if spec[1] not in by_type:
@@ -914,10 +937,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             continue
         # MIN/MAX over time columns (grouped or global) route through the
         # epoch-int64 domain — kernel mn/mx partials or commit-record zone
-        # stats (round 5); sums/avgs stay integral-only
+        # stats (round 5); sums/avgs stay integral-only. HAVING over these
+        # aliases rebuilds time literals TYPED (_operand_spec "tlit"), so
+        # the round-4 conservative fallback is gone.
         if spec[0] in ("min", "max") \
                 and a_type in ("timestamp", "timestamp_ntz", "date"):
-            ts_minmax_aliases.add(alias)
             continue
         raise _Unroutable(
             f"{spec[0]}({spec[1]}) over type {a_type}")
@@ -958,11 +982,6 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 "count/sum/avg/min/max")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
-    if having is not None and ts_minmax_aliases \
-            & _having_col_refs(having):
-        # a HAVING literal against a time-typed min/max would need typed
-        # literal reconstruction; keep it conservative and fall back
-        raise _Unroutable("HAVING over a time-typed min/max")
     final = None
     if project is not None:
         final = []  # (source output name, final name)

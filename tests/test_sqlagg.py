@@ -695,3 +695,59 @@ def test_date_projection_predicate_zone_gate(spark, time_store):
         assert fast.collect()[0]["c"] == spark.sql(sql).collect()[0]["c"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+HAVING_TIME_ROUTABLE = [
+    # timestamp max/min vs timestamp literal (typed-literal rebuild)
+    "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
+    "HAVING max(ts) > timestamp'2024-06-01'",
+    "SELECT lang, min(ts) AS mn FROM ev GROUP BY lang "
+    "HAVING min(ts) < timestamp'1970-01-01'",
+    # ntz literal vs ntz min (zone-free make_timestamp_ntz rebuild)
+    "SELECT lang, min(tn) AS mn FROM ev GROUP BY lang "
+    "HAVING min(tn) >= timestamp_ntz'1970-01-01'",
+    # derived DATE group key vs date literal
+    "SELECT to_date(ts) AS day, count(*) AS c FROM ev "
+    "GROUP BY to_date(ts) HAVING day > date'2024-06-01' AND count(*) > 1",
+    # cross-type literal: Spark's own coercion re-applies in the rebuilt
+    # filter (date literal vs timestamp column)
+    "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
+    "HAVING max(ts) > date'2024-06-01'",
+]
+
+
+@pytest.mark.parametrize("sql", HAVING_TIME_ROUTABLE)
+def test_having_over_time_outputs_routes(spark, time_store, sql):
+    """HAVING against time-typed min/max outputs and derived date keys
+    routes: the executor rebuilds time literals TYPED (timestamp_micros /
+    date_from_unix_date / make_timestamp_ntz), closing round-4's
+    conservative 'HAVING over a time-typed min/max' fallback."""
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) \
+        is not None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+HAVING_TIME_FALLBACK = [
+    # HAVING x BETWEEN analyzes to an INLINE Cast(between(max(
+    # TempResolvedColumn(...)))) — no reference to the aggregate output —
+    # a shape the router cannot bind; falls back row-identically
+    "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
+    "HAVING max(ts) BETWEEN timestamp'2024-01-01' AND timestamp'2030-01-01'",
+    # time-typed IN values stay conservative
+    "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
+    "HAVING max(ts) IN (timestamp'2024-06-01')",
+]
+
+
+@pytest.mark.parametrize("sql", HAVING_TIME_FALLBACK)
+def test_having_over_time_outputs_fallbacks(spark, time_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) is None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
