@@ -298,6 +298,46 @@ def _date_days(e) -> int:
     return v
 
 
+def _year_proj(e) -> str | None:
+    """Column name if ``e`` is ``year(ts)`` over a stored micros time
+    column, else None. Unlike month/day-of-month, the year projection is
+    CONTIGUOUS in epoch time, so ``WHERE year(ts) = N`` rewrites to the
+    exact micros range [Jan1(N), Jan1(N+1)) and prunes off zone maps like
+    any other ts window. Same zone gate as _date_proj."""
+    if _cls(e) != "Year":
+        return None
+    ch = e.children()
+    if ch.size() != 1:
+        return None
+    inner = ch.apply(0)
+    if _cls(inner) == "Cast" \
+            and str(inner.dataType().simpleString()) == "date":
+        inner = inner.child()  # year(ts) analyzes as Year(CAST AS DATE)
+    try:
+        col, st = _time_src(inner)
+    except _Unroutable:
+        return None
+    return col if st in ("timestamp", "timestamp_ntz") else None
+
+
+def _year_start_us(y: int) -> int:
+    """Epoch micros of Jan 1st 00:00 UTC of year y (calendar-exact for
+    pre-1970), unroutable outside datetime's year range."""
+    import datetime as _dt
+
+    if not 1 <= y <= 9999:
+        raise _Unroutable(f"year literal {y} outside datetime range")
+    return (_dt.date(y, 1, 1).toordinal()
+            - _dt.date(1970, 1, 1).toordinal()) * _DAY_US
+
+
+def _year_literal(e) -> int:
+    v = _literal(e)
+    if not isinstance(v, int):
+        raise _Unroutable(f"non-int literal {v!r} against a year projection")
+    return v
+
+
 def _flatten_and(cond) -> list:
     if _cls(cond) == "And":
         return _flatten_and(cond.left()) + _flatten_and(cond.right())
@@ -363,18 +403,28 @@ def _leaf_to_constraint(c) -> tuple:
             lo, hi = _date_days(c.lower()), _date_days(c.upper())
             return ("between", dcol,
                     (lo * _DAY_US, (hi + 1) * _DAY_US - 1))
+        ycol = _year_proj(c.input())
+        if ycol:  # year(ts) BETWEEN y1 AND y2 -> exact micros range
+            lo, hi = _year_literal(c.lower()), _year_literal(c.upper())
+            return ("between", ycol,
+                    (_year_start_us(lo), _year_start_us(hi + 1) - 1))
         inp, dom = _unwrap_col(c.input())
         col = _attr_name(inp)
         return ("between", col,
                 (_literal(c.lower(), dom), _literal(c.upper(), dom)))
     if name == "EqualTo":
         l, r = c.left(), c.right()
-        if not (_is_col(l) or _date_proj(l)):  # literal = col form
-            l, r = r, l
+        if not (_is_col(l) or _date_proj(l) or _year_proj(l)):
+            l, r = r, l  # literal = col form
         dcol = _date_proj(l)
         if dcol:  # to_date(ts) = d -> micros in [d*day, (d+1)*day)
             d = _date_days(r)
             return ("between", dcol, (d * _DAY_US, (d + 1) * _DAY_US - 1))
+        ycol = _year_proj(l)
+        if ycol:  # year(ts) = y -> micros in [Jan1(y), Jan1(y+1))
+            y = _year_literal(r)
+            return ("between", ycol,
+                    (_year_start_us(y), _year_start_us(y + 1) - 1))
         l, dom = _unwrap_col(l)
         return ("eq", _attr_name(l), _literal(r, dom))
     if name == "In":
@@ -386,6 +436,13 @@ def _leaf_to_constraint(c) -> tuple:
                 d = _date_days(lst.apply(i))
                 forms.append((d * _DAY_US, (d + 1) * _DAY_US - 1))
             return ("or", dcol, forms)
+        ycol = _year_proj(c.value())
+        if ycol:  # year(ts) IN (...) -> OR of per-year micros ranges
+            forms = []
+            for i in range(lst.size()):
+                y = _year_literal(lst.apply(i))
+                forms.append((_year_start_us(y), _year_start_us(y + 1) - 1))
+            return ("or", ycol, forms)
         v, dom = _unwrap_col(c.value())
         col = _attr_name(v)
         return ("in", col,
@@ -400,22 +457,30 @@ def _leaf_to_constraint(c) -> tuple:
     if name in ("GreaterThan", "GreaterThanOrEqual",
                 "LessThan", "LessThanOrEqual"):
         l, r = c.left(), c.right()
-        flip = not (_is_col(l) or _date_proj(l))
+        flip = not (_is_col(l) or _date_proj(l) or _year_proj(l))
         if flip:  # literal <op> col == col <flipped-op> literal
             l, r = r, l
         lower = name.startswith("Greater") ^ flip
+        strict = name in ("GreaterThan", "LessThan")
         dcol = _date_proj(l)
         if dcol:
             # day-projection bound -> exact micros bound: to_date(ts) > d
             # iff ts >= (d+1)*day; >= d iff ts >= d*day; < d iff
             # ts <= d*day - 1; <= d iff ts <= (d+1)*day - 1
             d = _date_days(r)
-            strict = name in ("GreaterThan", "LessThan")
             if lower:
                 return ("lo", dcol, (d + 1) * _DAY_US if strict
                         else d * _DAY_US)
             return ("hi", dcol, d * _DAY_US - 1 if strict
                     else (d + 1) * _DAY_US - 1)
+        ycol = _year_proj(l)
+        if ycol:  # same bound algebra in year units
+            y = _year_literal(r)
+            if lower:
+                return ("lo", ycol, _year_start_us(y + 1) if strict
+                        else _year_start_us(y))
+            return ("hi", ycol, _year_start_us(y) - 1 if strict
+                    else _year_start_us(y + 1) - 1)
         l, dom = _unwrap_col(l)
         col, v = _attr_name(l), _literal(r, dom)
         if isinstance(v, float):

@@ -751,3 +751,43 @@ def test_having_over_time_outputs_fallbacks(spark, time_store, sql):
     slow = spark.sql(sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
         == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+YEAR_PRED_ROUTABLE = [
+    "SELECT count(*) AS c FROM ev WHERE year(ts) = 2024",
+    "SELECT count(*) AS c FROM ev WHERE year(ts) < 1970",
+    "SELECT count(*) AS c FROM ev WHERE year(tn) >= 2025",
+    "SELECT count(*) AS c FROM ev WHERE year(ts) BETWEEN 1960 AND 1966",
+    "SELECT count(*) AS c FROM ev WHERE year(ts) IN (1965, 2024)",
+    "SELECT lang, count(*) AS c FROM ev WHERE 2024 <= year(ts) "
+    "GROUP BY lang",
+    "SELECT count(*) AS c FROM ev WHERE year(ts) = 2024 AND lang = 'en'",
+]
+
+
+@pytest.mark.parametrize("sql", YEAR_PRED_ROUTABLE)
+def test_year_projection_predicates_route(spark, time_store, sql):
+    """WHERE over year(ts) rewrites to the exact [Jan1(y), Jan1(y+1))
+    micros range — the year projection is CONTIGUOUS in epoch time, so it
+    prunes like any ts window (month/day-of-month are not and stay
+    fallbacks)."""
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) \
+        is not None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT count(*) AS c FROM ev WHERE month(ts) = 1",  # not contiguous
+    "SELECT count(*) AS c FROM ev WHERE year(ts) > 9999",  # datetime range
+])
+def test_year_projection_fallbacks(spark, time_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) is None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
