@@ -338,6 +338,122 @@ def _year_literal(e) -> int:
     return v
 
 
+def _trunc_proj(e) -> tuple[str, str] | None:
+    """(column, unit) if ``e`` is ``date_trunc(unit, ts)`` over a stored
+    micros time column, else None. Truncation is monotone and its image
+    is the aligned-boundary lattice, so every comparison against a
+    timestamp literal T rewrites exactly in epoch micros:
+    ``trunc(ts) = T`` -> ts in [T, next(T)) when T is aligned (fallback
+    when not — Spark matches nothing, and the engine has no always-false
+    spec); ``>= T`` -> ts >= ceil(T); ``> T`` -> ts >= next-after(T);
+    ``< T`` -> ts < ceil(T); ``<= T`` -> ts < next-after(T). Same zone
+    gate as the other projections (the ntz input cast is unwrapped,
+    thereby UTC-gated, inside _time_src)."""
+    if _cls(e) != "TruncTimestamp":
+        return None
+    fmt = e.format()
+    if _cls(fmt) != "Literal" or fmt.value() is None:
+        return None
+    unit = _TRUNC_FMT.get(str(fmt.value()).lower())
+    if unit is None:
+        return None
+    try:
+        col, st = _time_src(e.timestamp())
+    except _Unroutable:
+        return None
+    return (col, unit) if st in ("timestamp", "timestamp_ntz") else None
+
+
+def _us_to_dt(us: int):
+    import datetime as _dt
+
+    try:
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+    except OverflowError:
+        raise _Unroutable(f"timestamp literal {us} outside datetime range")
+
+
+def _dt_to_us(d) -> int:
+    import datetime as _dt
+
+    return (d - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+
+
+def _floor_unit_us(us: int, unit: str) -> int:
+    """Epoch micros -> micros of its unit-aligned floor (calendar floor,
+    matching chunk.apply_group_transform / Spark date_trunc in UTC)."""
+    import datetime as _dt
+
+    d = _us_to_dt(us)
+    if unit == "year":
+        f = d.replace(month=1, day=1, hour=0, minute=0, second=0,
+                      microsecond=0)
+    elif unit == "quarter":
+        f = d.replace(month=(d.month - 1) // 3 * 3 + 1, day=1, hour=0,
+                      minute=0, second=0, microsecond=0)
+    elif unit == "month":
+        f = d.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    elif unit == "week":  # Monday
+        f = (d - _dt.timedelta(days=d.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0)
+    elif unit == "day":
+        f = d.replace(hour=0, minute=0, second=0, microsecond=0)
+    elif unit == "hour":
+        f = d.replace(minute=0, second=0, microsecond=0)
+    elif unit == "minute":
+        f = d.replace(second=0, microsecond=0)
+    elif unit == "second":
+        f = d.replace(microsecond=0)
+    elif unit == "millisecond":
+        f = d.replace(microsecond=d.microsecond // 1000 * 1000)
+    else:  # microsecond
+        f = d
+    return _dt_to_us(f)
+
+
+def _next_boundary_us(aligned_us: int, unit: str) -> int:
+    """The next unit boundary strictly after an ALIGNED boundary."""
+    import datetime as _dt
+
+    d = _us_to_dt(aligned_us)
+    if unit == "year":
+        nxt = d.replace(year=d.year + 1) if d.year < 9999 else None
+    elif unit in ("quarter", "month"):
+        step = 3 if unit == "quarter" else 1
+        y, m = d.year, d.month + step
+        if m > 12:
+            y, m = y + 1, m - 12
+        nxt = d.replace(year=y, month=m) if y <= 9999 else None
+    else:
+        delta = {"week": _dt.timedelta(days=7), "day": _dt.timedelta(days=1),
+                 "hour": _dt.timedelta(hours=1),
+                 "minute": _dt.timedelta(minutes=1),
+                 "second": _dt.timedelta(seconds=1),
+                 "millisecond": _dt.timedelta(milliseconds=1),
+                 "microsecond": _dt.timedelta(microseconds=1)}[unit]
+        try:
+            nxt = d + delta
+        except OverflowError:
+            nxt = None
+    if nxt is None:
+        raise _Unroutable("trunc boundary outside datetime range")
+    return _dt_to_us(nxt)
+
+
+def _trunc_literal_us(e) -> int:
+    """Timestamp-typed literal -> epoch micros, for comparisons against a
+    date_trunc projection (a date literal would surface as DAYS after the
+    cast-unwrap in _literal — reject any non-timestamp type outright)."""
+    while _cls(e) == "Cast":
+        e = e.child()
+    if _cls(e) != "Literal" or e.value() is None:
+        raise _Unroutable("non-literal operand against a trunc projection")
+    dt = str(e.dataType().simpleString())
+    if dt not in ("timestamp", "timestamp_ntz"):
+        raise _Unroutable(f"literal type {dt} against a trunc projection")
+    return int(str(e.value()))
+
+
 def _flatten_and(cond) -> list:
     if _cls(cond) == "And":
         return _flatten_and(cond.left()) + _flatten_and(cond.right())
@@ -408,13 +524,24 @@ def _leaf_to_constraint(c) -> tuple:
             lo, hi = _year_literal(c.lower()), _year_literal(c.upper())
             return ("between", ycol,
                     (_year_start_us(lo), _year_start_us(hi + 1) - 1))
+        tproj = _trunc_proj(c.input())
+        if tproj:  # trunc(ts) BETWEEN T1 AND T2 -> [ceil(T1), next(floor(T2)))
+            tcol, unit = tproj
+            t1, t2 = _trunc_literal_us(c.lower()), _trunc_literal_us(c.upper())
+            f1 = _floor_unit_us(t1, unit)
+            lo = t1 if f1 == t1 else _next_boundary_us(f1, unit)
+            hi = _next_boundary_us(_floor_unit_us(t2, unit), unit) - 1
+            if lo > hi:
+                raise _Unroutable("empty trunc BETWEEN range")
+            return ("between", tcol, (lo, hi))
         inp, dom = _unwrap_col(c.input())
         col = _attr_name(inp)
         return ("between", col,
                 (_literal(c.lower(), dom), _literal(c.upper(), dom)))
     if name == "EqualTo":
         l, r = c.left(), c.right()
-        if not (_is_col(l) or _date_proj(l) or _year_proj(l)):
+        if not (_is_col(l) or _date_proj(l) or _year_proj(l)
+                or _trunc_proj(l)):
             l, r = r, l  # literal = col form
         dcol = _date_proj(l)
         if dcol:  # to_date(ts) = d -> micros in [d*day, (d+1)*day)
@@ -425,6 +552,15 @@ def _leaf_to_constraint(c) -> tuple:
             y = _year_literal(r)
             return ("between", ycol,
                     (_year_start_us(y), _year_start_us(y + 1) - 1))
+        tproj = _trunc_proj(l)
+        if tproj:  # trunc(ts) = T (aligned) -> ts in [T, next(T))
+            tcol, unit = tproj
+            t = _trunc_literal_us(r)
+            if _floor_unit_us(t, unit) != t:
+                # unaligned literal: Spark matches nothing; the engine has
+                # no always-false spec — conservative fallback
+                raise _Unroutable("unaligned trunc equality literal")
+            return ("between", tcol, (t, _next_boundary_us(t, unit) - 1))
         l, dom = _unwrap_col(l)
         return ("eq", _attr_name(l), _literal(r, dom))
     if name == "In":
@@ -457,7 +593,8 @@ def _leaf_to_constraint(c) -> tuple:
     if name in ("GreaterThan", "GreaterThanOrEqual",
                 "LessThan", "LessThanOrEqual"):
         l, r = c.left(), c.right()
-        flip = not (_is_col(l) or _date_proj(l) or _year_proj(l))
+        flip = not (_is_col(l) or _date_proj(l) or _year_proj(l)
+                    or _trunc_proj(l))
         if flip:  # literal <op> col == col <flipped-op> literal
             l, r = r, l
         lower = name.startswith("Greater") ^ flip
@@ -481,6 +618,18 @@ def _leaf_to_constraint(c) -> tuple:
                         else _year_start_us(y))
             return ("hi", ycol, _year_start_us(y) - 1 if strict
                     else _year_start_us(y + 1) - 1)
+        tproj = _trunc_proj(l)
+        if tproj:
+            # monotone trunc bounds: >= T -> ts >= ceil(T); > T -> ts >=
+            # next-after(T); < T -> ts < ceil(T); <= T -> ts < next-after(T)
+            tcol, unit = tproj
+            t = _trunc_literal_us(r)
+            f = _floor_unit_us(t, unit)
+            ceil = t if f == t else _next_boundary_us(f, unit)
+            nxt_after = _next_boundary_us(f, unit)
+            if lower:
+                return ("lo", tcol, nxt_after if strict else ceil)
+            return ("hi", tcol, ceil - 1 if strict else nxt_after - 1)
         l, dom = _unwrap_col(l)
         col, v = _attr_name(l), _literal(r, dom)
         if isinstance(v, float):

@@ -791,3 +791,55 @@ def test_year_projection_fallbacks(spark, time_store, sql):
     slow = spark.sql(sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
         == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+TRUNC_PRED_ROUTABLE = [
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('month', ts) = timestamp'2024-03-01'",
+    # a Monday: week-aligned equality
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('week', ts) = timestamp'2024-02-05'",
+    # unaligned BOUNDS are fine (only unaligned EQUALITY falls back)
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('hour', ts) >= timestamp'2024-06-01 05:30:00'",
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('day', ts) > timestamp'2024-06-01'",
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('quarter', ts) < timestamp'1970-01-01'",
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('day', tn) <= timestamp'2024-02-15 12:00:00'",
+    "SELECT count(*) AS c FROM ev WHERE date_trunc('month', ts) "
+    "BETWEEN timestamp'2024-02-01' AND timestamp'2024-04-15'",
+    "SELECT lang, count(*) AS c FROM ev "
+    "WHERE date_trunc('month', ts) = timestamp'1965-04-01' GROUP BY lang",
+]
+
+
+@pytest.mark.parametrize("sql", TRUNC_PRED_ROUTABLE)
+def test_trunc_projection_predicates_route(spark, time_store, sql):
+    """WHERE over date_trunc(unit, ts) rewrites via the monotone-trunc
+    bound algebra (ceil/next-boundary in calendar micros) and routes."""
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) \
+        is not None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+@pytest.mark.parametrize("sql", [
+    # unaligned equality: Spark matches nothing; the engine has no
+    # always-false spec — falls back row-identically
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('month', ts) = timestamp'2024-03-15'",
+    "SELECT count(*) AS c FROM ev "
+    "WHERE date_trunc('bogus', ts) = timestamp'2024-03-01'",
+])
+def test_trunc_projection_fallbacks(spark, time_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) is None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
