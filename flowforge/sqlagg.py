@@ -655,25 +655,44 @@ def _leaf_to_constraint(c) -> tuple:
 
 
 def _constraints_to_predicates(constraints: list) -> dict:
-    """Merge per-column constraints into engine predicate specs; conflicting
-    or duplicate constraints on one column are unroutable (the engine takes
-    ONE spec per column), never silently dropped."""
+    """Merge per-column constraints into engine predicate specs;
+    conflicting constraints on one column are unroutable (the engine
+    takes ONE spec per column), never silently dropped. Two mergers are
+    exact and applied (round 5): ANDed INT-domain bounds intersect
+    (``ts > a AND ts <= b AND year(ts) = y`` -> one range via
+    lo=max/hi=min; a contradictory intersection is the empty range,
+    which the zone maps prove matches nothing), and ``IS NOT NULL``
+    alongside any value constraint is dropped (SQL comparisons never
+    match null, so the value spec already implies it — the engine's
+    specs share that semantics). Float bounds keep the conservative
+    fallback: an absent float leg is meaningful (NaN ordering), so
+    intersecting them is not a plain max/min."""
     by_col: dict[str, dict] = {}
     for kind, col, v in constraints:
         slot = by_col.setdefault(col, {})
         if kind in ("or", "isnull", "notnull"):
-            # null/OR specs must be the column's only constraint (the
-            # engine takes ONE spec per column; merging e.g. a range into
-            # an OR is not expressible) — otherwise fall back
+            # null/OR specs must otherwise be the column's only constraint
+            # (merging e.g. a range into an OR is not expressible)
+            if kind == "notnull" and slot \
+                    and not set(slot) & {"or", "isnull", "notnull"}:
+                continue  # value constraints already imply NOT NULL
             if slot:
                 raise _Unroutable(f"multiple constraints on column {col!r}")
             slot[kind] = v
             continue
+        if set(slot) == {"notnull"}:
+            slot.pop("notnull")  # subsumed by the incoming value spec
         if kind == "between":
             kind_pairs = (("lo", v[0]), ("hi", v[1]))
         else:
             kind_pairs = ((kind, v),)
         for k, val in kind_pairs:
+            if k in ("lo", "hi") and k in slot \
+                    and type(val) is int and type(slot[k]) is int:
+                # exact intersection of ANDed int-domain bounds
+                slot[k] = (max(slot[k], val) if k == "lo"
+                           else min(slot[k], val))
+                continue
             if k in slot or (k in ("eq", "in", "prefix") and slot) \
                     or (k in ("lo", "hi") and not set(slot) <= {"lo", "hi"}) \
                     or set(slot) & {"or", "isnull", "notnull"}:

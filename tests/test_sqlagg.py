@@ -843,3 +843,52 @@ def test_trunc_projection_fallbacks(spark, time_store, sql):
     slow = spark.sql(sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
         == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+MERGED_BOUND_ROUTABLE = [
+    # day-projection equality intersected with a raw ts bound
+    "SELECT count(*) AS c FROM ev WHERE to_date(ts) = date'2024-01-05' "
+    "AND ts > timestamp'2024-01-05 12:00:00'",
+    # three bounds on one column, two redundant
+    "SELECT count(*) AS c FROM ev WHERE ts > timestamp'2024-02-01' "
+    "AND ts < timestamp'2024-03-01' AND year(ts) = 2024",
+    # IS NOT NULL is implied by any value constraint (both orders)
+    "SELECT count(*) AS c FROM ev WHERE ts IS NOT NULL "
+    "AND ts > timestamp'2024-06-01'",
+    "SELECT count(*) AS c FROM ev WHERE n >= 50 AND n IS NOT NULL",
+    # contradictory intersection = empty range, proven off zone maps
+    "SELECT count(*) AS c FROM ev WHERE n > 10 AND n < 5",
+    "SELECT count(*) AS c FROM ev WHERE n > 10 AND n > 40 AND n <= 60",
+    # two different derived projections of the same column intersect
+    "SELECT lang, count(*) AS c FROM ev "
+    "WHERE date_trunc('month', ts) = timestamp'2024-02-01' "
+    "AND to_date(ts) >= date'2024-02-10' GROUP BY lang",
+]
+
+
+@pytest.mark.parametrize("sql", MERGED_BOUND_ROUTABLE)
+def test_anded_int_bounds_merge(spark, time_store, sql):
+    """ANDed int-domain bounds on one column intersect (lo=max/hi=min)
+    instead of falling back; IS NOT NULL alongside a value constraint is
+    subsumed (SQL comparisons never match null, and the engine's specs
+    share that semantics)."""
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) \
+        is not None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT count(*) AS c FROM ev WHERE n = 5 AND n = 5",  # dup eq stays out
+    "SELECT count(*) AS c FROM ev WHERE lang IS NULL AND lang = 'en'",
+])
+def test_non_mergeable_constraints_fall_back(spark, time_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) is None, sql
+    fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
+    slow = spark.sql(sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
