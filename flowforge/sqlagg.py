@@ -1443,6 +1443,19 @@ def route_agg_sql(spark: SparkSession, sql: str,
     a column name colliding with a kernel alias — report as fallback here
     exactly as store_agg_sql would execute them (round-4 advice: the two
     paths previously disagreed)."""
+    r, _ = route_agg_sql_reason(spark, sql, stores)
+    return r
+
+
+def route_agg_sql_reason(spark: SparkSession, sql: str,
+                         stores: dict[str, str]
+                         ) -> tuple[dict | None, str | None]:
+    """Like :func:`route_agg_sql`, plus WHY a statement falls back:
+    returns ``(route, None)`` when routable, ``(None, reason)`` otherwise
+    — the reason is the first unroutable shape the plan walk hit (e.g.
+    ``"OR across columns"``, ``"derived group key not in SELECT"``), so a
+    user staring at a slow statement can see which clause to rephrase
+    (surfaced by ``jobs/query.py --explain``)."""
     datasource.register(spark)
     for name, out_dir in stores.items():
         datasource._load(spark, out_dir, None,
@@ -1451,9 +1464,9 @@ def route_agg_sql(spark: SparkSession, sql: str,
     try:
         r = _route(analyzed, stores)
         _execute_route(spark, r)  # lazy DataFrame build = precondition check
-        return r
-    except (_Unroutable, ValueError):
-        return None
+        return r, None
+    except (_Unroutable, ValueError) as e:
+        return None, f"{e}"
 
 
 def store_agg_sql(spark: SparkSession, sql: str, stores: dict[str, str],

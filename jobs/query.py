@@ -53,7 +53,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.time()
-    route = sqlagg.route_agg_sql(spark, args.sql, stores)
+    route, reason = sqlagg.route_agg_sql_reason(spark, args.sql, stores)
     df = sqlagg.store_agg_sql(spark, args.sql, stores)
     if args.explain:
         if route is not None:
@@ -61,7 +61,7 @@ def main() -> None:
             stats = sqlagg.route_pruning_stats(route)
             print(f"PRUNING: {json.dumps(stats)}")
         else:
-            print("FALLBACK (filter-pushdown Spark execution):")
+            print(f"FALLBACK (filter-pushdown Spark execution): {reason}")
             df.explain()
     if args.out:
         df.write.mode("overwrite").parquet(args.out)

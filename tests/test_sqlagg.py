@@ -892,3 +892,19 @@ def test_non_mergeable_constraints_fall_back(spark, time_store, sql):
     slow = spark.sql(sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
         == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+def test_route_reason_surfaces_fallback_cause(spark, time_store):
+    """route_agg_sql_reason names the first unroutable shape, so
+    jobs/query.py --explain can tell the user which clause to rephrase."""
+    stores = {"ev": time_store}
+    r, reason = sqlagg.route_agg_sql_reason(
+        spark, "SELECT count(*) AS c FROM ev "
+               "WHERE lang = 'en' OR n > 5", stores)
+    assert r is None and "OR across columns" in reason
+    r, reason = sqlagg.route_agg_sql_reason(
+        spark, "SELECT count(*) AS c FROM ev GROUP BY to_date(ts)", stores)
+    assert r is None and "not in SELECT" in reason
+    r, reason = sqlagg.route_agg_sql_reason(
+        spark, "SELECT lang, count(*) AS c FROM ev GROUP BY lang", stores)
+    assert r is not None and reason is None
