@@ -298,3 +298,70 @@ def test_transform_part_matches_calendar(vals, part, tz_aware):
     got = out.to_pylist()
     want = [None if v is None else _py_part(v, part) for v in vals]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Derived-predicate bound algebra (round 5): the date/year/trunc WHERE
+# rewrites in sqlagg rest on exact identities over calendar flooring.
+# Check them for random values/literals with pure-Python evaluation —
+# these are the facts the rewrite is allowed to assume, independent of
+# both Spark and arrow.
+
+from flowforge import sqlagg as _sqlagg
+
+_US_RANGE = st.integers(
+    min_value=-2_208_988_800_000_000,   # 1900-01-01
+    max_value=4_102_444_800_000_000)    # 2100-01-01
+_UNITS = ["year", "quarter", "month", "week", "day",
+          "hour", "minute", "second", "millisecond", "microsecond"]
+
+
+@given(v=_US_RANGE, t=_US_RANGE, unit=st.sampled_from(_UNITS))
+@settings(max_examples=400, deadline=None)
+def test_trunc_bound_algebra(v, t, unit):
+    floor = _sqlagg._floor_unit_us
+    nxt = _sqlagg._next_boundary_us
+    fv, ft = floor(v, unit), floor(t, unit)
+    # flooring is a calendar floor: fv <= v < next(fv), and idempotent
+    assert fv <= v < nxt(fv, unit)
+    assert floor(fv, unit) == fv
+    ceil = t if ft == t else nxt(ft, unit)
+    nxt_after = nxt(ft, unit)
+    # the rewrite identities used for trunc comparisons
+    assert (fv >= t) == (v >= ceil)
+    assert (fv > t) == (v >= nxt_after)
+    assert (fv < t) == (v <= ceil - 1)
+    assert (fv <= t) == (v <= nxt_after - 1)
+    if ft == t:  # aligned equality -> half-open interval
+        assert (fv == t) == (t <= v <= nxt_after - 1)
+
+
+@given(v=_US_RANGE, d=st.integers(min_value=-25567, max_value=47482))
+@settings(max_examples=300, deadline=None)
+def test_date_bound_algebra(v, d):
+    import datetime as _dt
+
+    day = _sqlagg._DAY_US
+    vd = (_dt.datetime(1970, 1, 1)
+          + _dt.timedelta(microseconds=v)).date()
+    dd = _dt.date(1970, 1, 1) + _dt.timedelta(days=d)
+    assert (vd == dd) == (d * day <= v <= (d + 1) * day - 1)
+    assert (vd > dd) == (v >= (d + 1) * day)
+    assert (vd >= dd) == (v >= d * day)
+    assert (vd < dd) == (v <= d * day - 1)
+    assert (vd <= dd) == (v <= (d + 1) * day - 1)
+
+
+@given(v=_US_RANGE, y=st.integers(min_value=1850, max_value=2149))
+@settings(max_examples=300, deadline=None)
+def test_year_bound_algebra(v, y):
+    import datetime as _dt
+
+    vy = (_dt.datetime(1970, 1, 1)
+          + _dt.timedelta(microseconds=v)).year
+    start = _sqlagg._year_start_us
+    assert (vy == y) == (start(y) <= v <= start(y + 1) - 1)
+    assert (vy > y) == (v >= start(y + 1))
+    assert (vy >= y) == (v >= start(y))
+    assert (vy < y) == (v <= start(y) - 1)
+    assert (vy <= y) == (v <= start(y + 1) - 1)
