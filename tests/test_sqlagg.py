@@ -703,9 +703,12 @@ HAVING_TIME_ROUTABLE = [
     "HAVING max(ts) > timestamp'2024-06-01'",
     "SELECT lang, min(ts) AS mn FROM ev GROUP BY lang "
     "HAVING min(ts) < timestamp'1970-01-01'",
-    # ntz literal vs ntz min (zone-free make_timestamp_ntz rebuild)
+    # ntz literal vs ntz min (zone-free make_timestamp_ntz rebuild),
+    # including a pre-1970 (negative-epoch) literal
     "SELECT lang, min(tn) AS mn FROM ev GROUP BY lang "
     "HAVING min(tn) >= timestamp_ntz'1970-01-01'",
+    "SELECT lang, min(tn) AS mn FROM ev GROUP BY lang "
+    "HAVING min(tn) < timestamp_ntz'1965-06-01 07:30:00'",
     # derived DATE group key vs date literal
     "SELECT to_date(ts) AS day, count(*) AS c FROM ev "
     "GROUP BY to_date(ts) HAVING day > date'2024-06-01' AND count(*) > 1",
