@@ -443,16 +443,17 @@ overhead amortizes across 4x the buckets — the right direction for
 
 ## Resume-from-checkpoint evidence (kill -9 probe)
 
-Salted encode (64 buckets, local[2]) SIGKILLed mid-run after a handful of
-bucket commits (wrapper + JVM both killed; commit count verified frozen).
-Re-running withOUT the --buckets flag adopts the store's immutable
-64-bucket plan (the round-2 resume-soundness fix), encodes exactly the
-64-minus-committed missing buckets, and `decode_verify` reports
-`bit_identical: true` with 0 per-url text mismatches — interrupted runs
-resume from the last committed checkpoint on any cluster size and
-converge to identical bytes. Re-run on the round-5 build: killed at 6/64
-commits, resume encoded exactly 58, `bit_identical: true`; a conflicting
-explicit `--buckets 32` refuses with StorePlanError naming both plans.
+Salted encode SIGKILLed mid-run after a handful of bucket commits
+(wrapper + JVM both killed; commit count verified frozen). Re-running
+withOUT the --buckets flag adopts the store's immutable bucket plan (the
+round-2 resume-soundness fix), encodes exactly the missing buckets, and
+`decode_verify` reports `bit_identical: true` with 0 per-url text
+mismatches — interrupted runs resume from the last committed checkpoint
+on any cluster size and converge to identical bytes. Re-run on the FINAL
+round-5 build (200k rows, 128 buckets, local[2]): killed at 6/128
+commits, resume encoded exactly 122, `bit_identical: true`; a
+conflicting explicit `--buckets 64` refuses with StorePlanError naming
+both plans.
 Round-3 ran the probe on BOTH storage backends: plain path (killed at 9
 commits -> resume encoded 55) and the `fakes3://` object backend (killed
 at 8 -> resume encoded 56), both `bit_identical: true` — the rename-free
