@@ -16,7 +16,10 @@ shape the engine can answer —
               columns (multi-column shapes ride one group_multi_table
               pass with per-column partials),
               [group by one or more columns],
-              [Filter(AND of eq / IN / LIKE-prefix / range)],
+              [Filter(AND of eq / IN / LIKE-prefix / range; ungrouped
+               shapes also take ONE cross-column OR of two branches,
+               answered by inclusion-exclusion over three conjunctive
+               passes)],
               one registered chunk-store view)
 
 — route it to ``agg_table`` / ``group_agg_table`` / ``value_counts_table``.
@@ -507,12 +510,27 @@ def _leaf_to_constraint(c) -> tuple:
     if name == "IsNotNull":
         return ("notnull", _attr_name(c.child()), None)
     if name == "Or":
-        subs = [_leaf_to_constraint(b) for b in _flatten_or(c)]
-        cols = {col for _, col, _ in subs}
-        if len(cols) != 1:
-            raise _Unroutable("OR across columns")
-        forms = [_constraint_to_userform(k, v) for k, _, v in subs]
-        return ("or", cols.pop(), forms)
+        branches = _flatten_or(c)
+        branch_cons = [[_leaf_to_constraint(leaf)
+                        for leaf in _flatten_and(b)] for b in branches]
+        cols = {col for bc in branch_cons for _, col, _ in bc}
+        if len(cols) == 1 and all(len(bc) == 1 for bc in branch_cons):
+            # same-column single-leaf branches: the engine's native
+            # per-column OR spec (round 5, verdict next #5)
+            forms = [_constraint_to_userform(k, v)
+                     for bc in branch_cons for k, _, v in bc]
+            return ("or", cols.pop(), forms)
+        if len(branches) == 2:
+            # cross-column (or multi-leaf-branch) OR of exactly two
+            # branches: routable for UNGROUPED additive aggregates via
+            # inclusion-exclusion over three conjunctive passes (A, B,
+            # A AND B) — see _route / _execute_route (round 5)
+            for bc in branch_cons:
+                for k, _, _v in bc:
+                    if k == "orx":
+                        raise _Unroutable("nested cross-column OR")
+            return ("orx", None, branch_cons)
+        raise _Unroutable("cross-column OR beyond two branches")
     if name == "Between":  # RuntimeReplaceable: input BETWEEN lower AND upper
         dcol = _date_proj(c.input())
         if dcol:  # to_date(ts) BETWEEN d1 AND d2 -> exact micros range
@@ -669,6 +687,11 @@ def _constraints_to_predicates(constraints: list) -> dict:
     intersecting them is not a plain max/min."""
     by_col: dict[str, dict] = {}
     for kind, col, v in constraints:
+        if kind == "orx":
+            # cross-column OR is not a per-column spec; only the ungrouped
+            # Aggregate path routes it (inclusion-exclusion), and it splits
+            # these out BEFORE calling here — any other caller falls back
+            raise _Unroutable("cross-column OR here")
         slot = by_col.setdefault(col, {})
         if kind in ("or", "isnull", "notnull"):
             # null/OR specs must otherwise be the column's only constraint
@@ -1180,7 +1203,33 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             f"{spec[0]}({spec[1]}) over type {a_type}")
     if any(alias.startswith("__") for alias in aggs):
         raise _Unroutable("alias with reserved '__' prefix")
-    predicates = _constraints_to_predicates(constraints)
+    orx_cons = [c for c in constraints if c[0] == "orx"]
+    plain_cons = [c for c in constraints if c[0] != "orx"]
+    predicates = _constraints_to_predicates(plain_cons)
+    orx_preds = None
+    if orx_cons:
+        # cross-column OR routes for UNGROUPED additive aggregates via
+        # inclusion-exclusion: |A or B| = |A| + |B| - |A and B| holds
+        # row-wise (SQL WHERE is a row filter; NULL conditions are
+        # non-matches on both sides), and count/sum/avg(=sum/nn)/nncount
+        # are additive over disjoint row sets while min/max compose as
+        # least/greatest of the branch passes — so THREE conjunctive
+        # metadata passes answer the OR exactly (round 5). count(distinct)
+        # is NOT additive this way (a value can match A-rows and B-rows
+        # without any row matching both), and grouped shapes would need a
+        # per-group outer-join composition — both fall back.
+        if len(orx_cons) > 1:
+            raise _Unroutable("multiple cross-column ORs")
+        if group_cols:
+            raise _Unroutable("cross-column OR with GROUP BY")
+        if any(spec[0] == "cntd" for spec in aggs.values()):
+            raise _Unroutable("cross-column OR with count(distinct)")
+        br_a, br_b = orx_cons[0][2]
+        orx_preds = [
+            _constraints_to_predicates(plain_cons + br_a),
+            _constraints_to_predicates(plain_cons + br_b),
+            _constraints_to_predicates(plain_cons + br_a + br_b),
+        ]
     sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
     dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
     if dcols:
@@ -1237,6 +1286,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         "group_specs": group_specs,
         "aggs": aggs,
         "predicates": predicates,
+        "orx": orx_preds,
         "out_cols": out_cols,
         "having": having,
         "final": final,
@@ -1258,6 +1308,85 @@ def _finish(df: DataFrame, r: dict) -> DataFrame:
     if r.get("limit") is not None:
         df = df.limit(r["limit"])
     return df
+
+
+def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
+    """Ungrouped aggregates under a cross-column OR: three routed
+    :func:`engine.agg_table` passes — branch A, branch B, A AND B — then
+    inclusion-exclusion over the three one-row results. Each pass gets the
+    full pruning stack (proven buckets answer from commit records, only
+    boundary chunks decode), so ``WHERE ts >= T OR lang = 'x'`` on a
+    clustered store still reads a handful of buckets per pass instead of
+    falling back to a full decode.
+
+    Composition per aggregate (SQL null semantics):
+    count/count(col) = cA + cB - cAB (empty passes contribute 0);
+    sum = the same over per-pass sums, NULL iff the composed non-null
+    count is 0 (per-pass NULL sums coalesce to 0 — they always co-occur
+    with a 0 nn); avg = composed exact sum / composed non-null count, one
+    double division exactly like the kernel's own avg; min/max =
+    least/greatest of the TWO branch passes (both skip NULLs; the A-and-B
+    pass cannot contribute a new extreme), cast back to the column's own
+    type for schema parity."""
+    out_dir, aggs = r["out_dir"], r["aggs"]
+    # partials needed across the passes, deduplicated by (fn, col) spec
+    need: dict[tuple, str] = {}
+
+    def req(spec: tuple) -> str:
+        return need.setdefault(spec, f"p{len(need)}")
+
+    comp: dict[str, tuple] = {}  # output alias -> composition recipe
+    for alias, spec in aggs.items():
+        fn = spec[0]
+        if fn == "count":
+            comp[alias] = ("count", req(("count",)))
+        elif fn == "nncount":
+            comp[alias] = ("count", req(("nncount", spec[1])))
+        elif fn in ("sum", "avg"):
+            comp[alias] = (fn, req(("sum", spec[1])),
+                           req(("nncount", spec[1])))
+        else:  # min / max
+            comp[alias] = (fn, req((fn, spec[1])))
+    pass_aggs = {a: spec for spec, a in need.items()}
+    tags = ("a", "b", "ab")
+    dfs = [
+        engine.agg_table(spark, out_dir, pass_aggs, predicates=p or None)
+        .select(*[F.col(a).alias(f"{a}_{tag}") for a in pass_aggs])
+        for tag, p in zip(tags, r["orx"])
+    ]
+    j = dfs[0].crossJoin(dfs[1]).crossJoin(dfs[2])
+
+    def ie(p: str):  # inclusion-exclusion over one partial column
+        a, b, ab = (F.coalesce(F.col(f"{p}_{t}"), F.lit(0)) for t in tags)
+        return a + b - ab
+
+    sel = []
+    for name, _, _ in r["out_cols"]:
+        k = comp[name]
+        if k[0] == "count":
+            sel.append(ie(k[1]).cast("long").alias(name))
+        elif k[0] == "sum":
+            nn = ie(k[2])
+            sel.append(F.when(nn > 0, ie(k[1])).cast("long").alias(name))
+        elif k[0] == "avg":
+            nn = ie(k[2])
+            sel.append(F.when(nn > 0, ie(k[1]) / nn)
+                       .cast("double").alias(name))
+        else:  # min / max in the kernel's int64 domain
+            f = F.least if k[0] == "min" else F.greatest
+            sel.append(f(F.col(f"{k[1]}_a"), F.col(f"{k[1]}_b"))
+                       .cast("long").alias(name))
+    out = j.select(*sel)
+    if any(aggs[n][0] in ("min", "max") for n, _, _ in r["out_cols"]):
+        from pyspark.sql import types as T
+        meta = datasource._read_meta(out_dir)
+        by_field = {f.name: f.dataType for f in
+                    T.StructType.fromJson(meta["spark_schema"]).fields}
+        out = out.select(*[
+            _minmax_back(n, by_field[aggs[n][1]]).alias(n)
+            if aggs[n][0] in ("min", "max") else F.col(n)
+            for n, _, _ in r["out_cols"]])
+    return out
 
 
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
@@ -1310,6 +1439,8 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                 sel.append(fin[names[aggs[name][0]]].alias(name))
         return _finish(fin.select(*sel), r)
     if not group_cols:
+        if r.get("orx"):
+            return _finish(_orx_agg(spark, r), r)
         df = engine.agg_table(spark, out_dir, aggs, predicates=preds or None)
         # Spark SQL's min/max keep the column's own type; the kernel
         # accumulates in long — cast back so routed and fallback plans are
@@ -1424,6 +1555,23 @@ def route_pruning_stats(r: dict | None) -> dict | None:
     from pyspark.sql import types as T
     by_name = {f.name: f.dataType.simpleString()
                for f in T.StructType.fromJson(meta["spark_schema"]).fields}
+    if r.get("orx"):
+        # three inclusion-exclusion passes: a bucket is read if ANY pass
+        # reads it, and counts as masked if any pass decodes it (a
+        # metadata-full answer in one pass saves nothing if another pass
+        # must decode the same bucket anyway)
+        full_b: set[int] = set()
+        masked_b: set[int] = set()
+        for p in r["orx"]:
+            preds = engine._normalize_predicates(p, by_name)
+            full, partial, _ = engine._classify_records(nonempty, preds)
+            full_b |= {int(rec["bucket"]) for rec in full}
+            masked_b |= {int(rec["bucket"]) for rec in partial}
+        full_b -= masked_b
+        return {"buckets_total": len(nonempty),
+                "buckets_read": len(full_b) + len(masked_b),
+                "buckets_full": len(full_b),
+                "buckets_masked": len(masked_b)}
     preds = engine._normalize_predicates(r["predicates"], by_name)
     full, partial, pruned = engine._classify_records(nonempty, preds)
     return {"buckets_total": len(nonempty),

@@ -12,8 +12,9 @@ now USE them:
    (count_plan classifies every bucket full — zero task I/O);
 3. spark.sql over the Data Source consumes IS [NOT] NULL exactly;
 4. the SQL aggregate router routes WHERE ... OR ... IS NULL
-   (single-column) and falls back on cross-column OR, both row-identical
-   to ordinary execution.
+   (single-column) AND ungrouped cross-column OR (round 5:
+   inclusion-exclusion over three conjunctive passes), both
+   row-identical to ordinary execution.
 """
 
 from __future__ import annotations
@@ -182,10 +183,14 @@ def test_sqlagg_routes_or_isnull(spark, null_src, null_store):
              .orderBy("source").collect())
     assert got2 == want2
 
-    # cross-column OR is not routable; execution still row-identical
+    # ungrouped cross-column OR routes too (round 5: inclusion-exclusion
+    # over three conjunctive metadata passes), row-identical on a
+    # null-bearing store (NULL lang/source rows are non-matches on both
+    # branches AND on the A-and-B pass — IE stays exact)
     sql3 = ("SELECT count(*) AS cnt FROM docs "
             "WHERE lang = 'de' OR source = 'src2'")
-    assert sqlagg.route_agg_sql(spark, sql3, stores) is None
+    r3 = sqlagg.route_agg_sql(spark, sql3, stores)
+    assert r3 is not None and r3.get("orx") is not None
     got3 = sqlagg.store_agg_sql(spark, sql3, stores).collect()
     want3 = (spark.read.parquet(null_src)
              .filter((F.col("lang") == "de") | (F.col("source") == "src2"))

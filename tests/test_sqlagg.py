@@ -130,6 +130,22 @@ ROUTABLE = [
     "SELECT count(*) AS c FROM docs WHERE score < -0.25 AND score > -2.0",
     "SELECT lang, count(*) AS c FROM docs WHERE score > 0.0 "
     "GROUP BY lang",
+    # round 5: ungrouped cross-column OR routes via inclusion-exclusion
+    # (three conjunctive passes: A, B, A AND B)
+    "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR source = 'src2'",
+    "SELECT count(*) AS c, sum(n_chars) AS s, min(n_chars) AS mn, "
+    "max(n_chars) AS mx, avg(n_chars) AS av, count(lang) AS cl "
+    "FROM docs WHERE lang = 'en' OR n_chars > 4000",
+    # a multi-leaf branch (AND inside one OR arm) and an outer AND
+    "SELECT count(*) AS c, sum(n_chars) AS s FROM docs "
+    "WHERE (lang = 'en' AND n_chars > 1000) OR source LIKE 'src7%'",
+    "SELECT count(*) AS c FROM docs WHERE n_chars BETWEEN 100 AND 3000 "
+    "AND (lang = 'de' OR source LIKE 'src3%')",
+    # empty / both-empty branches: counts 0, sum/min/max/avg NULL
+    "SELECT count(*) AS c, sum(n_chars) AS s, min(n_chars) AS mn "
+    "FROM docs WHERE lang = 'en' OR n_chars > 99999",
+    "SELECT count(*) AS c, sum(n_chars) AS s, avg(n_chars) AS av, "
+    "max(n_chars) AS mx FROM docs WHERE lang = 'xx' OR n_chars > 99999",
 ]
 
 FALLBACK = [
@@ -140,8 +156,14 @@ FALLBACK = [
     "SELECT upper(lang) AS l, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",                                # computed group
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
+    # cross-column OR stays a fallback under GROUP BY / count(distinct) /
+    # >2 branches (inclusion-exclusion is ungrouped-additive only)
+    "SELECT lang, count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR source = 'src2' GROUP BY lang",
+    "SELECT count(DISTINCT lang) AS d FROM docs "
+    "WHERE lang = 'en' OR n_chars > 100",
     "SELECT count(*) AS c FROM docs "
-    "WHERE lang = 'en' OR source = 'src2'",                # cross-column OR
+    "WHERE lang = 'en' OR n_chars > 100 OR source = 'src2'",
     "SELECT sum(score) AS s FROM docs",                    # float sum
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
@@ -902,12 +924,48 @@ def test_route_reason_surfaces_fallback_cause(spark, time_store):
     jobs/query.py --explain can tell the user which clause to rephrase."""
     stores = {"ev": time_store}
     r, reason = sqlagg.route_agg_sql_reason(
-        spark, "SELECT count(*) AS c FROM ev "
-               "WHERE lang = 'en' OR n > 5", stores)
-    assert r is None and "OR across columns" in reason
+        spark, "SELECT lang, count(*) AS c FROM ev "
+               "WHERE lang = 'en' OR n > 5 GROUP BY lang", stores)
+    assert r is None and "cross-column OR with GROUP BY" in reason
     r, reason = sqlagg.route_agg_sql_reason(
         spark, "SELECT count(*) AS c FROM ev GROUP BY to_date(ts)", stores)
     assert r is None and "not in SELECT" in reason
     r, reason = sqlagg.route_agg_sql_reason(
         spark, "SELECT lang, count(*) AS c FROM ev GROUP BY lang", stores)
     assert r is not None and reason is None
+
+
+def test_cross_column_or_route_shape(spark, store):
+    """Ungrouped cross-column OR routes as three inclusion-exclusion
+    predicate sets (A, B, A AND B), each a plain engine predicate dict, so
+    every pass keeps the full zone-map/bucket pruning stack; the pruning
+    report unions the passes. A contradictory A-AND-B pass (conflicting
+    specs on one column) stays a clean fallback."""
+    stores = {"docs": store}
+    r = sqlagg.route_agg_sql(
+        spark, "SELECT count(*) AS c, sum(n_chars) AS s FROM docs "
+               "WHERE lang = 'en' OR n_chars > 4000", stores)
+    assert r is not None and len(r["orx"]) == 3
+    preds_a, preds_b, preds_ab = r["orx"]
+    assert preds_a == {"lang": ("eq", "en")}
+    assert preds_b["n_chars"][0] == 4001  # strict bound, inclusive form
+    assert preds_ab == {"lang": ("eq", "en"),
+                        "n_chars": preds_b["n_chars"]}
+    stats = sqlagg.route_pruning_stats(r)
+    assert set(stats) == {"buckets_total", "buckets_read", "buckets_full",
+                          "buckets_masked"}
+    assert 0 < stats["buckets_read"] <= stats["buckets_total"]
+
+    # both branches provably empty: zero buckets read, SQL empty-input
+    # aggregate semantics (count 0, sum NULL)
+    r0 = sqlagg.route_agg_sql(
+        spark, "SELECT count(*) AS c, sum(n_chars) AS s FROM docs "
+               "WHERE n_chars > 99999 OR n_chars < -1", stores)
+    # same-column OR takes the native single-pass spec instead
+    assert r0 is not None and r0.get("orx") is None
+
+    # conflicting eq constraints inside the A-AND-B pass -> fallback
+    rc, reason = sqlagg.route_agg_sql_reason(
+        spark, "SELECT count(*) AS c FROM docs "
+               "WHERE lang = 'en' OR (lang = 'de' AND n_chars > 5)", stores)
+    assert rc is None and "multiple constraints" in reason
