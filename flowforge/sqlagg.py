@@ -16,10 +16,11 @@ shape the engine can answer —
               columns (multi-column shapes ride one group_multi_table
               pass with per-column partials),
               [group by one or more columns],
-              [Filter(AND of eq / IN / LIKE-prefix / range; ungrouped
-               shapes also take ONE cross-column OR of two branches,
-               answered by inclusion-exclusion over three conjunctive
-               passes)],
+              [Filter(AND of eq / IN / LIKE-prefix / range; plus ONE
+               cross-column OR of two branches, answered by
+               inclusion-exclusion over conjunctive passes — one-row
+               composition ungrouped, per-group null-safe outer-join
+               composition grouped)],
               one registered chunk-store view)
 
 — route it to ``agg_table`` / ``group_agg_table`` / ``value_counts_table``.
@@ -1092,13 +1093,25 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         src, transform = _parse_group_expr(item)
         gname = src if transform is None else out_name
         constraints, view = _filter_and_relation(proj.child(), stores)
+        orx_cons = [c for c in constraints if c[0] == "orx"]
+        plain_cons = [c for c in constraints if c[0] != "orx"]
+        orx_preds = None
+        if orx_cons:
+            # DISTINCT over A OR B = the union of the two branch passes'
+            # group sets — no overlap correction needed (round 5)
+            if len(orx_cons) > 1:
+                raise _Unroutable("multiple cross-column ORs")
+            br_a, br_b = orx_cons[0][2]
+            orx_preds = [_constraints_to_predicates(plain_cons + br_a),
+                         _constraints_to_predicates(plain_cons + br_b)]
         return {"out_dir": stores[view],
                 "group_col": src if transform is None else None,
                 "group_cols": [gname],
                 "group_specs": [[src, list(transform) if transform else None,
                                  gname]],
                 "aggs": {},
-                "predicates": _constraints_to_predicates(constraints),
+                "predicates": _constraints_to_predicates(plain_cons),
+                "orx": orx_preds,
                 "out_cols": [(out_name, "group", gname)],
                 "having": None, "final": None,
                 "order": _resolve_order(order, {out_id: out_name}),
@@ -1208,28 +1221,31 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     predicates = _constraints_to_predicates(plain_cons)
     orx_preds = None
     if orx_cons:
-        # cross-column OR routes for UNGROUPED additive aggregates via
-        # inclusion-exclusion: |A or B| = |A| + |B| - |A and B| holds
-        # row-wise (SQL WHERE is a row filter; NULL conditions are
-        # non-matches on both sides), and count/sum/avg(=sum/nn)/nncount
-        # are additive over disjoint row sets while min/max compose as
-        # least/greatest of the branch passes — so THREE conjunctive
-        # metadata passes answer the OR exactly (round 5). count(distinct)
-        # is NOT additive this way (a value can match A-rows and B-rows
-        # without any row matching both), and grouped shapes would need a
-        # per-group outer-join composition — both fall back.
+        # cross-column OR routes via inclusion-exclusion: |A or B| =
+        # |A| + |B| - |A and B| holds row-wise (SQL WHERE is a row
+        # filter; NULL conditions are non-matches on both sides), and
+        # count/sum/avg(=sum/nn)/nncount are additive over disjoint row
+        # sets while min/max compose as least/greatest of the branch
+        # passes — so conjunctive metadata passes answer the OR exactly,
+        # ungrouped (one-row composition) or grouped (per-group null-safe
+        # outer-join composition, round 5). The A-AND-B pass runs only
+        # when an additive partial is read; min/max/DISTINCT-only shapes
+        # take two passes. count(distinct) is NOT additive this way (a
+        # value can match A-rows and B-rows without any row matching
+        # both) — falls back.
         if len(orx_cons) > 1:
             raise _Unroutable("multiple cross-column ORs")
-        if group_cols:
-            raise _Unroutable("cross-column OR with GROUP BY")
         if any(spec[0] == "cntd" for spec in aggs.values()):
             raise _Unroutable("cross-column OR with count(distinct)")
         br_a, br_b = orx_cons[0][2]
         orx_preds = [
             _constraints_to_predicates(plain_cons + br_a),
             _constraints_to_predicates(plain_cons + br_b),
-            _constraints_to_predicates(plain_cons + br_a + br_b),
         ]
+        if any(spec[0] in ("count", "nncount", "sum", "avg")
+               for spec in aggs.values()):
+            orx_preds.append(
+                _constraints_to_predicates(plain_cons + br_a + br_b))
     sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
     dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
     if dcols:
@@ -1348,15 +1364,17 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
         else:  # min / max
             comp[alias] = (fn, req((fn, spec[1])))
     pass_aggs = {a: spec for spec, a in need.items()}
-    tags = ("a", "b", "ab")
+    tags = ("a", "b", "ab")[:len(r["orx"])]  # 2 passes when min/max-only
     dfs = [
         engine.agg_table(spark, out_dir, pass_aggs, predicates=p or None)
         .select(*[F.col(a).alias(f"{a}_{tag}") for a in pass_aggs])
         for tag, p in zip(tags, r["orx"])
     ]
-    j = dfs[0].crossJoin(dfs[1]).crossJoin(dfs[2])
+    j = dfs[0].crossJoin(dfs[1])
+    if len(dfs) == 3:
+        j = j.crossJoin(dfs[2])
 
-    def ie(p: str):  # inclusion-exclusion over one partial column
+    def ie(p: str):  # IE over one partial; only reachable with 3 passes
         a, b, ab = (F.coalesce(F.col(f"{p}_{t}"), F.lit(0)) for t in tags)
         return a + b - ab
 
@@ -1387,6 +1405,150 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
             if aggs[n][0] in ("min", "max") else F.col(n)
             for n, _, _ in r["out_cols"]])
     return out
+
+
+def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
+                      gargs: list, group_cols: list[str], derived: bool,
+                      preds: dict | None):
+    """One grouped kernel pass: a per-group DataFrame carrying the partial
+    columns the finishing select reads — ``cnt`` plus ``sum/nn/mn/mx``
+    (indexed ``sum{j}``... when the multi-agg kernel runs) — and the
+    agg-column -> index map naming them (None for the legacy single
+    names)."""
+    # ordered distinct agg source columns; a column is value-aggregated
+    # if any sum/avg/min/max spec touches it (nncount alone = count-only)
+    src_list: list[str] = []
+    value_cols: set[str] = set()
+    for spec in aggs.values():
+        if spec[0] in ("sum", "avg", "min", "max", "nncount"):
+            if spec[1] not in src_list:
+                src_list.append(spec[1])
+            if spec[0] != "nncount":
+                value_cols.add(spec[1])
+    jmap: dict[str, int] | None = None
+    if len(src_list) > 1:
+        # several agg columns: ONE group_multi_table pass carries per-
+        # column partials (round 5) — the full corpus-audit SELECT routes
+        base = engine.group_multi_table(
+            spark, out_dir, gargs, predicates=preds or None,
+            agg_specs=[(c, c not in value_cols) for c in src_list])
+        jmap = {c: j for j, c in enumerate(src_list)}
+    elif src_list:
+        # COUNT(col) with no value aggregates runs the kernels in
+        # count_only mode: the column's values never decode
+        count_only = not value_cols
+        if len(group_cols) > 1 or derived:
+            base = engine.group_multi_table(
+                spark, out_dir, gargs, agg_col=src_list[0],
+                predicates=preds or None, count_only=count_only)
+        else:
+            base = engine.group_agg_table(spark, out_dir, group_cols[0],
+                                          src_list[0],
+                                          predicates=preds or None,
+                                          count_only=count_only)
+    elif len(group_cols) > 1 or derived:
+        base = engine.group_multi_table(spark, out_dir, gargs,
+                                        predicates=preds or None)
+    else:
+        base = engine.value_counts_table(spark, out_dir, group_cols[0],
+                                         predicates=preds or None)
+    return base, jmap
+
+
+def _orx_grouped(spark: SparkSession, r: dict, gargs: list, derived: bool):
+    """Grouped aggregates under a cross-column OR: one grouped kernel pass
+    per inclusion-exclusion predicate set (A, B, and — only when an
+    additive partial is read — A AND B), composed PER GROUP into a frame
+    with the same partial-column names the single-pass finishing select
+    reads. The observed group set is the union of the branch passes (a
+    group cannot appear only in the A-AND-B pass: its rows match A too),
+    joined null-safely (a NULL group value is a real SQL group).
+
+    Per-group composition: cnt / nn additive (cA + cB - cAB, absent
+    passes 0); sum additive with the same nn-guard null semantics as the
+    ungrouped path; mn/mx = null-skipping least/greatest of the TWO
+    branch passes in the kernels' int64 domain (the finishing select
+    casts back). min/max/DISTINCT-only shapes skip the third pass
+    entirely — extremes and group membership need no overlap
+    correction."""
+    out_dir, aggs, gcols = r["out_dir"], r["aggs"], r["group_cols"]
+    # the partial columns the finishing select reads; sums carry their
+    # paired nn name for the NULL-iff-no-non-null-rows guard
+    parts: list[tuple] = []  # (partial name, kind, aux nn name | None)
+    seen: set[str] = set()
+    jmap_probe: dict[str, int] | None = None
+    src_probe: list[str] = []
+    for spec in aggs.values():
+        if spec[0] in ("sum", "avg", "min", "max", "nncount") \
+                and spec[1] not in src_probe:
+            src_probe.append(spec[1])
+    if len(src_probe) > 1:
+        jmap_probe = {c: j for j, c in enumerate(src_probe)}
+
+    def kn(kind: str, col: str) -> str:
+        return f"{kind}{jmap_probe[col]}" if jmap_probe is not None else kind
+
+    def add(name: str, kind: str, aux: str | None = None):
+        if name not in seen:
+            seen.add(name)
+            parts.append((name, kind, aux))
+
+    for spec in aggs.values():
+        fn = spec[0]
+        if fn == "count":
+            add("cnt", "cnt")
+        elif fn == "nncount":
+            add(kn("nn", spec[1]), "nn")
+        elif fn in ("sum", "avg"):
+            add(kn("nn", spec[1]), "nn")
+            add(kn("sum", spec[1]), "sum", kn("nn", spec[1]))
+        elif fn == "min":
+            add(kn("mn", spec[1]), "mn")
+        else:  # max
+            add(kn("mx", spec[1]), "mx")
+    preds_list = r["orx"]
+    tags = ("a", "b", "ab")[:len(preds_list)]
+    passes = []
+    jmap = None
+    for p in preds_list:
+        b, jmap = _grouped_partials(spark, out_dir, aggs, gargs, gcols,
+                                    derived, p)
+        passes.append(b)
+    part_names = [n for n, _, _ in parts]
+    tagged = [p.select(*[F.col(c).alias(f"{c}__{t}")
+                         for c in gcols + part_names])
+              for p, t in zip(passes, tags)]
+    a, b = tagged[0], tagged[1]
+    cond = None
+    for g in gcols:
+        c = a[f"{g}__a"].eqNullSafe(b[f"{g}__b"])
+        cond = c if cond is None else (cond & c)
+    u = a.join(b, cond, "full_outer")
+    key = {g: F.coalesce(u[f"{g}__a"], u[f"{g}__b"]) for g in gcols}
+    if len(tagged) == 3:
+        ab = tagged[2]
+        cond2 = None
+        for g in gcols:
+            c = key[g].eqNullSafe(ab[f"{g}__ab"])
+            cond2 = c if cond2 is None else (cond2 & c)
+        u = u.join(ab, cond2, "left_outer")
+
+    def ie(name: str):  # only reachable when the third pass ran
+        xs = [F.coalesce(F.col(f"{name}__{t}"), F.lit(0)) for t in tags]
+        return xs[0] + xs[1] - xs[2]
+
+    sel = [key[g].alias(g) for g in gcols]
+    for name, kind, aux in parts:
+        if kind in ("cnt", "nn"):
+            sel.append(ie(name).cast("long").alias(name))
+        elif kind == "sum":
+            sel.append(F.when(ie(aux) > 0, ie(name))
+                       .cast("long").alias(name))
+        else:  # mn / mx
+            f = F.least if kind == "mn" else F.greatest
+            sel.append(f(F.col(f"{name}__a"), F.col(f"{name}__b"))
+                       .cast("long").alias(name))
+    return u.select(*sel), jmap
 
 
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
@@ -1457,43 +1619,11 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             else:
                 sel.append(F.col(name))
         return _finish(df.select(*sel), r)
-    # ordered distinct agg source columns; a column is value-aggregated
-    # if any sum/avg/min/max spec touches it (nncount alone = count-only)
-    src_list: list[str] = []
-    value_cols: set[str] = set()
-    for spec in aggs.values():
-        if spec[0] in ("sum", "avg", "min", "max", "nncount"):
-            if spec[1] not in src_list:
-                src_list.append(spec[1])
-            if spec[0] != "nncount":
-                value_cols.add(spec[1])
-    jmap: dict[str, int] | None = None
-    if len(src_list) > 1:
-        # several agg columns: ONE group_multi_table pass carries per-
-        # column partials (round 5) — the full corpus-audit SELECT routes
-        base = engine.group_multi_table(
-            spark, out_dir, gargs, predicates=preds or None,
-            agg_specs=[(c, c not in value_cols) for c in src_list])
-        jmap = {c: j for j, c in enumerate(src_list)}
-    elif src_list:
-        # COUNT(col) with no value aggregates runs the kernels in
-        # count_only mode: the column's values never decode
-        count_only = not value_cols
-        if len(group_cols) > 1 or derived:
-            base = engine.group_multi_table(
-                spark, out_dir, gargs, agg_col=src_list[0],
-                predicates=preds or None, count_only=count_only)
-        else:
-            base = engine.group_agg_table(spark, out_dir, group_cols[0],
-                                          src_list[0],
-                                          predicates=preds or None,
-                                          count_only=count_only)
-    elif len(group_cols) > 1 or derived:
-        base = engine.group_multi_table(spark, out_dir, gargs,
-                                        predicates=preds or None)
+    if r.get("orx"):
+        base, jmap = _orx_grouped(spark, r, gargs, derived)
     else:
-        base = engine.value_counts_table(spark, out_dir, group_cols[0],
-                                         predicates=preds or None)
+        base, jmap = _grouped_partials(spark, out_dir, aggs, gargs,
+                                       group_cols, derived, preds)
 
     def kname(kind: str, col: str) -> str:
         # partial-column name for (sum|nn|mn|mx, agg col): indexed when the

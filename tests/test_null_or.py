@@ -196,3 +196,21 @@ def test_sqlagg_routes_or_isnull(spark, null_src, null_store):
              .filter((F.col("lang") == "de") | (F.col("source") == "src2"))
              .count())
     assert got3[0]["cnt"] == want3
+
+    # GROUPED cross-column OR on the null-bearing store: the NULL lang
+    # group is a real SQL group — the per-group composition joins the
+    # branch passes NULL-SAFELY, so it must come back as ONE row, not
+    # one per pass
+    sql4 = ("SELECT lang, count(*) AS cnt FROM docs "
+            "WHERE n_chars <= 200 OR source = 'src2' GROUP BY lang")
+    r4 = sqlagg.route_agg_sql(spark, sql4, stores)
+    assert r4 is not None and r4.get("orx") is not None
+    got4 = sorted(map(tuple, sqlagg.store_agg_sql(spark, sql4, stores)
+                      .collect()), key=repr)
+    want4 = sorted(map(tuple, (
+        spark.read.parquet(null_src)
+        .filter((F.col("n_chars") <= 200) | (F.col("source") == "src2"))
+        .groupBy("lang").agg(F.count("*").alias("cnt"))
+        .collect())), key=repr)
+    assert got4 == want4
+    assert any(t[0] is None for t in got4)  # the NULL group composed once

@@ -146,6 +146,26 @@ ROUTABLE = [
     "FROM docs WHERE lang = 'en' OR n_chars > 99999",
     "SELECT count(*) AS c, sum(n_chars) AS s, avg(n_chars) AS av, "
     "max(n_chars) AS mx FROM docs WHERE lang = 'xx' OR n_chars > 99999",
+    # GROUPED cross-column OR: per-group null-safe outer-join composition
+    # (the NULL lang group is a real SQL group and must compose once)
+    "SELECT lang, count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR source = 'src2' GROUP BY lang",
+    "SELECT lang, count(*) AS c, sum(n_chars) AS s, min(n_chars) AS mn, "
+    "max(n_chars) AS mx, avg(doc_id) AS av, count(score) AS cs FROM docs "
+    "WHERE source LIKE 'src1%' OR n_chars > 4000 GROUP BY lang",
+    "SELECT lang, source, count(*) AS c, sum(n_chars) AS s FROM docs "
+    "WHERE lang = 'de' OR n_chars < 500 GROUP BY lang, source",
+    # min/max-only shapes need no overlap pass (two passes, grouped and
+    # ungrouped); DISTINCT composes as the union of the branch passes
+    "SELECT source, min(n_chars) AS mn, max(doc_id) AS mx FROM docs "
+    "WHERE lang = 'fr' OR n_chars > 4500 GROUP BY source",
+    "SELECT min(n_chars) AS mn, max(doc_id) AS mx FROM docs "
+    "WHERE lang = 'fr' OR n_chars > 4500",
+    "SELECT DISTINCT source FROM docs WHERE lang = 'en' OR n_chars > 4900",
+    # HAVING / ORDER BY / LIMIT re-apply over the composed result
+    "SELECT lang, count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR source = 'src1/item7' GROUP BY lang "
+    "HAVING count(*) > 10 ORDER BY c DESC, lang LIMIT 3",
 ]
 
 FALLBACK = [
@@ -156,10 +176,9 @@ FALLBACK = [
     "SELECT upper(lang) AS l, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",                                # computed group
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
-    # cross-column OR stays a fallback under GROUP BY / count(distinct) /
-    # >2 branches (inclusion-exclusion is ungrouped-additive only)
-    "SELECT lang, count(*) AS c FROM docs "
-    "WHERE lang = 'en' OR source = 'src2' GROUP BY lang",
+    # cross-column OR stays a fallback under count(distinct) (not
+    # additive: a value can match A-rows and B-rows with no row matching
+    # both) and beyond two branches
     "SELECT count(DISTINCT lang) AS d FROM docs "
     "WHERE lang = 'en' OR n_chars > 100",
     "SELECT count(*) AS c FROM docs "
@@ -924,9 +943,9 @@ def test_route_reason_surfaces_fallback_cause(spark, time_store):
     jobs/query.py --explain can tell the user which clause to rephrase."""
     stores = {"ev": time_store}
     r, reason = sqlagg.route_agg_sql_reason(
-        spark, "SELECT lang, count(*) AS c FROM ev "
-               "WHERE lang = 'en' OR n > 5 GROUP BY lang", stores)
-    assert r is None and "cross-column OR with GROUP BY" in reason
+        spark, "SELECT count(DISTINCT lang) AS d FROM ev "
+               "WHERE lang = 'en' OR n > 5", stores)
+    assert r is None and "cross-column OR with count(distinct)" in reason
     r, reason = sqlagg.route_agg_sql_reason(
         spark, "SELECT count(*) AS c FROM ev GROUP BY to_date(ts)", stores)
     assert r is None and "not in SELECT" in reason
@@ -969,3 +988,18 @@ def test_cross_column_or_route_shape(spark, store):
         spark, "SELECT count(*) AS c FROM docs "
                "WHERE lang = 'en' OR (lang = 'de' AND n_chars > 5)", stores)
     assert rc is None and "multiple constraints" in reason
+
+    # pass-count economics: additive aggregates need the A-AND-B overlap
+    # pass; extremes and DISTINCT membership do not
+    r2 = sqlagg.route_agg_sql(
+        spark, "SELECT min(n_chars) AS mn, max(doc_id) AS mx FROM docs "
+               "WHERE lang = 'en' OR n_chars > 4000", stores)
+    assert len(r2["orx"]) == 2
+    r3 = sqlagg.route_agg_sql(
+        spark, "SELECT DISTINCT source FROM docs "
+               "WHERE lang = 'en' OR n_chars > 4000", stores)
+    assert len(r3["orx"]) == 2
+    r4 = sqlagg.route_agg_sql(
+        spark, "SELECT lang, count(*) AS c, min(n_chars) AS mn FROM docs "
+               "WHERE lang = 'en' OR n_chars > 4000 GROUP BY lang", stores)
+    assert len(r4["orx"]) == 3
