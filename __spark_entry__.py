@@ -194,8 +194,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
             "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
-            "FROM documents WHERE lang IN ('en', 'de') "
-            "AND source LIKE 'src1%' AND n_chars BETWEEN 50 AND 5000"
+            "FROM documents WHERE (lang IN ('en', 'de') OR n_chars > 4500) "
+            "AND source LIKE 'src1%'"
         ),
         "store_sqlagg_grouped_where": (
             "SELECT lang, count(*) AS cnt, count(n_chars) AS nn_chars, "

@@ -382,12 +382,15 @@ def q_store_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-surface AGGREGATE pushdown (round 4): the user types plain SQL;
-    the analyzed Catalyst plan routes to engine.agg_table, so the mixed
-    WHERE (IN + LIKE-prefix + BETWEEN) prunes off zone maps and the five
-    aggregates come from chunk/commit metadata — no full decode. The query
-    asserts the statement actually ROUTED (a silent fallback would pass the
-    value check while testing nothing)."""
+    """SQL-surface AGGREGATE pushdown (round 4; cross-column OR round 5):
+    the user types plain SQL; the analyzed Catalyst plan routes to
+    engine.agg_table. The WHERE mixes a CROSS-COLUMN OR (IN on lang OR a
+    range on n_chars) with an ANDed LIKE-prefix — routed as three
+    inclusion-exclusion passes (A, B, A AND B), each pruning off zone
+    maps, composed over the one-row results — so the six aggregates come
+    from chunk/commit metadata with no full decode. The query asserts the
+    statement actually ROUTED through the OR path (a silent fallback
+    would pass the value check while testing nothing)."""
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
@@ -397,10 +400,12 @@ def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
            "sum(n_chars) AS sum_chars, "
            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
            "avg(n_chars) AS avg_chars FROM docs "
-           "WHERE lang IN ('en', 'de') AND source LIKE 'src1%' "
-           "AND n_chars BETWEEN 50 AND 5000")
-    if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
-        raise RuntimeError("store_sqlagg_route: statement failed to route")
+           "WHERE (lang IN ('en', 'de') OR n_chars > 4500) "
+           "AND source LIKE 'src1%'")
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
+    if r is None or not r.get("orx"):
+        raise RuntimeError("store_sqlagg_route: statement failed to route "
+                           "through the cross-column OR path")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 
