@@ -1230,13 +1230,14 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # ungrouped (one-row composition) or grouped (per-group null-safe
         # outer-join composition, round 5). The A-AND-B pass runs only
         # when an additive partial is read; min/max/DISTINCT-only shapes
-        # take two passes. count(distinct) is NOT additive this way (a
-        # value can match A-rows and B-rows without any row matching
-        # both) — falls back.
+        # take two passes. count(distinct) rides the same passes: its
+        # value is NOT row-additive (a value can match A-rows and B-rows
+        # without any row matching both), but the composite kernel's
+        # per-(group, value) combo rows ARE a set union across the branch
+        # passes — the finishing count-distinct reads them sign-filtered
+        # (see _execute_route's union-with-sign composition).
         if len(orx_cons) > 1:
             raise _Unroutable("multiple cross-column ORs")
-        if any(spec[0] == "cntd" for spec in aggs.values()):
-            raise _Unroutable("cross-column OR with count(distinct)")
         br_a, br_b = orx_cons[0][2]
         orx_preds = [
             _constraints_to_predicates(plain_cons + br_a),
@@ -1577,19 +1578,50 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         # the finishing agg is over O(observed combos) rows
         dcol = next(iter(dcols))
         sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
-        base = engine.group_multi_table(
-            spark, out_dir, gargs + [dcol],
-            agg_col=next(iter(sum_cols)) if sum_cols else None,
-            predicates=preds or None)
-        fin_aggs = [
-            # count(*) over empty matches Spark's 0 (not null)
-            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("__cnt"),
-            # SQL count(distinct) excludes NULL: the null group drops
-            F.count(F.when(F.col(dcol).isNotNull(), 1))
-            .cast("long").alias("__cntd"),
-        ]
-        if sum_cols:
-            fin_aggs.append(F.sum("sum").cast("long").alias("__sum"))
+        agg_col = next(iter(sum_cols)) if sum_cols else None
+        if r.get("orx"):
+            # cross-column OR: one composite-kernel pass per inclusion-
+            # exclusion predicate set, unioned with a sign column (+1 for
+            # the branch passes, -1 for A AND B). count(*)/sum compose as
+            # sign-weighted sums per group; count(distinct) reads the
+            # BRANCH passes' combo rows only (sign > 0) — their (group,
+            # value) sets union to exactly the values seen under A OR B,
+            # and the overlap pass must not cancel them (a value in both
+            # branches is still one value).
+            passes = []
+            for sgn, p in zip((1, 1, -1), r["orx"]):
+                b = engine.group_multi_table(
+                    spark, out_dir, gargs + [dcol], agg_col=agg_col,
+                    predicates=p or None)
+                passes.append(b.withColumn("__sign", F.lit(sgn)))
+            base = passes[0]
+            for b in passes[1:]:
+                base = base.unionByName(b)
+            fin_aggs = [
+                F.coalesce(F.sum(F.col("cnt") * F.col("__sign")), F.lit(0))
+                .cast("long").alias("__cnt"),
+                F.count_distinct(
+                    F.when(F.col("__sign") > 0, F.col(dcol)))
+                .cast("long").alias("__cntd"),
+            ]
+            if sum_cols:
+                fin_aggs.append(
+                    F.sum(F.col("sum") * F.col("__sign"))
+                    .cast("long").alias("__sum"))
+        else:
+            base = engine.group_multi_table(
+                spark, out_dir, gargs + [dcol], agg_col=agg_col,
+                predicates=preds or None)
+            fin_aggs = [
+                # count(*) over empty matches Spark's 0 (not null)
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("long").alias("__cnt"),
+                # SQL count(distinct) excludes NULL: the null group drops
+                F.count(F.when(F.col(dcol).isNotNull(), 1))
+                .cast("long").alias("__cntd"),
+            ]
+            if sum_cols:
+                fin_aggs.append(F.sum("sum").cast("long").alias("__sum"))
         fin = (base.groupBy(*group_cols).agg(*fin_aggs) if group_cols
                else base.agg(*fin_aggs))
         names = {"count": "__cnt", "cntd": "__cntd", "sum": "__sum"}

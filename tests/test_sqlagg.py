@@ -166,6 +166,16 @@ ROUTABLE = [
     "SELECT lang, count(*) AS c FROM docs "
     "WHERE lang = 'en' OR source = 'src1/item7' GROUP BY lang "
     "HAVING count(*) > 10 ORDER BY c DESC, lang LIMIT 3",
+    # COUNT(DISTINCT) under cross-column OR: the composite kernel's
+    # (group, value) combo rows union across the branch passes (a value
+    # seen under A and under B is one value); counts/sums compose
+    # sign-weighted through the overlap pass
+    "SELECT count(DISTINCT lang) AS d FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000",
+    "SELECT count(DISTINCT source) AS d, count(*) AS c, "
+    "sum(n_chars) AS s FROM docs WHERE lang = 'de' OR n_chars > 4500",
+    "SELECT lang, count(DISTINCT source) AS d, count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000 GROUP BY lang",
 ]
 
 FALLBACK = [
@@ -176,11 +186,7 @@ FALLBACK = [
     "SELECT upper(lang) AS l, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",                                # computed group
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
-    # cross-column OR stays a fallback under count(distinct) (not
-    # additive: a value can match A-rows and B-rows with no row matching
-    # both) and beyond two branches
-    "SELECT count(DISTINCT lang) AS d FROM docs "
-    "WHERE lang = 'en' OR n_chars > 100",
+    # cross-column OR stays a fallback beyond two branches
     "SELECT count(*) AS c FROM docs "
     "WHERE lang = 'en' OR n_chars > 100 OR source = 'src2'",
     "SELECT sum(score) AS s FROM docs",                    # float sum
@@ -943,9 +949,9 @@ def test_route_reason_surfaces_fallback_cause(spark, time_store):
     jobs/query.py --explain can tell the user which clause to rephrase."""
     stores = {"ev": time_store}
     r, reason = sqlagg.route_agg_sql_reason(
-        spark, "SELECT count(DISTINCT lang) AS d FROM ev "
-               "WHERE lang = 'en' OR n > 5", stores)
-    assert r is None and "cross-column OR with count(distinct)" in reason
+        spark, "SELECT count(*) AS c FROM ev "
+               "WHERE lang = 'en' OR n > 5 OR lang = 'de'", stores)
+    assert r is None and "beyond two branches" in reason
     r, reason = sqlagg.route_agg_sql_reason(
         spark, "SELECT count(*) AS c FROM ev GROUP BY to_date(ts)", stores)
     assert r is None and "not in SELECT" in reason
