@@ -176,6 +176,9 @@ ROUTABLE = [
     "sum(n_chars) AS s FROM docs WHERE lang = 'de' OR n_chars > 4500",
     "SELECT lang, count(DISTINCT source) AS d, count(*) AS c FROM docs "
     "WHERE lang = 'en' OR n_chars > 4000 GROUP BY lang",
+    # a strict float bound as one OR branch (nextafter + NaN-keeping
+    # lower leg, composed through the inclusion-exclusion passes)
+    "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR score > 0.5",
 ]
 
 FALLBACK = [
