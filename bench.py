@@ -255,10 +255,23 @@ def main() -> None:
         return
 
     if args.scaling_only:
+        # reuse the last full run's query evidence so refreshing the
+        # scaling legs does not wipe the per-query section of BENCH.md;
+        # the marker key keeps the provenance honest
         queries, encode_info = {}, {}
+        try:
+            with open(os.path.join(REPO, ".bench_queries.json")) as f:
+                prior = json.load(f)
+            queries = prior["queries"]
+            encode_info = dict(prior["encode"],
+                               from_cached_query_phase=True)
+        except (OSError, KeyError, ValueError):
+            pass
         args.scaling = True
     else:
         queries, encode_info = _query_bench(rows)
+        with open(os.path.join(REPO, ".bench_queries.json"), "w") as f:
+            json.dump({"queries": queries, "encode": encode_info}, f)
 
     scaling = None
     if args.scaling:
@@ -419,24 +432,29 @@ Snappy reference write wall: {n4['snappy_ref_wall_sec']} s at local[{n4_cpus}]
 
 Round-5 (diminishing-returns FSST round stop, trial/sim cuts, redundant
 dict-trial removal, cores-proportional task grouping): the same job at
-`local[32]` (driver's per-round configuration) measures **3.1 s
-steady-state = 0.70 GB/s** (best-of-two; host-steal episodes still
-inflate single trials — the spread is host-level, visible in vmstat, not
-engine state). Round-4 measured 3.9 s / 0.56; round-3 4.8-5.0 s /
-0.43-0.45; round-2 7.5-22 s / best 0.29; round-1's FSST path 17.6 s.
+`local[32]` (driver's per-round configuration) measures **2.5-3.1 s
+steady-state = 0.70-0.87 GB/s on quiet-machine runs**, while
+sustained-throttle windows read 4-6 s with every wall — including the
+snappy reference writer — uniformly slower (best-of-two per run; the
+spread is host-level, visible in vmstat, not engine state; the JSON
+section below records THIS run's trials). Round-4 measured
+3.9 s / 0.56; round-3 4.8-5.0 s / 0.43-0.45; round-2 7.5-22 s / best
+0.29; round-1's FSST path 17.6 s.
 High core counts keep helping, sublinearly as shared DRAM bandwidth
 saturates. The low-core pair above remains the faithful per-executor
 scaling proxy because cluster executors each bring their own memory
-bandwidth. The engine wall at local[4] is **2.9x the snappy writer's**
-(best-of-two, quiet machine: see the table above) at 0.46x its size —
-the round-3 "<= 3x" target, open since, is closed.
+bandwidth. The engine wall at local[4] is
+**{n4['wall_sec'] / n4['snappy_ref_wall_sec']:.2f}x the snappy
+writer's** on THIS run's interleaved best-of legs (quiet-machine runs
+measured 2.89-3.00x on the identical build — the round-3 "<= 3x" target
+sits at the noise floor of this shared box) at 0.46x its size.
 
 ## 4x-scale robustness (input-size head-room)
 
 Same job at 4x the bench input (4M rows, 8.73 GB logical, 245 buckets,
 local[32]), round-5 build: encode 8.1-8.4 s back-to-back = **1.04-1.08
 GB/s**, ratio 0.1139 (unchanged), decode row count exact. Throughput now
-RISES with input size (1M-row headline: 0.70 GB/s) as fixed per-job
+RISES with input size (1M-row headline: 0.70-0.87 GB/s) as fixed per-job
 overhead amortizes across 4x the buckets — the right direction for
 100 TB; nothing in the engine holds state proportional to total input
 (round-4 measured 0.70 at 4x, round-3 0.388).
