@@ -262,9 +262,11 @@ def main() -> None:
         try:
             with open(os.path.join(REPO, ".bench_queries.json")) as f:
                 prior = json.load(f)
-            queries = prior["queries"]
-            encode_info = dict(prior["encode"],
-                               from_cached_query_phase=True)
+            # parse BOTH keys before assigning either, so a truncated
+            # cache cannot leave queries populated without the marker
+            q, e = prior["queries"], prior["encode"]
+            queries = q
+            encode_info = dict(e, from_cached_query_phase=True)
         except (OSError, KeyError, ValueError):
             pass
         args.scaling = True

@@ -1365,10 +1365,18 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
         else:  # min / max
             comp[alias] = (fn, req((fn, spec[1])))
     pass_aggs = {a: spec for spec, a in need.items()}
+    # the overlap pass only feeds the additive compositions — computing
+    # min/max partials there would decode agg columns for results the
+    # composition never reads
+    ab_aggs = {a: spec for a, spec in pass_aggs.items()
+               if spec[0] not in ("min", "max")}
     tags = ("a", "b", "ab")[:len(r["orx"])]  # 2 passes when min/max-only
     dfs = [
-        engine.agg_table(spark, out_dir, pass_aggs, predicates=p or None)
-        .select(*[F.col(a).alias(f"{a}_{tag}") for a in pass_aggs])
+        engine.agg_table(spark, out_dir,
+                         ab_aggs if tag == "ab" else pass_aggs,
+                         predicates=p or None)
+        .select(*[F.col(a).alias(f"{a}_{tag}")
+                  for a in (ab_aggs if tag == "ab" else pass_aggs)])
         for tag, p in zip(tags, r["orx"])
     ]
     j = dfs[0].crossJoin(dfs[1])
@@ -1408,16 +1416,13 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
     return out
 
 
-def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
-                      gargs: list, group_cols: list[str], derived: bool,
-                      preds: dict | None):
-    """One grouped kernel pass: a per-group DataFrame carrying the partial
-    columns the finishing select reads — ``cnt`` plus ``sum/nn/mn/mx``
-    (indexed ``sum{j}``... when the multi-agg kernel runs) — and the
-    agg-column -> index map naming them (None for the legacy single
-    names)."""
-    # ordered distinct agg source columns; a column is value-aggregated
-    # if any sum/avg/min/max spec touches it (nncount alone = count-only)
+def _agg_src_list(aggs: dict) -> tuple[list[str], set[str]]:
+    """Ordered distinct agg source columns and the value-aggregated subset
+    (a column is value-aggregated if any sum/avg/min/max spec touches it;
+    nncount alone = count-only). ONE derivation shared by the kernel-pass
+    builder and the orx composition — the kernel partial names (indexed
+    ``sum{j}`` vs legacy ``sum``) hang off len(src_list), so the two must
+    never diverge."""
     src_list: list[str] = []
     value_cols: set[str] = set()
     for spec in aggs.values():
@@ -1426,6 +1431,18 @@ def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
                 src_list.append(spec[1])
             if spec[0] != "nncount":
                 value_cols.add(spec[1])
+    return src_list, value_cols
+
+
+def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
+                      gargs: list, group_cols: list[str], derived: bool,
+                      preds: dict | None):
+    """One grouped kernel pass: a per-group DataFrame carrying the partial
+    columns the finishing select reads — ``cnt`` plus ``sum/nn/mn/mx``
+    (indexed ``sum{j}``... when the multi-agg kernel runs) — and the
+    agg-column -> index map naming them (None for the legacy single
+    names)."""
+    src_list, value_cols = _agg_src_list(aggs)
     jmap: dict[str, int] | None = None
     if len(src_list) > 1:
         # several agg columns: ONE group_multi_table pass carries per-
@@ -1477,14 +1494,9 @@ def _orx_grouped(spark: SparkSession, r: dict, gargs: list, derived: bool):
     # paired nn name for the NULL-iff-no-non-null-rows guard
     parts: list[tuple] = []  # (partial name, kind, aux nn name | None)
     seen: set[str] = set()
-    jmap_probe: dict[str, int] | None = None
-    src_probe: list[str] = []
-    for spec in aggs.values():
-        if spec[0] in ("sum", "avg", "min", "max", "nncount") \
-                and spec[1] not in src_probe:
-            src_probe.append(spec[1])
-    if len(src_probe) > 1:
-        jmap_probe = {c: j for j, c in enumerate(src_probe)}
+    src_probe, _ = _agg_src_list(aggs)  # same derivation as the passes
+    jmap_probe = ({c: j for j, c in enumerate(src_probe)}
+                  if len(src_probe) > 1 else None)
 
     def kn(kind: str, col: str) -> str:
         return f"{kind}{jmap_probe[col]}" if jmap_probe is not None else kind
@@ -1509,11 +1521,21 @@ def _orx_grouped(spark: SparkSession, r: dict, gargs: list, derived: bool):
             add(kn("mx", spec[1]), "mx")
     preds_list = r["orx"]
     tags = ("a", "b", "ab")[:len(preds_list)]
+    # the overlap pass feeds only the additive compositions: demote its
+    # min/max specs to nncount on the same column, so a column aggregated
+    # ONLY by min/max runs count-only there (validity bitmaps, values
+    # never decode) while src_list order — and with it every kernel
+    # partial name — stays identical across the passes (mn/mx columns
+    # come back NULL in count-only mode, present but unread)
+    ab_aggs = {alias: (("nncount", spec[1])
+                       if spec[0] in ("min", "max") else spec)
+               for alias, spec in aggs.items()}
     passes = []
     jmap = None
-    for p in preds_list:
-        b, jmap = _grouped_partials(spark, out_dir, aggs, gargs, gcols,
-                                    derived, p)
+    for tag, p in zip(tags, preds_list):
+        b, jmap = _grouped_partials(
+            spark, out_dir, ab_aggs if tag == "ab" else aggs, gargs,
+            gcols, derived, p)
         passes.append(b)
     part_names = [n for n, _, _ in parts]
     tagged = [p.select(*[F.col(c).alias(f"{c}__{t}")
@@ -1705,7 +1727,10 @@ def route_pruning_stats(r: dict | None) -> dict | None:
     ``buckets_full`` answer from metadata or aggregate unmasked (no
     predicate work); ``buckets_masked`` decode predicate columns at
     boundary chunks; ``buckets_read`` is their sum; pruned = total -
-    read."""
+    read. Cross-column-OR routes report the SUM across their
+    inclusion-exclusion passes (with a ``passes`` key), since each pass
+    pays its own reads — ``buckets_read`` may then exceed
+    ``buckets_total``."""
     if r is None:
         return None
     if r.get("kind") == "topk":
@@ -1718,22 +1743,22 @@ def route_pruning_stats(r: dict | None) -> dict | None:
     by_name = {f.name: f.dataType.simpleString()
                for f in T.StructType.fromJson(meta["spark_schema"]).fields}
     if r.get("orx"):
-        # three inclusion-exclusion passes: a bucket is read if ANY pass
-        # reads it, and counts as masked if any pass decodes it (a
-        # metadata-full answer in one pass saves nothing if another pass
-        # must decode the same bucket anyway)
-        full_b: set[int] = set()
-        masked_b: set[int] = set()
+        # inclusion-exclusion passes each read their own surviving
+        # buckets, so the counts SUM across passes (a bucket decoded by
+        # two passes costs two decodes — buckets_read may exceed
+        # buckets_total, which is the honest cost of the OR plan);
+        # "passes" makes the denominator explicit in --explain
+        n_full = n_masked = 0
         for p in r["orx"]:
             preds = engine._normalize_predicates(p, by_name)
             full, partial, _ = engine._classify_records(nonempty, preds)
-            full_b |= {int(rec["bucket"]) for rec in full}
-            masked_b |= {int(rec["bucket"]) for rec in partial}
-        full_b -= masked_b
+            n_full += len(full)
+            n_masked += len(partial)
         return {"buckets_total": len(nonempty),
-                "buckets_read": len(full_b) + len(masked_b),
-                "buckets_full": len(full_b),
-                "buckets_masked": len(masked_b)}
+                "passes": len(r["orx"]),
+                "buckets_read": n_full + n_masked,
+                "buckets_full": n_full,
+                "buckets_masked": n_masked}
     preds = engine._normalize_predicates(r["predicates"], by_name)
     full, partial, pruned = engine._classify_records(nonempty, preds)
     return {"buckets_total": len(nonempty),
@@ -1763,7 +1788,8 @@ def route_agg_sql_reason(spark: SparkSession, sql: str,
     """Like :func:`route_agg_sql`, plus WHY a statement falls back:
     returns ``(route, None)`` when routable, ``(None, reason)`` otherwise
     — the reason is the first unroutable shape the plan walk hit (e.g.
-    ``"OR across columns"``, ``"derived group key not in SELECT"``), so a
+    ``"cross-column OR beyond two branches"``, ``"derived group key not
+    in SELECT"``), so a
     user staring at a slow statement can see which clause to rephrase
     (surfaced by ``jobs/query.py --explain``)."""
     datasource.register(spark)

@@ -12,9 +12,10 @@ now USE them:
    (count_plan classifies every bucket full — zero task I/O);
 3. spark.sql over the Data Source consumes IS [NOT] NULL exactly;
 4. the SQL aggregate router routes WHERE ... OR ... IS NULL
-   (single-column) AND ungrouped cross-column OR (round 5:
-   inclusion-exclusion over three conjunctive passes), both
-   row-identical to ordinary execution.
+   (single-column) AND cross-column OR, ungrouped and grouped (round 5:
+   inclusion-exclusion over conjunctive passes; grouped shapes compose
+   per group through a null-safe outer join), all row-identical to
+   ordinary execution.
 """
 
 from __future__ import annotations

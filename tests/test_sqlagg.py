@@ -980,9 +980,13 @@ def test_cross_column_or_route_shape(spark, store):
     assert preds_ab == {"lang": ("eq", "en"),
                         "n_chars": preds_b["n_chars"]}
     stats = sqlagg.route_pruning_stats(r)
-    assert set(stats) == {"buckets_total", "buckets_read", "buckets_full",
-                          "buckets_masked"}
-    assert 0 < stats["buckets_read"] <= stats["buckets_total"]
+    assert set(stats) == {"buckets_total", "passes", "buckets_read",
+                          "buckets_full", "buckets_masked"}
+    # reads SUM across the passes (a bucket decoded by two passes costs
+    # two decodes) — honest cost, bounded by passes x total
+    assert 0 < stats["buckets_read"] \
+        <= stats["passes"] * stats["buckets_total"]
+    assert stats["passes"] == 3
 
     # both branches provably empty: zero buckets read, SQL empty-input
     # aggregate semantics (count 0, sum NULL)
