@@ -1071,10 +1071,17 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             if _cls(k_expr) != "Literal":
                 raise
             node = analyzed.child()
-            if _cls(node) != "LocalLimit" or _cls(node.child()) != "Sort":
+            if _cls(node) != "LocalLimit":
+                raise
+            inner = node.child()
+            # Sort directly, or Project(Sort) when the sort key is a
+            # hidden aggregate the outer projection drops again
+            if not (_cls(inner) == "Sort"
+                    or (_cls(inner) == "Project"
+                        and _cls(inner.child()) == "Sort")):
                 raise
             limit_k = int(str(k_expr.value()))
-            analyzed = node.child()
+            analyzed = inner
     node, order = _peel_order(analyzed)
     if _cls(node) == "Distinct":
         # SELECT DISTINCT col analyzes as Distinct(Project([col])) — same
@@ -1118,7 +1125,23 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 "limit": limit_k}
     # peel SELECT-projection and HAVING-filter above the Aggregate
     project = None
-    if _cls(node) == "Project":
+    final_after_order = False
+    if order is None and _cls(node) == "Project" \
+            and _cls(node.child()) == "Sort":
+        # ORDER BY a hidden aggregate — "top groups without showing the
+        # counts" (SELECT lang ... GROUP BY lang ORDER BY count(*) DESC
+        # LIMIT k): Catalyst adds the sort aggregate to the Aggregate
+        # outputs and wraps Project(Sort(Aggregate)) to drop it again, so
+        # here the projection applies AFTER the sort/limit (flagged for
+        # _finish)
+        inner, inner_order = _peel_order(node.child())
+        if _cls(inner) == "Aggregate" or (
+                _cls(inner) == "Filter"
+                and _cls(inner.child()) == "Aggregate"):
+            project = node.projectList()
+            node, order = inner, inner_order
+            final_after_order = True
+    if project is None and _cls(node) == "Project":
         ch = node.child()
         if _cls(ch) == "Aggregate" or (
                 _cls(ch) == "Filter" and _cls(ch.child()) == "Aggregate"):
@@ -1307,6 +1330,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         "out_cols": out_cols,
         "having": having,
         "final": final,
+        "final_after_order": final_after_order,
         "order": _resolve_order(order, ids),
         "limit": limit_k,
     }
@@ -1314,17 +1338,31 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
 
 def _finish(df: DataFrame, r: dict) -> DataFrame:
     """Apply the peeled HAVING / projection / ORDER BY over the routed
-    aggregate result (all tiny: O(groups) rows)."""
+    aggregate result (all tiny: O(groups) rows). When the analyzed plan
+    was Project(Sort(...)) — ORDER BY a hidden aggregate the projection
+    drops — the sort/limit run BEFORE the projection
+    (``final_after_order``); otherwise the projection's outputs are what
+    the sort saw, so it applies first."""
     if r.get("having") is not None:
         df = df.filter(_having_col(r["having"], df))
-    if r.get("final") is not None:
-        df = df.select(*[df[src].alias(out) for src, out in r["final"]])
-    if r.get("order"):
-        df = df.orderBy(*[F.col(n).desc() if desc else F.col(n).asc()
-                          for n, desc in r["order"]])
-    if r.get("limit") is not None:
-        df = df.limit(r["limit"])
-    return df
+
+    def order_limit(df: DataFrame) -> DataFrame:
+        if r.get("order"):
+            df = df.orderBy(*[F.col(n).desc() if desc else F.col(n).asc()
+                              for n, desc in r["order"]])
+        if r.get("limit") is not None:
+            df = df.limit(r["limit"])
+        return df
+
+    def project(df: DataFrame) -> DataFrame:
+        if r.get("final") is not None:
+            df = df.select(*[df[src].alias(out)
+                             for src, out in r["final"]])
+        return df
+
+    if r.get("final_after_order"):
+        return project(order_limit(df))
+    return order_limit(project(df))
 
 
 def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:

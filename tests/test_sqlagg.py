@@ -179,6 +179,18 @@ ROUTABLE = [
     # a strict float bound as one OR branch (nextafter + NaN-keeping
     # lower leg, composed through the inclusion-exclusion passes)
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR score > 0.5",
+    # ORDER BY a HIDDEN aggregate ("top groups without the counts"):
+    # Catalyst adds the sort key to the Aggregate outputs and wraps
+    # Project(Sort(...)) to drop it — the routed sort/limit run BEFORE
+    # the final projection (tie keys keep parity deterministic)
+    "SELECT lang FROM docs GROUP BY lang "
+    "ORDER BY count(*) DESC, lang LIMIT 3",
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "ORDER BY sum(n_chars) DESC, lang LIMIT 2",
+    "SELECT source FROM docs WHERE n_chars > 500 GROUP BY source "
+    "ORDER BY max(n_chars) DESC, source",
+    "SELECT lang FROM docs WHERE lang = 'en' OR n_chars > 4000 "
+    "GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 3",
 ]
 
 FALLBACK = [
@@ -1016,3 +1028,24 @@ def test_cross_column_or_route_shape(spark, store):
         spark, "SELECT lang, count(*) AS c, min(n_chars) AS mn FROM docs "
                "WHERE lang = 'en' OR n_chars > 4000 GROUP BY lang", stores)
     assert len(r4["orx"]) == 3
+
+
+def test_hidden_sort_aggregate_route_shape(spark, store):
+    """ORDER BY an aggregate the SELECT drops routes with
+    final_after_order set, so the composed sort/limit run before the
+    outer projection (Spark's own evaluation order for
+    Project(Sort(Aggregate)))."""
+    stores = {"docs": store}
+    r = sqlagg.route_agg_sql(
+        spark, "SELECT lang FROM docs GROUP BY lang "
+               "ORDER BY count(*) DESC, lang LIMIT 3", stores)
+    assert r is not None and r["final_after_order"]
+    assert r["limit"] == 3 and r["order"][0][1] is True  # DESC
+    # the hidden count is a real Aggregate output the projection drops
+    assert any(fn == "count" for fn, *_ in r["aggs"].values())
+    assert [out for _, out in r["final"]] == ["lang"]
+    # visible-output ORDER BY keeps the old projection-first order
+    r2 = sqlagg.route_agg_sql(
+        spark, "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+               "ORDER BY c DESC, lang LIMIT 3", stores)
+    assert r2 is not None and not r2["final_after_order"]
