@@ -14,7 +14,11 @@ shape the engine can answer —
     Aggregate(count(*) / count(col) over any stored type /
               sum / min / max / avg over int columns — any MIX of agg
               columns (multi-column shapes ride one group_multi_table
-              pass with per-column partials),
+              pass with per-column partials), plus ARITHMETIC over those
+              aggregates (sum(a)/count(*), sum(a)+sum(b), count(*)*2 ...
+              in SELECT or HAVING: embedded aggregates become hidden
+              routed outputs, the expression rebuilds over them with the
+              analyzer's own casts),
               [group by one or more columns],
               [Filter(AND of eq / IN / LIKE-prefix / range; plus ONE
                cross-column OR of two branches, answered by
@@ -772,11 +776,17 @@ def _parse_agg_fn(named) -> tuple[str, tuple]:
     ae = named.child()
     if _cls(ae) != "AggregateExpression":
         raise _Unroutable(f"select item {named.sql()}")
+    return alias, _agg_spec_of(ae)
+
+
+def _agg_spec_of(ae) -> tuple:
+    """AggregateExpression -> engine agg spec tuple (shared by plain
+    select items and aggregates embedded in arithmetic expressions)."""
     if ae.isDistinct():
         fn = ae.aggregateFunction()
         args = fn.children()
         if _cls(fn) == "Count" and args.size() == 1:
-            return alias, ("cntd", _attr_name(args.apply(0)))
+            return ("cntd", _attr_name(args.apply(0)))
         raise _Unroutable(f"distinct aggregate {_cls(fn)}")
     fn = ae.aggregateFunction()
     head = _AGG_FNS.get(_cls(fn))
@@ -786,17 +796,131 @@ def _parse_agg_fn(named) -> tuple[str, tuple]:
     if head == "count":
         if args.size() == 1 and _cls(args.apply(0)) == "Literal" \
                 and str(args.apply(0).value()) == "1":
-            return alias, ("count",)
+            return ("count",)
         if args.size() == 1 \
                 and _cls(args.apply(0)) == "AttributeReference":
             # COUNT(col) = non-null count (round 5): commit records and
             # chunk metas carry per-column null totals, so this routes
             # for ANY stored type without decoding the column's values
-            return alias, ("nncount", str(args.apply(0).name()))
+            return ("nncount", str(args.apply(0).name()))
         raise _Unroutable("count over an expression")
     if args.size() != 1:
         raise _Unroutable("multi-arg aggregate")
-    return alias, (head, _attr_name(args.apply(0)))
+    return (head, _attr_name(args.apply(0)))
+
+
+_EXPR_BINOPS = {"Add": "+", "Subtract": "-", "Multiply": "*",
+                "Divide": "/", "Remainder": "%"}
+
+
+def _elit(e) -> list:
+    """Literal inside a SELECT arithmetic expression -> ["elit", type,
+    value], preserving the literal's OWN analyzed type so the rebuilt
+    expression re-coerces exactly as the original (``count(*) * 0.5``
+    is decimal math, not double math — decimals round-trip through their
+    exact string form and rebuild via a string cast)."""
+    if _cls(e) != "Literal":
+        raise _Unroutable(f"expression operand {e.sql()}")
+    v = e.value()
+    if v is None:
+        raise _Unroutable("null literal in expression")
+    dt = str(e.dataType().simpleString())
+    if dt == "string":
+        return ["elit", dt, str(v)]
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return ["elit", dt, int(str(v))]
+    if dt in ("float", "double"):
+        return ["elit", dt, float(str(v))]
+    if dt.startswith("decimal("):
+        return ["elit", dt, str(v)]  # exact digits; rebuilt via str cast
+    raise _Unroutable(f"expression literal type {dt}")
+
+
+def _expr_spec(e, aggs: dict, hidden: list) -> list:
+    """SELECT item expression over aggregates -> a JSON-safe spec tree
+    (round 5): arithmetic (+ - * / %), unary minus, and the analyzer's
+    inserted Casts over AggregateExpressions and typed literals. Each
+    embedded aggregate registers as a HIDDEN routed output (aliases
+    ``_hx0``, ``_hx1``, ... appended to ``hidden``), reused when an
+    identical spec is already routed, so ``sum(n)/count(*)`` computes
+    the kernel partials once. The executor rebuilds the tree as Column
+    arithmetic over the routed outputs — same operand types, same
+    coercion, value-identical to the fallback plan."""
+    name = _cls(e)
+    if name == "Cast":
+        return ["cast", str(e.dataType().simpleString()),
+                _expr_spec(e.child(), aggs, hidden)]
+    if name == "AggregateExpression":
+        spec = _agg_spec_of(e)
+        for a, s in aggs.items():
+            if s == spec:
+                return ["col", a]
+        a = f"_hx{len(hidden)}"
+        if a in aggs:
+            raise _Unroutable(f"alias {a!r} collides with a hidden slot")
+        aggs[a] = spec
+        hidden.append(a)
+        return ["col", a]
+    if name in _EXPR_BINOPS:
+        return ["bin", _EXPR_BINOPS[name],
+                _expr_spec(e.left(), aggs, hidden),
+                _expr_spec(e.right(), aggs, hidden)]
+    if name == "UnaryMinus":
+        return ["neg", _expr_spec(e.child(), aggs, hidden)]
+    return _elit(e)
+
+
+def _expr_col(spec: list, df: DataFrame):
+    """Rebuild an expression spec tree as a Column over the routed
+    aggregate outputs."""
+    k = spec[0]
+    if k == "bin":
+        lc, rc = _expr_col(spec[2], df), _expr_col(spec[3], df)
+        return {"+": lc + rc, "-": lc - rc, "*": lc * rc,
+                "/": lc / rc, "%": lc % rc}[spec[1]]
+    if k == "neg":
+        return -_expr_col(spec[1], df)
+    if k == "cast":
+        return _expr_col(spec[2], df).cast(spec[1])
+    if k == "col":
+        return df[spec[1]]
+    _, dt, v = spec  # elit
+    if dt == "string":
+        return F.lit(v)
+    if dt.startswith("decimal("):
+        # exact: string->decimal cast carries every digit (a double
+        # round-trip could perturb >15-significant-digit literals)
+        return F.expr(f"CAST('{v}' AS {dt})")
+    return F.lit(v).cast(dt)
+
+
+def _expr_refs(spec: list) -> set:
+    """Routed-output aliases an expression spec reads."""
+    k = spec[0]
+    if k == "bin":
+        return _expr_refs(spec[2]) | _expr_refs(spec[3])
+    if k in ("neg", "cast"):
+        return _expr_refs(spec[-1])
+    return {spec[1]} if k == "col" else set()
+
+
+def _augmented_out(r: dict) -> list:
+    """out_cols with expression entries replaced by the hidden aggregate
+    outputs they read — the entry list the finishing selects compute
+    BEFORE :func:`_expr_finish` rebuilds the expressions."""
+    return ([e for e in r["out_cols"] if e[1] != "expr"]
+            + [(a, "agg", None) for a in (r.get("hidden") or [])])
+
+
+def _expr_finish(df: DataFrame, r: dict) -> DataFrame:
+    """Evaluate expression outputs over the routed aggregates and select
+    the visible schema in its declared order (dropping hidden slots)."""
+    exprs = [e for e in r["out_cols"] if e[1] == "expr"]
+    if not exprs:
+        return df
+    for name, _, spec in exprs:
+        df = df.withColumn(name, _expr_col(spec, df))
+    return df.select(*[F.col(n) for n, _, _ in r["out_cols"]])
 
 
 def _filter_and_relation(node, stores) -> tuple[list, str]:
@@ -878,6 +1002,12 @@ def _operand_spec(e, ids: dict[int, str]) -> list:
     so ``HAVING max_ts > timestamp'X'`` compares timestamp-to-timestamp
     exactly as Spark's original comparison did, instead of a raw
     epoch-int against a timestamp column, round 5)."""
+    if _contains_arith(e):
+        # HAVING arithmetic over aggregate outputs (round 5):
+        # ``HAVING sum(a)/count(*) > x`` — rebuild the expression tree
+        # with its analyzed Casts preserved so the routed comparison
+        # re-coerces exactly as Spark's
+        return _arith_operand(e, ids)
     while _cls(e) == "Cast":
         e = e.child()
     if _cls(e) == "AttributeReference":
@@ -890,6 +1020,36 @@ def _operand_spec(e, ids: dict[int, str]) -> list:
     if dt in ("timestamp", "timestamp_ntz", "date"):
         return ["tlit", dt, v]
     return ["lit", v]
+
+
+def _contains_arith(e) -> bool:
+    name = _cls(e)
+    if name in _EXPR_BINOPS or name == "UnaryMinus":
+        return True
+    if name == "Cast":
+        return _contains_arith(e.child())
+    return False
+
+
+def _arith_operand(e, ids: dict[int, str]) -> list:
+    """Arithmetic HAVING operand -> expr spec tree (leaves: Aggregate
+    outputs by name, type-preserving literals)."""
+    name = _cls(e)
+    if name == "Cast":
+        return ["cast", str(e.dataType().simpleString()),
+                _arith_operand(e.child(), ids)]
+    if name in _EXPR_BINOPS:
+        return ["bin", _EXPR_BINOPS[name],
+                _arith_operand(e.left(), ids),
+                _arith_operand(e.right(), ids)]
+    if name == "UnaryMinus":
+        return ["neg", _arith_operand(e.child(), ids)]
+    if name == "AttributeReference":
+        key = int(e.exprId().id())
+        if key not in ids:
+            raise _Unroutable("HAVING references a non-output expression")
+        return ["col", ids[key]]
+    return _elit(e)
 
 
 def _having_spec(c, ids: dict[int, str]) -> list:
@@ -936,13 +1096,8 @@ def _having_col_refs(spec: list) -> set:
     if k == "not":
         return _having_col_refs(spec[1])
     if k in ("isnull", "notnull", "in"):
-        op = spec[1]
-        return {op[1]} if op[0] == "col" else set()
-    out = set()
-    for op in (spec[2], spec[3]):
-        if op[0] == "col":
-            out.add(op[1])
-    return out
+        return _expr_refs(spec[1])
+    return _expr_refs(spec[2]) | _expr_refs(spec[3])
 
 
 def _ntz_from_micros(micros_sql: str):
@@ -980,6 +1135,8 @@ def _minmax_back(col_name: str, dtype):
 
 
 def _operand_col(spec: list, df: DataFrame):
+    if spec[0] in ("bin", "neg", "cast", "elit"):
+        return _expr_col(spec, df)
     if spec[0] == "col":
         return df[spec[1]]
     if spec[0] == "tlit":  # typed time literal from its epoch int
@@ -1166,8 +1323,9 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                                  for src, tr in parsed]
 
     aggs: dict[str, tuple] = {}
-    # (output name, "group"|"agg", group col name | None)
-    out_cols: list[tuple[str, str, str | None]] = []
+    # (output name, "group"|"agg"|"expr", group col name | expr spec | None)
+    out_cols: list[tuple[str, str, object]] = []
+    hidden: list[str] = []  # generated aliases for expression-embedded aggs
     ids: dict[int, str] = {}  # Aggregate-output exprId -> output name
     aes = node.aggregateExpressions()
     for i in range(aes.size()):
@@ -1185,12 +1343,22 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             if g_names[matched] is None:
                 g_names[matched] = out_name
             out_cols.append((out_name, "group", g_names[matched]))
-        else:
+        elif _cls(named) == "AggregateExpression":
             alias, spec = _parse_agg_fn(e)
             if alias in aggs:
                 raise _Unroutable(f"duplicate output alias {alias!r}")
             aggs[alias] = spec
             out_cols.append((alias, "agg", None))
+        else:
+            # arithmetic over aggregates (round 5): sum(a)/count(*),
+            # sum(a)+sum(b), count(*)*2 ... — embedded aggregates become
+            # hidden routed outputs; the expression rebuilds over them
+            if _cls(e) != "Alias":
+                raise _Unroutable(f"unaliased select item {e.sql()}")
+            espec = _expr_spec(named, aggs, hidden)
+            if out_name in aggs:
+                raise _Unroutable(f"duplicate output alias {out_name!r}")
+            out_cols.append((out_name, "expr", espec))
         if any(n == out_name for n, _, _ in out_cols[:-1]):
             raise _Unroutable(f"duplicate output name {out_name!r}")
         ids[out_id] = out_name
@@ -1239,6 +1407,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             f"{spec[0]}({spec[1]}) over type {a_type}")
     if any(alias.startswith("__") for alias in aggs):
         raise _Unroutable("alias with reserved '__' prefix")
+    if hidden and set(hidden) & {n for n, _, _ in out_cols}:
+        # a visible output (a group key could too) named like a hidden
+        # expression slot would collide in the finishing frame
+        raise _Unroutable("output name collides with a hidden slot")
     orx_cons = [c for c in constraints if c[0] == "orx"]
     plain_cons = [c for c in constraints if c[0] != "orx"]
     predicates = _constraints_to_predicates(plain_cons)
@@ -1328,6 +1500,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         "predicates": predicates,
         "orx": orx_preds,
         "out_cols": out_cols,
+        "hidden": hidden,
         "having": having,
         "final": final,
         "final_after_order": final_after_order,
@@ -1426,7 +1599,7 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
         return a + b - ab
 
     sel = []
-    for name, _, _ in r["out_cols"]:
+    for name, _, _ in _augmented_out(r):
         k = comp[name]
         if k[0] == "count":
             sel.append(ie(k[1]).cast("long").alias(name))
@@ -1442,7 +1615,7 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
             sel.append(f(F.col(f"{k[1]}_a"), F.col(f"{k[1]}_b"))
                        .cast("long").alias(name))
     out = j.select(*sel)
-    if any(aggs[n][0] in ("min", "max") for n, _, _ in r["out_cols"]):
+    if any(aggs[n][0] in ("min", "max") for n, _, _ in _augmented_out(r)):
         from pyspark.sql import types as T
         meta = datasource._read_meta(out_dir)
         by_field = {f.name: f.dataType for f in
@@ -1450,7 +1623,7 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
         out = out.select(*[
             _minmax_back(n, by_field[aggs[n][1]]).alias(n)
             if aggs[n][0] in ("min", "max") else F.col(n)
-            for n, _, _ in r["out_cols"]])
+            for n, _, _ in _augmented_out(r)])
     return out
 
 
@@ -1686,15 +1859,15 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                else base.agg(*fin_aggs))
         names = {"count": "__cnt", "cntd": "__cntd", "sum": "__sum"}
         sel = []
-        for name, src, gcol in r["out_cols"]:
+        for name, src, gcol in _augmented_out(r):
             if src == "group":
                 sel.append(fin[gcol].alias(name))
             else:
                 sel.append(fin[names[aggs[name][0]]].alias(name))
-        return _finish(fin.select(*sel), r)
+        return _finish(_expr_finish(fin.select(*sel), r), r)
     if not group_cols:
         if r.get("orx"):
-            return _finish(_orx_agg(spark, r), r)
+            return _finish(_expr_finish(_orx_agg(spark, r), r), r)
         df = engine.agg_table(spark, out_dir, aggs, predicates=preds or None)
         # Spark SQL's min/max keep the column's own type; the kernel
         # accumulates in long — cast back so routed and fallback plans are
@@ -1704,13 +1877,13 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         by_field = {f.name: f.dataType for f in
                     T.StructType.fromJson(meta["spark_schema"]).fields}
         sel = []
-        for name, _, _ in r["out_cols"]:
+        for name, _, _ in _augmented_out(r):
             spec = aggs[name]
             if spec[0] in ("min", "max"):
                 sel.append(_minmax_back(name, by_field[spec[1]]).alias(name))
             else:
                 sel.append(F.col(name))
-        return _finish(df.select(*sel), r)
+        return _finish(_expr_finish(df.select(*sel), r), r)
     if r.get("orx"):
         base, jmap = _orx_grouped(spark, r, gargs, derived)
     else:
@@ -1731,7 +1904,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         by_field = {f.name: f.dataType for f in
                     T.StructType.fromJson(meta["spark_schema"]).fields}
     sel = []
-    for name, src, gcol in r["out_cols"]:
+    for name, src, gcol in _augmented_out(r):
         if src == "group":
             sel.append(base[gcol].alias(name))
             continue
@@ -1753,7 +1926,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             sel.append(base[kname("nn", aggs[name][1])].alias(name))
         else:  # sum
             sel.append(base[kname("sum", aggs[name][1])].alias(name))
-    return _finish(base.select(*sel), r)
+    return _finish(_expr_finish(base.select(*sel), r), r)
 
 
 def route_pruning_stats(r: dict | None) -> dict | None:

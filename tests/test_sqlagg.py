@@ -191,6 +191,29 @@ ROUTABLE = [
     "ORDER BY max(n_chars) DESC, source",
     "SELECT lang FROM docs WHERE lang = 'en' OR n_chars > 4000 "
     "GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 3",
+    # arithmetic over aggregates (round 5): embedded aggregates become
+    # hidden routed outputs; the expression rebuilds over them with the
+    # analyzer's own casts, so types and values match the fallback
+    "SELECT sum(n_chars)/count(*) AS r FROM docs",
+    "SELECT lang, sum(n_chars)/count(*) AS r FROM docs GROUP BY lang",
+    "SELECT count(*)*2 AS c2 FROM docs WHERE lang = 'en'",
+    "SELECT sum(n_chars)+sum(doc_id) AS t FROM docs",
+    "SELECT lang, max(n_chars)-min(n_chars) AS spread FROM docs "
+    "GROUP BY lang",
+    "SELECT count(*)*0.5 AS h FROM docs",  # decimal-literal math
+    "SELECT -sum(n_chars) AS neg FROM docs",
+    "SELECT lang, sum(n_chars) % 1000 AS m FROM docs GROUP BY lang "
+    "ORDER BY m DESC, lang LIMIT 3",
+    # expression over count(distinct) rides the composite kernel
+    "SELECT lang, count(distinct source)+count(*) AS x FROM docs "
+    "GROUP BY lang",
+    "SELECT count(distinct source)+count(*) AS x FROM docs",
+    # expression composed through the cross-column-OR passes
+    "SELECT 100*count(*)/sum(n_chars) AS pct FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000",
+    # HAVING arithmetic over hoisted aggregate outputs
+    "SELECT lang FROM docs GROUP BY lang "
+    "HAVING sum(n_chars)/count(*) > 2400",
 ]
 
 FALLBACK = [
@@ -216,6 +239,10 @@ FALLBACK = [
     # plan-dependent, so it must NOT route (LIMIT 10 > group count keeps
     # the parity assertion deterministic here)
     "SELECT lang, count(*) AS c FROM docs GROUP BY lang LIMIT 10",
+    # expression arithmetic routes, but a float-summed operand poisons it
+    "SELECT sum(score)/count(*) AS r FROM docs",
+    # non-arithmetic function over an aggregate stays a fallback
+    "SELECT abs(sum(n_chars)) AS a FROM docs",
 ]
 
 
@@ -1049,3 +1076,34 @@ def test_hidden_sort_aggregate_route_shape(spark, store):
         spark, "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
                "ORDER BY c DESC, lang LIMIT 3", stores)
     assert r2 is not None and not r2["final_after_order"]
+
+
+def test_expr_over_aggregates_route_shape(spark, store):
+    """Arithmetic select items register their embedded aggregates as
+    hidden routed outputs — reusing a visible output with an identical
+    spec instead of computing it twice."""
+    stores = {"docs": store}
+    r = sqlagg.route_agg_sql(
+        spark, "SELECT lang, sum(n_chars)/count(*) AS r FROM docs "
+               "GROUP BY lang", stores)
+    assert r is not None
+    assert r["hidden"] == ["_hx0", "_hx1"]
+    assert r["aggs"]["_hx0"] == ("sum", "n_chars")
+    assert r["aggs"]["_hx1"] == ("count",)
+    (name, kind, spec), = [e for e in r["out_cols"] if e[1] == "expr"]
+    assert name == "r" and spec[0] == "bin" and spec[1] == "/"
+    # a visible count(*) with the same spec is REUSED by the expression:
+    # only the sum needs a hidden slot
+    r2 = sqlagg.route_agg_sql(
+        spark, "SELECT lang, count(*) AS c, sum(n_chars)/count(*) AS r "
+               "FROM docs GROUP BY lang", stores)
+    assert r2 is not None and r2["hidden"] == ["_hx0"]
+    assert r2["aggs"]["_hx0"] == ("sum", "n_chars")
+    refs = sqlagg._expr_refs(
+        [e for e in r2["out_cols"] if e[1] == "expr"][0][2])
+    assert refs == {"_hx0", "c"}
+    # a user alias shaped like a hidden slot falls back cleanly
+    r3, reason = sqlagg.route_agg_sql_reason(
+        spark, "SELECT lang, count(*) AS _hx0, sum(n_chars)/count(*) AS r "
+               "FROM docs GROUP BY lang", stores)
+    assert r3 is None and "_hx0" in reason
