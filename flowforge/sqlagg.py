@@ -19,7 +19,14 @@ shape the engine can answer —
               in SELECT or HAVING: embedded aggregates become hidden
               routed outputs, the expression rebuilds over them with the
               analyzer's own casts),
-              [group by one or more columns],
+              [group by one or more columns — plain, kernel-computed
+               derived TIME buckets (to_date/date_trunc/parts), or
+               whitelisted derived SCALAR keys (upper/lower/substring/
+               concat/regexp_extract/casts/...): the kernels group the
+               RAW source columns and Spark itself evaluates the rebuilt
+               expression over the ndv-bounded partials before a
+               re-group, so string/Unicode semantics are exactly
+               Spark's],
               [Filter(AND of eq / IN / LIKE-prefix / range; plus ONE
                cross-column OR of two branches, answered by
                inclusion-exclusion over conjunctive passes — one-row
@@ -41,6 +48,7 @@ fixed ETL); this is part of the repo's query-engine extension.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -236,10 +244,35 @@ def _parse_group_expr(e) -> tuple[str, tuple | None]:
     second(ts)`` — become chunk.apply_group_transform specs computed
     inside the grouped kernels, so docs-per-day over 10^12 rows
     aggregates per-chunk on a handful of derived codes, never raw
-    timestamps. Anything else is unroutable (falls back)."""
+    timestamps.
+
+    Everything else tries the DERIVED SCALAR KEY path (round 5):
+    a whitelisted deterministic expression over stored columns —
+    ``upper(lang)``, ``substring(url, 1, 8)``,
+    ``regexp_extract(url, ..., 1)``, ``concat(lang, '-', source)``,
+    casts, trims, length — becomes a ``("sqlexpr", sql, srcs)``
+    transform: the kernels group on the RAW source columns (dict-coded
+    code streams, values materialized once per group) and Spark itself
+    evaluates the rebuilt expression over the ndv-bounded partials
+    before a re-group, so semantics are exactly Spark's (no reimplemented
+    string/Unicode behavior) and the expression runs O(observed raw
+    groups) times, never 10^12. Anything else is unroutable (falls
+    back)."""
     name = _cls(e)
     if name == "AttributeReference":
         return str(e.name()), None
+    try:
+        return _time_key(e, name)
+    except _Unroutable:
+        srcs: list[str] = []
+        sql = _sqlexpr_build(e, srcs)
+        if not srcs:
+            raise _Unroutable(f"group expression {name} reads no column")
+        return srcs[0], ("sqlexpr", sql, tuple(srcs))
+
+
+def _time_key(e, name: str) -> tuple[str, tuple]:
+    """The kernel-computed derived TIME keys (see _parse_group_expr)."""
     if name == "Cast" and str(e.dataType().simpleString()) == "date":
         return _time_src(e.child())[0], ("date",)
     if name == "ParseToDate":
@@ -267,6 +300,67 @@ def _parse_group_expr(e) -> tuple[str, tuple | None]:
                 and str(inner.dataType().simpleString()) == "date":
             inner = inner.child()  # year(ts) analyzes as Year(CAST AS DATE)
         return _time_src(inner)[0], ("part", part)
+    raise _Unroutable(f"group expression {name}")
+
+
+#: single-child whitelisted scalar functions for derived group keys
+_SQLEXPR_FN1 = {"Upper": "upper", "Lower": "lower", "Length": "length",
+                "Reverse": "reverse", "StringTrim": "trim",
+                "StringTrimLeft": "ltrim", "StringTrimRight": "rtrim"}
+#: fixed-arity whitelisted functions (class -> (sql name, arity))
+_SQLEXPR_FNN = {"Substring": ("substring", 3),
+                "StringReplace": ("replace", 3),
+                "RegExpExtract": ("regexp_extract", 3)}
+#: variadic whitelisted functions
+_SQLEXPR_VAR = {"Concat": "concat", "Coalesce": "coalesce"}
+
+
+def _sqlexpr_build(e, srcs: list[str]) -> str:
+    """Whitelisted deterministic scalar expression -> SQL text over
+    bare (backquoted) column names, collecting the stored columns it
+    reads into ``srcs``. The rebuild preserves the ANALYZED tree —
+    including the analyzer's inserted casts — so ``F.expr`` over the
+    raw-grouped partials re-analyzes to the identical expression Spark's
+    fallback plan evaluates per row: same functions, same coercions,
+    value- and type-identical output. Non-whitelisted nodes raise
+    _Unroutable (the statement falls back)."""
+    name = _cls(e)
+    if name == "AttributeReference":
+        col = str(e.name())
+        if col not in srcs:
+            srcs.append(col)
+        return f"`{col}`"
+    if name == "Literal":
+        if e.value() is None:
+            # NULL literals carry a type the bare SQL keyword loses
+            return f"CAST(NULL AS {e.dataType().sql()})"
+        return str(e.sql())
+    if name == "Cast":
+        return (f"CAST({_sqlexpr_build(e.child(), srcs)} "
+                f"AS {e.dataType().sql()})")
+    fn = _SQLEXPR_FN1.get(name)
+    if fn is not None:
+        ch = e.children()
+        if ch.size() != 1:
+            raise _Unroutable(f"{name} with {ch.size()} args")
+        return f"{fn}({_sqlexpr_build(ch.apply(0), srcs)})"
+    hit = _SQLEXPR_FNN.get(name)
+    if hit is not None:
+        fn, arity = hit
+        ch = e.children()
+        if ch.size() != arity:
+            raise _Unroutable(f"{name} with {ch.size()} args")
+        args = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
+                         for i in range(arity))
+        return f"{fn}({args})"
+    fn = _SQLEXPR_VAR.get(name)
+    if fn is not None:
+        ch = e.children()
+        if ch.size() < 1:
+            raise _Unroutable(f"empty {name}")
+        args = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
+                         for i in range(ch.size()))
+        return f"{fn}({args})"
     raise _Unroutable(f"group expression {name}")
 
 
@@ -1256,6 +1350,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             out_name = str(item.name())
         src, transform = _parse_group_expr(item)
         gname = src if transform is None else out_name
+        if transform and transform[0] == "sqlexpr" \
+                and _PARTIAL_COL_RE.match(gname):
+            # the regroup frame holds the cnt partial beside the derived key
+            raise _Unroutable("group output name collides with a kernel "
+                              "partial column")
         constraints, view = _filter_and_relation(proj.child(), stores)
         orx_cons = [c for c in constraints if c[0] == "orx"]
         plain_cons = [c for c in constraints if c[0] != "orx"]
@@ -1371,6 +1470,13 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     derived = any(tr for _, tr in parsed)
     if len(set(group_cols)) != len(group_cols):
         raise _Unroutable("duplicate GROUP BY columns")
+    sqlexpr_srcs = {s for _, tr in parsed if tr and tr[0] == "sqlexpr"
+                    for s in tr[2]}
+    if sqlexpr_srcs and any(_PARTIAL_COL_RE.match(n) for n in group_cols):
+        # the regroup frame holds kernel partial columns alongside the
+        # derived keys — an output named like one would collide
+        raise _Unroutable("group output name collides with a kernel "
+                          "partial column")
     if not aggs and not group_cols:
         raise _Unroutable("no aggregate outputs")
     # group-by with no aggregates is how Spark analyzes SELECT DISTINCT col
@@ -1385,6 +1491,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if spec[0] == "cntd":
             if spec[1] not in by_type:
                 raise _Unroutable(f"count(distinct) over unknown {spec[1]!r}")
+            if spec[1] in sqlexpr_srcs:
+                # the distinct column would duplicate a derived key's raw
+                # source as a kernel dimension
+                raise _Unroutable(
+                    "count(distinct) over a derived key's source column")
             continue  # any stored column type groups (composite kernel)
         if spec[0] == "count":
             continue
@@ -1684,7 +1795,8 @@ def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
     return base, jmap
 
 
-def _orx_grouped(spark: SparkSession, r: dict, gargs: list, derived: bool):
+def _orx_grouped(spark: SparkSession, r: dict, gargs: list,
+                 kcols: list[str], derived: bool):
     """Grouped aggregates under a cross-column OR: one grouped kernel pass
     per inclusion-exclusion predicate set (A, B, and — only when an
     additive partial is read — A AND B), composed PER GROUP into a frame
@@ -1700,7 +1812,9 @@ def _orx_grouped(spark: SparkSession, r: dict, gargs: list, derived: bool):
     casts back). min/max/DISTINCT-only shapes skip the third pass
     entirely — extremes and group membership need no overlap
     correction."""
-    out_dir, aggs, gcols = r["out_dir"], r["aggs"], r["group_cols"]
+    # compose on the KERNEL group columns (raw sources for derived scalar
+    # keys); the caller derives + re-groups onto the final keys after
+    out_dir, aggs, gcols = r["out_dir"], r["aggs"], kcols
     # the partial columns the finishing select reads; sums carry their
     # paired nn name for the NULL-iff-no-non-null-rows guard
     parts: list[tuple] = []  # (partial name, kind, aux nn name | None)
@@ -1785,6 +1899,45 @@ def _orx_grouped(spark: SparkSession, r: dict, gargs: list, derived: bool):
     return u.select(*sel), jmap
 
 
+#: kernel partial-column names in the grouped frames (cnt + the
+#: sum/nn/mn/mx quads, indexed when the multi-agg kernel ran)
+_PARTIAL_COL_RE = re.compile(r"^(cnt|(sum|nn|mn|mx)\d*)$")
+
+
+def _apply_derived(base: DataFrame, r: dict) -> DataFrame:
+    """Evaluate the derived scalar group keys (``("sqlexpr", sql, srcs)``
+    specs) over a raw-grouped partial frame — Spark runs the rebuilt
+    expression on O(observed raw groups) rows, never per source row."""
+    for src, tr, out in r.get("group_specs") or []:
+        if tr and tr[0] == "sqlexpr":
+            base = base.withColumn(out, F.expr(tr[1]))
+    return base
+
+
+def _regroup_derived(base: DataFrame, r: dict) -> DataFrame:
+    """Re-group a raw-keyed partial frame onto the final (derived +
+    plain) keys: raw groups that map to the same derived value merge —
+    cnt/sum/nn re-add, mn/mx re-min/max — exactly the combination the
+    kernels' own multi-bucket finishing already performs, so every
+    downstream reader (finishing select, HAVING, avg division, min/max
+    cast-back) is unchanged."""
+    if not any(tr and tr[0] == "sqlexpr"
+               for _, tr, _ in r.get("group_specs") or []):
+        return base
+    base = _apply_derived(base, r)
+    fins = []
+    for c in base.columns:
+        if not _PARTIAL_COL_RE.match(c):
+            continue
+        if c.startswith("mn"):
+            fins.append(F.min(c).cast("long").alias(c))
+        elif c.startswith("mx"):
+            fins.append(F.max(c).cast("long").alias(c))
+        else:  # cnt / sum* / nn* — additive
+            fins.append(F.sum(c).cast("long").alias(c))
+    return base.groupBy(*r["group_cols"]).agg(*fins)
+
+
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
     if r.get("kind") == "topk":
         return engine.topk_table(
@@ -1794,16 +1947,28 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             predicates=r.get("predicates") or None)
     out_dir, group_cols = r["out_dir"], r["group_cols"]
     aggs, preds = r["aggs"], r["predicates"]
-    # engine-facing group args: plain names, or (src, transform, out_name)
-    # triples for derived time keys (group_specs absent on pre-round-5
-    # route dicts; group_cols alone then means all-plain)
+    # engine-facing group args: plain names, (src, transform, out_name)
+    # triples for derived time keys, or the RAW source columns for
+    # derived scalar keys — those group raw in the kernels and derive +
+    # re-group Spark-side (group_specs absent on pre-round-5 route
+    # dicts; group_cols alone then means all-plain)
     gspecs = r.get("group_specs")
     if gspecs:
-        gargs = [out if tr is None else (src, tuple(tr), out)
-                 for src, tr, out in gspecs]
-        derived = any(tr for _, tr, _ in gspecs)
+        gargs, kcols = [], []
+        for src, tr, out in gspecs:
+            if tr and tr[0] == "sqlexpr":
+                adds = [(s, s) for s in tr[2]]
+            elif tr:
+                adds = [(out, (src, tuple(tr), out))]
+            else:
+                adds = [(out, out)]
+            for kname_, garg in adds:
+                if kname_ not in kcols:  # a raw src may back several keys
+                    kcols.append(kname_)
+                    gargs.append(garg)
+        derived = any(tr and tr[0] != "sqlexpr" for _, tr, _ in gspecs)
     else:
-        gargs = list(group_cols)
+        gargs, kcols = list(group_cols), list(group_cols)
         derived = False
     dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
     if dcols:
@@ -1855,6 +2020,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             ]
             if sum_cols:
                 fin_aggs.append(F.sum("sum").cast("long").alias("__sum"))
+        base = _apply_derived(base, r)  # derived keys over combo rows
         fin = (base.groupBy(*group_cols).agg(*fin_aggs) if group_cols
                else base.agg(*fin_aggs))
         names = {"count": "__cnt", "cntd": "__cntd", "sum": "__sum"}
@@ -1885,10 +2051,11 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                 sel.append(F.col(name))
         return _finish(_expr_finish(df.select(*sel), r), r)
     if r.get("orx"):
-        base, jmap = _orx_grouped(spark, r, gargs, derived)
+        base, jmap = _orx_grouped(spark, r, gargs, kcols, derived)
     else:
         base, jmap = _grouped_partials(spark, out_dir, aggs, gargs,
-                                       group_cols, derived, preds)
+                                       kcols, derived, preds)
+    base = _regroup_derived(base, r)
 
     def kname(kind: str, col: str) -> str:
         # partial-column name for (sum|nn|mn|mx, agg col): indexed when the

@@ -214,6 +214,43 @@ ROUTABLE = [
     # HAVING arithmetic over hoisted aggregate outputs
     "SELECT lang FROM docs GROUP BY lang "
     "HAVING sum(n_chars)/count(*) > 2400",
+    # derived scalar group keys (round 5): the kernels group the RAW
+    # source columns; Spark evaluates the rebuilt expression over the
+    # ndv-bounded partials and a re-group merges raw groups — exact
+    # Spark semantics at O(observed raw groups) expression evaluations
+    "SELECT upper(lang) AS L, count(*) AS c FROM docs GROUP BY upper(lang)",
+    "SELECT substring(source, 1, 4) AS s4, count(*) AS c, "
+    "sum(n_chars) AS t FROM docs GROUP BY substring(source, 1, 4) "
+    "ORDER BY c DESC, s4 LIMIT 5",
+    # raw src doubles as a plain key: one kernel dimension backs both
+    "SELECT upper(lang) AS L, lang, count(*) AS c FROM docs "
+    "GROUP BY upper(lang), lang",
+    # multi-source derived key rides the composite kernel
+    "SELECT concat(lang, '-', substring(source, 1, 4)) AS k, count(*) AS c "
+    "FROM docs GROUP BY concat(lang, '-', substring(source, 1, 4))",
+    # count(distinct) / cross-column OR / min-max-avg + HAVING compose
+    "SELECT upper(lang) AS L, count(distinct source) AS d, count(*) AS c "
+    "FROM docs GROUP BY upper(lang)",
+    "SELECT upper(lang) AS L, count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000 GROUP BY upper(lang)",
+    "SELECT upper(lang) AS L, min(n_chars) AS mn, max(n_chars) AS mx, "
+    "avg(n_chars) AS av FROM docs GROUP BY upper(lang) "
+    "HAVING count(*) > 100",
+    "SELECT length(lang) AS n, count(*) AS c FROM docs GROUP BY "
+    "length(lang)",
+    "SELECT CAST(n_chars AS STRING) AS s, count(*) AS c FROM docs "
+    "WHERE n_chars < 30 GROUP BY CAST(n_chars AS STRING)",
+    "SELECT regexp_extract(source, '^([a-z]+[0-9]+)', 1) AS host, "
+    "count(*) AS c FROM docs "
+    "GROUP BY regexp_extract(source, '^([a-z]+[0-9]+)', 1)",
+    "SELECT coalesce(lang, 'none') AS L, count(*) AS c FROM docs "
+    "GROUP BY coalesce(lang, 'none')",
+    # arithmetic-over-aggregates output beside a derived key
+    "SELECT upper(lang) AS L, sum(n_chars)/count(*) AS r FROM docs "
+    "GROUP BY upper(lang)",
+    # ORDER BY a hidden aggregate the projection drops, derived key
+    "SELECT upper(lang) AS L FROM docs GROUP BY upper(lang) "
+    "ORDER BY count(*) DESC, L LIMIT 2",
 ]
 
 FALLBACK = [
@@ -221,8 +258,6 @@ FALLBACK = [
     "SELECT count(DISTINCT lang) AS a, count(DISTINCT source) AS b "
     "FROM docs",                                           # two distinct cols
     "SELECT sum(DISTINCT n_chars) AS s FROM docs",         # distinct sum
-    "SELECT upper(lang) AS l, count(*) AS c FROM docs "
-    "GROUP BY upper(lang)",                                # computed group
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
     # cross-column OR stays a fallback beyond two branches
     "SELECT count(*) AS c FROM docs "
@@ -243,6 +278,17 @@ FALLBACK = [
     "SELECT sum(score)/count(*) AS r FROM docs",
     # non-arithmetic function over an aggregate stays a fallback
     "SELECT abs(sum(n_chars)) AS a FROM docs",
+    # a derived scalar key must appear in the SELECT to carry a name
+    "SELECT count(*) AS c FROM docs GROUP BY upper(lang)",
+    # non-whitelisted string function
+    "SELECT lpad(lang, 5, 'x') AS L, count(*) AS c FROM docs "
+    "GROUP BY lpad(lang, 5, 'x')",
+    # distinct column duplicating the derived key's raw source
+    "SELECT upper(lang) AS L, count(distinct lang) AS d FROM docs "
+    "GROUP BY upper(lang)",
+    # derived output named like a kernel partial column
+    "SELECT upper(lang) AS cnt, count(*) AS c FROM docs "
+    "GROUP BY upper(lang)",
 ]
 
 
@@ -619,6 +665,9 @@ DERIVED_ROUTABLE = [
     "GROUP BY to_date(ts)",
     "SELECT to_date(ts) AS day, min(ts) AS first_ts FROM ev "
     "GROUP BY to_date(ts)",
+    # kernel-computed time key + Spark-evaluated scalar key in ONE shape
+    "SELECT to_date(ts) AS day, upper(lang) AS L, count(*) AS c FROM ev "
+    "GROUP BY to_date(ts), upper(lang)",
 ]
 
 
@@ -638,8 +687,6 @@ DERIVED_FALLBACK = [
     # Spark yields NULL for an unknown trunc format — must never route
     "SELECT date_trunc('bogus', ts) AS b, count(*) AS c FROM ev "
     "GROUP BY date_trunc('bogus', ts)",
-    # non-time group expression
-    "SELECT upper(lang) AS u, count(*) AS c FROM ev GROUP BY upper(lang)",
     # a derived key that never appears in the SELECT has no output name
     # to carry through the partials
     "SELECT count(*) AS c FROM ev GROUP BY to_date(ts)",
@@ -1107,3 +1154,31 @@ def test_expr_over_aggregates_route_shape(spark, store):
         spark, "SELECT lang, count(*) AS _hx0, sum(n_chars)/count(*) AS r "
                "FROM docs GROUP BY lang", stores)
     assert r3 is None and "_hx0" in reason
+
+
+def test_sqlexpr_group_key_route_shape(spark, store):
+    """Derived scalar keys carry ("sqlexpr", sql, srcs) transforms: the
+    kernel groups the RAW sources; the rebuilt SQL preserves the analyzed
+    tree (bare backquoted columns, typed literals)."""
+    stores = {"docs": store}
+    r = sqlagg.route_agg_sql(
+        spark, "SELECT upper(lang) AS L, count(*) AS c FROM docs "
+               "GROUP BY upper(lang)", stores)
+    assert r is not None and r["group_col"] is None
+    assert r["group_cols"] == ["L"]
+    ((src, tr, out),) = r["group_specs"]
+    assert (src, out) == ("lang", "L")
+    assert tr[0] == "sqlexpr" and tr[1] == "upper(`lang`)"
+    assert list(tr[2]) == ["lang"]
+    # multi-source key: every referenced column becomes a raw kernel dim
+    r2 = sqlagg.route_agg_sql(
+        spark, "SELECT concat(lang, '-', source) AS k, count(*) AS c "
+               "FROM docs GROUP BY concat(lang, '-', source)", stores)
+    assert r2 is not None
+    ((_, tr2, _),) = r2["group_specs"]
+    assert list(tr2[2]) == ["lang", "source"]
+    assert tr2[1] == "concat(`lang`, '-', `source`)"
+    # DISTINCT over a derived key routes through the same spec
+    r3 = sqlagg.route_agg_sql(
+        spark, "SELECT DISTINCT upper(lang) AS L FROM docs", stores)
+    assert r3 is not None and r3["group_specs"][0][1][0] == "sqlexpr"
