@@ -197,11 +197,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE (lang IN ('en', 'de') OR n_chars > 4500) "
             "AND source LIKE 'src1%'"
         ),
+        # round-5 oracle path: WHERE pushdown + DERIVED SCALAR group key
+        # (upper — kernels group raw lang codes, Spark evaluates the
+        # rebuilt expression over ndv-bounded partials, re-group merges)
+        # + ARITHMETIC OVER AGGREGATES (sum/count via hidden outputs);
+        # DuckDB evaluates the plain SQL per row
         "store_sqlagg_grouped_where": (
-            "SELECT lang, count(*) AS cnt, count(n_chars) AS nn_chars, "
-            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "SELECT upper(lang) AS lang_u, count(*) AS cnt, "
+            "count(n_chars) AS nn_chars, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(n_chars) AS DOUBLE) / count(*) AS chars_per_doc "
+            "FROM documents "
             "WHERE source LIKE 'src1%' AND n_chars BETWEEN 100 AND 4000 "
-            "GROUP BY lang"
+            "GROUP BY upper(lang)"
         ),
         # composite GROUP BY + HAVING (round 5): routed to the
         # combined-code-stream kernel; HAVING post-filters routed partials

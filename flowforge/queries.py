@@ -340,22 +340,34 @@ def q_store_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_store_sqlagg_grouped_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered grouped aggregate pushdown (round 4): WHERE + GROUP BY in
-    one typed SQL statement, routed to the masked code-stream kernel —
-    zone maps skip no-match chunks, all-match chunks aggregate unmasked,
-    and only boundary chunks decode the predicate column to mask the
-    packed group codes. Route is asserted."""
+    """Filtered grouped aggregate pushdown (round 4; round-5 widening on
+    the oracle path): WHERE + GROUP BY in one typed SQL statement, routed
+    to the masked code-stream kernel — zone maps skip no-match chunks,
+    all-match chunks aggregate unmasked, and only boundary chunks decode
+    the predicate column to mask the packed group codes. The group key is
+    a DERIVED SCALAR expression (upper(lang): the kernel groups the raw
+    lang codes, Spark evaluates the rebuilt expression over the
+    ndv-bounded partials, a re-group merges raw groups) and the SELECT
+    carries ARITHMETIC OVER AGGREGATES (sum/count as chars-per-doc via
+    hidden routed outputs). Route assertions are explicit — a silent
+    fallback would pass the value check while testing nothing."""
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
     # count(n_chars) rides the kernel's nn partial (round-5 COUNT(col))
-    sql = ("SELECT lang, count(*) AS cnt, count(n_chars) AS nn_chars, "
-           "sum(n_chars) AS sum_chars "
+    sql = ("SELECT upper(lang) AS lang_u, count(*) AS cnt, "
+           "count(n_chars) AS nn_chars, sum(n_chars) AS sum_chars, "
+           "sum(n_chars)/count(*) AS chars_per_doc "
            "FROM docs WHERE source LIKE 'src1%' AND n_chars "
-           "BETWEEN 100 AND 4000 GROUP BY lang")
-    if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
+           "BETWEEN 100 AND 4000 GROUP BY upper(lang)")
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
+    if r is None:
         raise RuntimeError(
             "store_sqlagg_grouped_where: statement failed to route")
+    specs = r.get("group_specs") or []
+    if not (specs and specs[0][1] and specs[0][1][0] == "sqlexpr"):
+        raise RuntimeError("store_sqlagg_grouped_where: derived scalar key "
+                           "did not take the sqlexpr kernel path")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 
@@ -406,22 +418,6 @@ def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     if r is None or not r.get("orx"):
         raise RuntimeError("store_sqlagg_route: statement failed to route "
                            "through the cross-column OR path")
-    return sqlagg.store_agg_sql(spark, sql, {"docs": out})
-
-
-def q_store_sqlagg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-surface GROUPED aggregate pushdown: GROUP BY through plain SQL
-    routes to the codec-layer group kernel (packed-code-stream bincount),
-    same result as q_store_group_sums but proven reachable from the SQL
-    text a user actually types."""
-    from . import sqlagg
-
-    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    # count(n_chars) rides the kernel's nn partial (round-5 COUNT(col))
-    sql = ("SELECT lang, count(*) AS cnt, count(n_chars) AS nn_chars, "
-           "sum(n_chars) AS sum_chars FROM docs GROUP BY lang")
-    if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
-        raise RuntimeError("store_sqlagg_grouped: statement failed to route")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 
