@@ -2182,7 +2182,8 @@ def _make_value_counts_kernel(out_dir: str, column: str,
 
 
 def value_counts_table(spark: SparkSession, out_dir: str, column: str,
-                       predicates: dict | None = None) -> DataFrame:
+                       predicates: dict | None = None,
+                       merge: bool = True) -> DataFrame:
     """``SELECT col, COUNT(*) [WHERE ...] GROUP BY col`` pushed to the
     codec layer; returns ``(column, cnt long)`` with SQL GROUP BY
     semantics (null is a group). Partial counts come out of each bucket's
@@ -2219,6 +2220,12 @@ def value_counts_table(spark: SparkSession, out_dir: str, column: str,
     ).repartition(len(rows))
     partials = buckets_df.mapInArrow(
         _make_value_counts_kernel(out_dir, column, preds), out_schema)
+    if not merge:
+        # pre-merge per-bucket partials: the caller performs the single
+        # groupBy itself — e.g. the SQL router re-keys on a derived
+        # expression FIRST so map-side combine collapses on the final
+        # (low-cardinality) key instead of shuffling raw groups
+        return partials
     return partials.groupBy(column).agg(
         F.sum("cnt").cast("long").alias("cnt"))
 
@@ -2356,7 +2363,8 @@ def _make_group_agg_kernel(out_dir: str, group_col: str, agg_col: str,
 def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
                     agg_col: str,
                     predicates: dict | None = None,
-                    count_only: bool = False) -> DataFrame:
+                    count_only: bool = False,
+                    merge: bool = True) -> DataFrame:
     """``SELECT g, COUNT(*), SUM(a) [WHERE ...] GROUP BY g`` pushed to the
     codec layer; returns ``(group_col, cnt long, sum long, nn long,
     mn long, mx long)`` with SQL semantics (null is a group; a group whose
@@ -2433,6 +2441,10 @@ def group_agg_table(spark: SparkSession, out_dir: str, group_col: str,
         _make_group_agg_kernel(out_dir, group_col, agg_col, preds,
                                count_only=count_only),
         out_schema)
+    if not merge:
+        # pre-merge per-bucket partials (see value_counts_table): the
+        # caller merges once on its own (derived) final key
+        return partials
     return partials.groupBy(group_col).agg(
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("sum").cast("long").alias("sum"),
@@ -2560,8 +2572,8 @@ def group_multi_table(spark: SparkSession, out_dir: str,
                       agg_col: str | None = None,
                       predicates: dict | None = None,
                       count_only: bool = False,
-                      agg_specs: list[tuple[str, bool]] | None = None
-                      ) -> DataFrame:
+                      agg_specs: list[tuple[str, bool]] | None = None,
+                      merge: bool = True) -> DataFrame:
     """``SELECT g0, g1, ..., COUNT(*)[, SUM(a)] [WHERE ...] GROUP BY
     g0, g1, ...`` pushed to the codec layer (round-5 verdict, next #2) —
     the corpus-audit shape ``GROUP BY lang, source``. Returns
@@ -2690,6 +2702,10 @@ def group_multi_table(spark: SparkSession, out_dir: str,
         _make_group_multi_kernel(out_dir, groups, specs, preds,
                                  out_names=[f.name for f in out_schema]),
         out_schema)
+    if not merge:
+        # pre-merge per-bucket partials (see value_counts_table): the
+        # caller merges once on its own (derived) final key
+        return partials
     aggs = [F.sum("cnt").cast("long").alias("cnt")]
     for sname, nname, mnname, mxname in quads:
         aggs.append(F.sum(sname).cast("long").alias(sname))

@@ -306,13 +306,28 @@ def _time_key(e, name: str) -> tuple[str, tuple]:
 #: single-child whitelisted scalar functions for derived group keys
 _SQLEXPR_FN1 = {"Upper": "upper", "Lower": "lower", "Length": "length",
                 "Reverse": "reverse", "StringTrim": "trim",
-                "StringTrimLeft": "ltrim", "StringTrimRight": "rtrim"}
+                "StringTrimLeft": "ltrim", "StringTrimRight": "rtrim",
+                "InitCap": "initcap", "Abs": "abs",
+                "Floor": "floor", "Ceil": "ceil"}
 #: fixed-arity whitelisted functions (class -> (sql name, arity))
 _SQLEXPR_FNN = {"Substring": ("substring", 3),
                 "StringReplace": ("replace", 3),
-                "RegExpExtract": ("regexp_extract", 3)}
+                "RegExpExtract": ("regexp_extract", 3),
+                "StringLPad": ("lpad", 3), "StringRPad": ("rpad", 3),
+                "StringTranslate": ("translate", 3),
+                "SplitPart": ("split_part", 3),
+                "Round": ("round", 2),  # round(x) analyzes with scale 0
+                "Left": ("left", 2), "Right": ("right", 2),
+                "Pmod": ("pmod", 2)}
 #: variadic whitelisted functions
 _SQLEXPR_VAR = {"Concat": "concat", "Coalesce": "coalesce"}
+#: binary arithmetic (always parenthesized in the rebuild) — bucketing
+#: keys like ``GROUP BY n_chars DIV 1000``; both paths evaluate via
+#: Spark, so overflow/ANSI/precision semantics are identical by
+#: construction (decimal CheckOverflow wrappers are unknown classes and
+#: fall back)
+_SQLEXPR_BIN = {"Add": "+", "Subtract": "-", "Multiply": "*",
+                "Divide": "/", "Remainder": "%", "IntegralDivide": "DIV"}
 
 
 def _sqlexpr_build(e, srcs: list[str]) -> str:
@@ -361,6 +376,13 @@ def _sqlexpr_build(e, srcs: list[str]) -> str:
         args = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
                          for i in range(ch.size()))
         return f"{fn}({args})"
+    sym = _SQLEXPR_BIN.get(name)
+    if sym is not None:
+        ch = e.children()
+        if ch.size() != 2:
+            raise _Unroutable(f"{name} with {ch.size()} args")
+        return (f"({_sqlexpr_build(ch.apply(0), srcs)} {sym} "
+                f"{_sqlexpr_build(ch.apply(1), srcs)})")
     raise _Unroutable(f"group expression {name}")
 
 
@@ -1758,12 +1780,15 @@ def _agg_src_list(aggs: dict) -> tuple[list[str], set[str]]:
 
 def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
                       gargs: list, group_cols: list[str], derived: bool,
-                      preds: dict | None):
+                      preds: dict | None, merge: bool = True):
     """One grouped kernel pass: a per-group DataFrame carrying the partial
     columns the finishing select reads — ``cnt`` plus ``sum/nn/mn/mx``
     (indexed ``sum{j}``... when the multi-agg kernel runs) — and the
     agg-column -> index map naming them (None for the legacy single
-    names)."""
+    names). ``merge=False`` returns the pre-merge per-bucket partials:
+    the derived-scalar-key caller re-keys on the rebuilt expression FIRST
+    and performs the single groupBy itself, so map-side combine collapses
+    on the final low-cardinality key instead of shuffling raw groups."""
     src_list, value_cols = _agg_src_list(aggs)
     jmap: dict[str, int] | None = None
     if len(src_list) > 1:
@@ -1771,7 +1796,8 @@ def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
         # column partials (round 5) — the full corpus-audit SELECT routes
         base = engine.group_multi_table(
             spark, out_dir, gargs, predicates=preds or None,
-            agg_specs=[(c, c not in value_cols) for c in src_list])
+            agg_specs=[(c, c not in value_cols) for c in src_list],
+            merge=merge)
         jmap = {c: j for j, c in enumerate(src_list)}
     elif src_list:
         # COUNT(col) with no value aggregates runs the kernels in
@@ -1780,18 +1806,22 @@ def _grouped_partials(spark: SparkSession, out_dir: str, aggs: dict,
         if len(group_cols) > 1 or derived:
             base = engine.group_multi_table(
                 spark, out_dir, gargs, agg_col=src_list[0],
-                predicates=preds or None, count_only=count_only)
+                predicates=preds or None, count_only=count_only,
+                merge=merge)
         else:
             base = engine.group_agg_table(spark, out_dir, group_cols[0],
                                           src_list[0],
                                           predicates=preds or None,
-                                          count_only=count_only)
+                                          count_only=count_only,
+                                          merge=merge)
     elif len(group_cols) > 1 or derived:
         base = engine.group_multi_table(spark, out_dir, gargs,
-                                        predicates=preds or None)
+                                        predicates=preds or None,
+                                        merge=merge)
     else:
         base = engine.value_counts_table(spark, out_dir, group_cols[0],
-                                         predicates=preds or None)
+                                         predicates=preds or None,
+                                         merge=merge)
     return base, jmap
 
 
@@ -1918,9 +1948,14 @@ def _regroup_derived(base: DataFrame, r: dict) -> DataFrame:
     """Re-group a raw-keyed partial frame onto the final (derived +
     plain) keys: raw groups that map to the same derived value merge —
     cnt/sum/nn re-add, mn/mx re-min/max — exactly the combination the
-    kernels' own multi-bucket finishing already performs, so every
-    downstream reader (finishing select, HAVING, avg division, min/max
-    cast-back) is unchanged."""
+    kernels' own multi-bucket finishing performs, so every downstream
+    reader (finishing select, HAVING, avg division, min/max cast-back)
+    is unchanged. On the non-orx path the kernels hand over PRE-merge
+    per-bucket partials (merge=False), making this the plan's single
+    grouped exchange — keyed on the derived value, so Spark's partial
+    hash aggregation collapses the shuffle to O(partitions x derived
+    ndv) even when the raw source is high-cardinality (GROUP BY
+    substring(url, ...) never shuffles per-raw-url rows)."""
     if not any(tr and tr[0] == "sqlexpr"
                for _, tr, _ in r.get("group_specs") or []):
         return base
@@ -2050,11 +2085,22 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             else:
                 sel.append(F.col(name))
         return _finish(_expr_finish(df.select(*sel), r), r)
+    has_sqlexpr = any(tr and tr[0] == "sqlexpr"
+                      for _, tr, _ in (gspecs or []))
     if r.get("orx"):
+        # the inclusion-exclusion composition joins per-group across
+        # passes, so each pass merges on the raw kernel keys; the derived
+        # re-group runs over the composed frame
         base, jmap = _orx_grouped(spark, r, gargs, kcols, derived)
     else:
+        # derived scalar keys skip the kernel-side raw-key merge: the
+        # rebuilt expression is applied to the per-bucket partials and
+        # the ONE groupBy below runs on the final keys, so map-side
+        # combine collapses on the (low-cardinality) derived value even
+        # when the raw source is high-cardinality
         base, jmap = _grouped_partials(spark, out_dir, aggs, gargs,
-                                       kcols, derived, preds)
+                                       kcols, derived, preds,
+                                       merge=not has_sqlexpr)
     base = _regroup_derived(base, r)
 
     def kname(kind: str, col: str) -> str:

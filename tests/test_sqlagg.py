@@ -251,6 +251,19 @@ ROUTABLE = [
     # ORDER BY a hidden aggregate the projection drops, derived key
     "SELECT upper(lang) AS L FROM docs GROUP BY upper(lang) "
     "ORDER BY count(*) DESC, L LIMIT 2",
+    # widened whitelist: split_part host extraction (THE audit shape),
+    # integer bucketing via DIV, arithmetic composition, lpad/initcap,
+    # left-prefix
+    "SELECT split_part(source, '/', 1) AS host, count(*) AS c, "
+    "sum(n_chars) AS s FROM docs GROUP BY split_part(source, '/', 1)",
+    "SELECT n_chars DIV 1000 AS kb, count(*) AS c FROM docs "
+    "GROUP BY n_chars DIV 1000",
+    "SELECT abs(n_chars - 2500) DIV 500 AS band, count(*) AS c FROM docs "
+    "GROUP BY abs(n_chars - 2500) DIV 500",
+    "SELECT initcap(lang) AS L, lpad(lang, 5, '_') AS P, count(*) AS c "
+    "FROM docs GROUP BY initcap(lang), lpad(lang, 5, '_')",
+    "SELECT left(source, 4) AS s4, count(*) AS c FROM docs "
+    "GROUP BY left(source, 4)",
 ]
 
 FALLBACK = [
@@ -280,9 +293,9 @@ FALLBACK = [
     "SELECT abs(sum(n_chars)) AS a FROM docs",
     # a derived scalar key must appear in the SELECT to carry a name
     "SELECT count(*) AS c FROM docs GROUP BY upper(lang)",
-    # non-whitelisted string function
-    "SELECT lpad(lang, 5, 'x') AS L, count(*) AS c FROM docs "
-    "GROUP BY lpad(lang, 5, 'x')",
+    # non-whitelisted string function (deterministic, but not listed)
+    "SELECT soundex(lang) AS L, count(*) AS c FROM docs "
+    "GROUP BY soundex(lang)",
     # distinct column duplicating the derived key's raw source
     "SELECT upper(lang) AS L, count(distinct lang) AS d FROM docs "
     "GROUP BY upper(lang)",
@@ -1182,3 +1195,31 @@ def test_sqlexpr_group_key_route_shape(spark, store):
     r3 = sqlagg.route_agg_sql(
         spark, "SELECT DISTINCT upper(lang) AS L FROM docs", stores)
     assert r3 is not None and r3["group_specs"][0][1][0] == "sqlexpr"
+
+
+def test_sqlexpr_single_exchange_on_derived_key(spark, store):
+    """The derived-scalar-key plan's ONLY grouped exchange is keyed on
+    the DERIVED value: the kernels hand over pre-merge per-bucket
+    partials (merge=False), the rebuilt expression is applied to them,
+    and the single groupBy runs on the final key — so Spark's partial
+    hash aggregation collapses the shuffle to O(partitions x derived
+    ndv) even when the raw source is high-cardinality. A raw-keyed merge
+    exchange appearing below would shuffle per-raw-group rows at scale."""
+    import re as _re
+
+    stores = {"docs": store}
+    for sql in [
+        "SELECT upper(lang) AS L, count(*) AS c FROM docs GROUP BY "
+        "upper(lang)",
+        "SELECT substring(source, 1, 4) AS s4, count(*) AS c, "
+        "sum(n_chars) AS t FROM docs GROUP BY substring(source, 1, 4)",
+        "SELECT upper(lang) AS L, count(*) AS c FROM docs "
+        "WHERE n_chars > 500 GROUP BY upper(lang)",
+    ]:
+        assert sqlagg.route_agg_sql(spark, sql, stores) is not None, sql
+        df = sqlagg.store_agg_sql(spark, sql, stores)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hashex = _re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+        assert len(hashex) == 1, (sql, plan)
+        # keyed on the derived output, never the raw source column
+        assert hashex[0] in ("L", "s4"), (sql, hashex)
