@@ -926,7 +926,15 @@ def _agg_spec_of(ae) -> tuple:
 
 
 _EXPR_BINOPS = {"Add": "+", "Subtract": "-", "Multiply": "*",
-                "Divide": "/", "Remainder": "%"}
+                "Divide": "/", "Remainder": "%",
+                # max(ts) - min(ts): the activity-span audit. The rebuilt
+                # Column `-` over the routed (epoch-cast-back) timestamp
+                # outputs re-analyzes to the same SubtractTimestamps the
+                # fallback evaluates, so the day-time-interval result is
+                # value- and type-identical; interval LITERALS anywhere
+                # in the statement stay unroutable (_literal/_elit reject
+                # them), so no partially-routed interval math exists
+                "SubtractTimestamps": "-"}
 
 
 def _elit(e) -> list:

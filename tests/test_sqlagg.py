@@ -681,6 +681,13 @@ DERIVED_ROUTABLE = [
     # kernel-computed time key + Spark-evaluated scalar key in ONE shape
     "SELECT to_date(ts) AS day, upper(lang) AS L, count(*) AS c FROM ev "
     "GROUP BY to_date(ts), upper(lang)",
+    # timestamp difference over routed extremes: the activity-span audit
+    # (SubtractTimestamps rebuilds as Column `-` over the cast-back
+    # outputs — day-time interval, value- and type-identical)
+    "SELECT lang, max(ts) - min(ts) AS span FROM ev GROUP BY lang",
+    "SELECT max(ts) - min(ts) AS span, count(*) AS c FROM ev",
+    "SELECT to_date(ts) AS day, max(tn) - min(tn) AS span FROM ev "
+    "GROUP BY to_date(ts) ORDER BY day LIMIT 7",
 ]
 
 
