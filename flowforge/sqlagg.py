@@ -328,6 +328,12 @@ _SQLEXPR_VAR = {"Concat": "concat", "Coalesce": "coalesce"}
 #: fall back)
 _SQLEXPR_BIN = {"Add": "+", "Subtract": "-", "Multiply": "*",
                 "Divide": "/", "Remainder": "%", "IntegralDivide": "DIV"}
+#: comparisons / boolean connectives — legal anywhere in a derived key
+#: (CASE WHEN n > 2500 THEN 'long' ... END bucketing labels)
+_SQLEXPR_CMP = {"EqualTo": "=", "EqualNullSafe": "<=>",
+                "GreaterThan": ">", "LessThan": "<",
+                "GreaterThanOrEqual": ">=", "LessThanOrEqual": "<="}
+_SQLEXPR_CONN = {"And": "AND", "Or": "OR"}
 
 
 def _sqlexpr_build(e, srcs: list[str]) -> str:
@@ -376,13 +382,53 @@ def _sqlexpr_build(e, srcs: list[str]) -> str:
         args = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
                          for i in range(ch.size()))
         return f"{fn}({args})"
-    sym = _SQLEXPR_BIN.get(name)
+    sym = _SQLEXPR_BIN.get(name) or _SQLEXPR_CMP.get(name) \
+        or _SQLEXPR_CONN.get(name)
     if sym is not None:
         ch = e.children()
         if ch.size() != 2:
             raise _Unroutable(f"{name} with {ch.size()} args")
         return (f"({_sqlexpr_build(ch.apply(0), srcs)} {sym} "
                 f"{_sqlexpr_build(ch.apply(1), srcs)})")
+    if name == "Not":
+        return f"(NOT {_sqlexpr_build(e.child(), srcs)})"
+    if name == "IsNull":
+        return f"({_sqlexpr_build(e.child(), srcs)} IS NULL)"
+    if name == "IsNotNull":
+        return f"({_sqlexpr_build(e.child(), srcs)} IS NOT NULL)"
+    if name == "In":
+        ch = e.children()
+        if ch.size() < 2:
+            raise _Unroutable("empty IN list")
+        items = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
+                          for i in range(1, ch.size()))
+        return f"({_sqlexpr_build(ch.apply(0), srcs)} IN ({items}))"
+    if name == "Like":
+        # the escape char is a constructor param, not a child — a
+        # rebuild without the ESCAPE clause would silently change
+        # matching, so only the default escape routes
+        if str(e.escapeChar()) != "\\":
+            raise _Unroutable("LIKE with a custom escape character")
+        ch = e.children()
+        return (f"({_sqlexpr_build(ch.apply(0), srcs)} LIKE "
+                f"{_sqlexpr_build(ch.apply(1), srcs)})")
+    if name == "If":
+        ch = e.children()
+        return (f"if({_sqlexpr_build(ch.apply(0), srcs)}, "
+                f"{_sqlexpr_build(ch.apply(1), srcs)}, "
+                f"{_sqlexpr_build(ch.apply(2), srcs)})")
+    if name == "CaseWhen":
+        br = e.branches()
+        parts = ["CASE"]
+        for i in range(br.size()):
+            t = br.apply(i)
+            parts.append(f"WHEN {_sqlexpr_build(t._1(), srcs)} "
+                         f"THEN {_sqlexpr_build(t._2(), srcs)}")
+        ev = e.elseValue()
+        if ev.isDefined():
+            parts.append(f"ELSE {_sqlexpr_build(ev.get(), srcs)}")
+        parts.append("END")
+        return " ".join(parts)
     raise _Unroutable(f"group expression {name}")
 
 
@@ -884,8 +930,11 @@ def _parse_agg_fn(named) -> tuple[str, tuple]:
 
     ``COUNT(DISTINCT col)`` parses to ``("cntd", col)`` (round 5): it
     routes through the composite group kernel — the distinct column joins
-    the GROUP BY dimensions, and the finishing aggregation counts its
-    non-null groups (SQL: count distinct excludes NULL)."""
+    the GROUP BY dimensions, and the finishing aggregation counts the
+    distinct non-null VALUES over the combo rows (SQL: count distinct
+    excludes NULL). ``COUNT(DISTINCT <whitelisted expr>)`` parses to
+    ``("cntde", sql, srcs)`` — the raw sources join the dimensions and
+    the rebuilt expression evaluates per combo row."""
     if _cls(named) != "Alias":
         raise _Unroutable(f"unaliased select item {named.sql()}")
     alias = str(named.name())
@@ -902,7 +951,19 @@ def _agg_spec_of(ae) -> tuple:
         fn = ae.aggregateFunction()
         args = fn.children()
         if _cls(fn) == "Count" and args.size() == 1:
-            return ("cntd", _attr_name(args.apply(0)))
+            arg = args.apply(0)
+            try:
+                return ("cntd", _attr_name(arg))
+            except _Unroutable:
+                # COUNT(DISTINCT <whitelisted expr>) — "distinct hosts":
+                # the expression's RAW source columns join the kernel
+                # dimensions; the finishing count_distinct runs the
+                # rebuilt expression over the O(combos) rows
+                srcs: list[str] = []
+                sql = _sqlexpr_build(arg, srcs)
+                if not srcs:
+                    raise _Unroutable("count(distinct) reads no column")
+                return ("cntde", sql, tuple(srcs))
         raise _Unroutable(f"distinct aggregate {_cls(fn)}")
     fn = ae.aggregateFunction()
     head = _AGG_FNS.get(_cls(fn))
@@ -1507,6 +1568,15 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # derived keys — an output named like one would collide
         raise _Unroutable("group output name collides with a kernel "
                           "partial column")
+    sqlexpr_out_names = {out for (_, tr), out in zip(parsed, g_names)
+                         if tr and tr[0] == "sqlexpr"}
+    if sqlexpr_out_names & sqlexpr_srcs:
+        # _apply_derived materializes keys with withColumn: an output
+        # aliased to a raw source name would SHADOW that column for any
+        # expression evaluated after it (GROUP BY upper(source) AS
+        # source, substring(source, ...) AS x reads the wrong values)
+        raise _Unroutable(
+            "derived key output name shadows a raw source column")
     if not aggs and not group_cols:
         raise _Unroutable("no aggregate outputs")
     # group-by with no aggregates is how Spark analyzes SELECT DISTINCT col
@@ -1521,12 +1591,16 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if spec[0] == "cntd":
             if spec[1] not in by_type:
                 raise _Unroutable(f"count(distinct) over unknown {spec[1]!r}")
-            if spec[1] in sqlexpr_srcs:
-                # the distinct column would duplicate a derived key's raw
-                # source as a kernel dimension
-                raise _Unroutable(
-                    "count(distinct) over a derived key's source column")
-            continue  # any stored column type groups (composite kernel)
+            continue  # any stored column type groups (composite kernel);
+            # a column that doubles as a derived key's raw source is fine
+            # — the execution dedupes kernel dimensions and counts
+            # distinct VALUES, not combo rows
+        if spec[0] == "cntde":
+            for s in spec[2]:
+                if s not in by_type:
+                    raise _Unroutable(
+                        f"count(distinct) over unknown column {s!r}")
+            continue
         if spec[0] == "count":
             continue
         if spec[0] == "nncount":
@@ -1584,21 +1658,35 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             orx_preds.append(
                 _constraints_to_predicates(plain_cons + br_a + br_b))
     sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
-    dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
-    if dcols:
+    dspecs = {spec for spec in aggs.values()
+              if spec[0] in ("cntd", "cntde")}
+    if dspecs:
         # COUNT(DISTINCT d) routes through the composite group kernel with
-        # d as an extra GROUP BY dimension; alongside it only count(*) and
+        # d (or, for a derived expression, its raw source columns) as
+        # extra GROUP BY dimensions; alongside it only count(*) and
         # sum(one col) compose (min/max/avg over the combo partials don't)
-        if len(dcols) > 1:
+        if len(dspecs) > 1:
             raise _Unroutable("multiple count(distinct) columns")
-        dcol = next(iter(dcols))
-        if any(spec[0] not in ("count", "sum", "cntd")
+        dspec = next(iter(dspecs))
+        dsrcs = [dspec[1]] if dspec[0] == "cntd" else list(dspec[2])
+        if any(spec[0] not in ("count", "sum", "cntd", "cntde")
                for spec in aggs.values()) or len(sum_cols) > 1:
             raise _Unroutable(
                 "count(distinct) beyond count(*) + sum(one col)")
-        if dcol in group_cols or dcol in sum_cols:
+        if dspec[0] == "cntd" and dspec[1] in group_cols:
             raise _Unroutable("count(distinct) column reused")
-        if any(c.startswith("__") for c in group_cols + [dcol]):
+        if set(dsrcs) & sum_cols:
+            # the kernel's agg column cannot double as a group dimension
+            raise _Unroutable("count(distinct) column reused")
+        sqlexpr_outs = {out for (_, tr), out in zip(parsed, g_names)
+                        if tr and tr[0] == "sqlexpr"}
+        if dspec[0] == "cntde" and set(dsrcs) & sqlexpr_outs:
+            # _apply_derived overwrites a raw column whose name a derived
+            # key reuses; the distinct expression would then read the
+            # derived values instead of the raw ones
+            raise _Unroutable(
+                "count(distinct) source shadowed by a derived key name")
+        if any(c.startswith("__") for c in group_cols + dsrcs):
             raise _Unroutable("column with reserved '__' prefix")
     elif group_cols:
         # the codec-layer grouped kernels carry cnt/sum/nn/mn/mx partials
@@ -2013,11 +2101,23 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
     else:
         gargs, kcols = list(group_cols), list(group_cols)
         derived = False
-    dcols = {spec[1] for spec in aggs.values() if spec[0] == "cntd"}
-    if dcols:
-        # composite kernel with the distinct column as an extra dimension;
-        # the finishing agg is over O(observed combos) rows
-        dcol = next(iter(dcols))
+    dspecs = {spec for spec in aggs.values()
+              if spec[0] in ("cntd", "cntde")}
+    if dspecs:
+        # composite kernel with the distinct column's raw source(s) as
+        # extra dimensions (deduped against the kernel group dims); the
+        # finishing agg is over O(observed combos) rows and counts
+        # distinct VALUES of the (possibly derived) expression — never
+        # combo rows, which over-count when a derived group key merges
+        # raw groups sharing a value (upper('en')=upper('En') with the
+        # same source must count that source once)
+        dspec = next(iter(dspecs))
+        if dspec[0] == "cntd":
+            ddims = [dspec[1]] if dspec[1] not in kcols else []
+            dval = F.col(dspec[1])
+        else:
+            ddims = [s for s in dspec[2] if s not in kcols]
+            dval = F.expr(dspec[1])
         sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
         agg_col = next(iter(sum_cols)) if sum_cols else None
         if r.get("orx"):
@@ -2032,7 +2132,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             passes = []
             for sgn, p in zip((1, 1, -1), r["orx"]):
                 b = engine.group_multi_table(
-                    spark, out_dir, gargs + [dcol], agg_col=agg_col,
+                    spark, out_dir, gargs + ddims, agg_col=agg_col,
                     predicates=p or None)
                 passes.append(b.withColumn("__sign", F.lit(sgn)))
             base = passes[0]
@@ -2041,8 +2141,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             fin_aggs = [
                 F.coalesce(F.sum(F.col("cnt") * F.col("__sign")), F.lit(0))
                 .cast("long").alias("__cnt"),
-                F.count_distinct(
-                    F.when(F.col("__sign") > 0, F.col(dcol)))
+                F.count_distinct(F.when(F.col("__sign") > 0, dval))
                 .cast("long").alias("__cntd"),
             ]
             if sum_cols:
@@ -2051,22 +2150,23 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                     .cast("long").alias("__sum"))
         else:
             base = engine.group_multi_table(
-                spark, out_dir, gargs + [dcol], agg_col=agg_col,
+                spark, out_dir, gargs + ddims, agg_col=agg_col,
                 predicates=preds or None)
             fin_aggs = [
                 # count(*) over empty matches Spark's 0 (not null)
                 F.coalesce(F.sum("cnt"), F.lit(0))
                 .cast("long").alias("__cnt"),
-                # SQL count(distinct) excludes NULL: the null group drops
-                F.count(F.when(F.col(dcol).isNotNull(), 1))
-                .cast("long").alias("__cntd"),
+                # SQL count(distinct) excludes NULL: count_distinct skips
+                # the null group; distinct VALUES, never combo rows
+                F.count_distinct(dval).cast("long").alias("__cntd"),
             ]
             if sum_cols:
                 fin_aggs.append(F.sum("sum").cast("long").alias("__sum"))
         base = _apply_derived(base, r)  # derived keys over combo rows
         fin = (base.groupBy(*group_cols).agg(*fin_aggs) if group_cols
                else base.agg(*fin_aggs))
-        names = {"count": "__cnt", "cntd": "__cntd", "sum": "__sum"}
+        names = {"count": "__cnt", "cntd": "__cntd", "cntde": "__cntd",
+                 "sum": "__sum"}
         sel = []
         for name, src, gcol in _augmented_out(r):
             if src == "group":

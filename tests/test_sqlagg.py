@@ -264,6 +264,47 @@ ROUTABLE = [
     "FROM docs GROUP BY initcap(lang), lpad(lang, 5, '_')",
     "SELECT left(source, 4) AS s4, count(*) AS c FROM docs "
     "GROUP BY left(source, 4)",
+    # HAVING over the derived key itself (by alias, by repeated
+    # expression, mixed with aggregate conditions, with ORDER BY)
+    "SELECT upper(lang) AS L, count(*) AS c FROM docs "
+    "GROUP BY upper(lang) HAVING L = 'EN'",
+    "SELECT upper(lang) AS L, count(*) AS c FROM docs "
+    "GROUP BY upper(lang) HAVING upper(lang) = 'EN'",
+    "SELECT upper(lang) AS L, count(*) AS c FROM docs "
+    "GROUP BY upper(lang) HAVING count(*) > 100 AND L <> 'DE'",
+    "SELECT split_part(source, '/', 1) AS h, count(*) AS c FROM docs "
+    "GROUP BY split_part(source, '/', 1) HAVING c >= 100 ORDER BY h",
+    # CASE WHEN / IF bucketing labels as derived keys (searched and
+    # simple CASE, no-else NULL group, IN/AND/OR/IS NULL/LIKE predicates)
+    "SELECT CASE WHEN n_chars > 2500 THEN 'long' WHEN n_chars > 500 "
+    "THEN 'mid' ELSE 'short' END AS b, count(*) AS c, avg(doc_id) AS a "
+    "FROM docs GROUP BY CASE WHEN n_chars > 2500 THEN 'long' "
+    "WHEN n_chars > 500 THEN 'mid' ELSE 'short' END",
+    "SELECT if(lang = 'en', 'EN', 'other') AS b, count(*) AS c FROM docs "
+    "GROUP BY if(lang = 'en', 'EN', 'other')",
+    "SELECT CASE WHEN lang IN ('en', 'de') AND n_chars >= 1000 "
+    "OR lang IS NULL THEN 'hit' END AS b, count(*) AS c FROM docs "
+    "GROUP BY CASE WHEN lang IN ('en', 'de') AND n_chars >= 1000 "
+    "OR lang IS NULL THEN 'hit' END",
+    "SELECT CASE WHEN source LIKE 'src1%' THEN 'one' ELSE 'rest' END "
+    "AS b, count(*) AS c FROM docs GROUP BY "
+    "CASE WHEN source LIKE 'src1%' THEN 'one' ELSE 'rest' END",
+    "SELECT CASE lang WHEN 'en' THEN 1 ELSE 0 END AS b, count(*) AS c "
+    "FROM docs GROUP BY CASE lang WHEN 'en' THEN 1 ELSE 0 END",
+    # COUNT(DISTINCT <derived expr>) — "distinct hosts": the raw sources
+    # join the kernel dimensions, count_distinct runs the rebuilt
+    # expression over the combo rows; composes grouped, with a derived
+    # key sharing the source, and under cross-column OR
+    "SELECT count(distinct split_part(source, '/', 1)) AS hosts "
+    "FROM docs",
+    "SELECT lang, count(distinct split_part(source, '/', 1)) AS hosts, "
+    "count(*) AS c FROM docs GROUP BY lang",
+    "SELECT upper(lang) AS L, count(distinct lang) AS d FROM docs "
+    "GROUP BY upper(lang)",
+    "SELECT upper(lang) AS L, count(distinct left(source, 5)) AS d "
+    "FROM docs WHERE n_chars > 500 GROUP BY upper(lang)",
+    "SELECT count(distinct upper(lang)) AS d FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000",
 ]
 
 FALLBACK = [
@@ -296,12 +337,25 @@ FALLBACK = [
     # non-whitelisted string function (deterministic, but not listed)
     "SELECT soundex(lang) AS L, count(*) AS c FROM docs "
     "GROUP BY soundex(lang)",
-    # distinct column duplicating the derived key's raw source
-    "SELECT upper(lang) AS L, count(distinct lang) AS d FROM docs "
-    "GROUP BY upper(lang)",
+    # derived key output aliased to a raw source name would shadow the
+    # raw column for later-evaluated expressions
+    "SELECT upper(source) AS source, substring(source, 1, 2) AS x, "
+    "count(*) AS c FROM docs GROUP BY upper(source), substring(source, 1, 2)",
     # derived output named like a kernel partial column
     "SELECT upper(lang) AS cnt, count(*) AS c FROM docs "
     "GROUP BY upper(lang)",
+    # LIKE with a custom escape char inside a CASE key: the rebuild
+    # cannot carry the ESCAPE clause, so it must never route
+    "SELECT CASE WHEN source LIKE 'src1!%' ESCAPE '!' THEN 1 ELSE 0 END "
+    "AS b, count(*) AS c FROM docs GROUP BY "
+    "CASE WHEN source LIKE 'src1!%' ESCAPE '!' THEN 1 ELSE 0 END",
+    # value-aggregating the derived key's own raw source: the kernels
+    # reject a group dimension doubling as the agg column, and the route
+    # dry-run surfaces that refusal as a fallback (never a routed
+    # report over a fallback execution)
+    "SELECT CASE WHEN n_chars > 2500 THEN 'long' ELSE 'short' END AS b, "
+    "avg(n_chars) AS a FROM docs GROUP BY "
+    "CASE WHEN n_chars > 2500 THEN 'long' ELSE 'short' END",
 ]
 
 
@@ -1230,3 +1284,36 @@ def test_sqlexpr_single_exchange_on_derived_key(spark, store):
         assert len(hashex) == 1, (sql, plan)
         # keyed on the derived output, never the raw source column
         assert hashex[0] in ("L", "s4"), (sql, hashex)
+
+
+def test_noninjective_derived_key_count_distinct(spark, tmp_path_factory):
+    """REGRESSION: a derived group key that MERGES raw groups ('en' and
+    'En' both upper to 'EN') sharing a distinct-column value must count
+    that value once — the finishing must count distinct VALUES over the
+    combo rows, never the combo rows themselves (which over-count after
+    the derived re-group). The module store's langs are injective under
+    upper, so only this mixed-case store exercises the merge."""
+    rows = [(1, "en", "s1"), (2, "En", "s1"), (3, "en", "s2"),
+            (4, "de", "s1"), (5, "de", "s1"), (6, None, "s3"),
+            (7, "EN", "s1"), (8, "eN", "s4")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = str(tmp_path_factory.mktemp("mixedcase")) + "/store"
+    engine.run_encode(spark, df, out, buckets=2, salt_col="doc_id")
+    stores = {"docs": out}
+    df.createOrReplaceTempView("docs")
+    for sql in [
+        "SELECT upper(lang) AS L, count(distinct source) AS d, "
+        "count(*) AS c FROM docs GROUP BY upper(lang)",
+        "SELECT upper(lang) AS L, count(distinct left(source, 2)) AS d "
+        "FROM docs GROUP BY upper(lang)",
+        "SELECT count(distinct upper(lang)) AS d FROM docs",
+        "SELECT upper(lang) AS L, count(distinct source) AS d FROM docs "
+        "WHERE doc_id < 5 OR source = 's4' GROUP BY upper(lang)",
+    ]:
+        assert sqlagg.route_agg_sql(spark, sql, stores) is not None, sql
+        fast = sqlagg.store_agg_sql(spark, sql, stores)
+        slow = spark.sql(sql)
+        assert [f.dataType for f in fast.schema.fields] \
+            == [f.dataType for f in slow.schema.fields], sql
+        assert sorted(map(repr, map(tuple, fast.collect()))) \
+            == sorted(map(repr, map(tuple, slow.collect()))), sql
