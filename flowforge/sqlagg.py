@@ -1568,13 +1568,15 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # derived keys — an output named like one would collide
         raise _Unroutable("group output name collides with a kernel "
                           "partial column")
-    sqlexpr_out_names = {out for (_, tr), out in zip(parsed, g_names)
-                         if tr and tr[0] == "sqlexpr"}
-    if sqlexpr_out_names & sqlexpr_srcs:
-        # _apply_derived materializes keys with withColumn: an output
-        # aliased to a raw source name would SHADOW that column for any
-        # expression evaluated after it (GROUP BY upper(source) AS
-        # source, substring(source, ...) AS x reads the wrong values)
+    derived_outs = {out for (_, tr), out in zip(parsed, g_names) if tr}
+    if derived_outs & sqlexpr_srcs:
+        # the post-kernel frame must carry every sqlexpr raw source, but
+        # a DERIVED output of the same name shadows it: a sqlexpr key
+        # aliased to its own source (_apply_derived's withColumn
+        # overwrites the raw column for later-evaluated expressions) or
+        # a TIME key whose alias matches a stored column the kernel then
+        # never reads ('to_date(ts) AS day' beside 'upper(day)' would
+        # evaluate upper over the derived DATE, not the raw string)
         raise _Unroutable(
             "derived key output name shadows a raw source column")
     if not aggs and not group_cols:
@@ -1678,12 +1680,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if set(dsrcs) & sum_cols:
             # the kernel's agg column cannot double as a group dimension
             raise _Unroutable("count(distinct) column reused")
-        sqlexpr_outs = {out for (_, tr), out in zip(parsed, g_names)
-                        if tr and tr[0] == "sqlexpr"}
-        if dspec[0] == "cntde" and set(dsrcs) & sqlexpr_outs:
-            # _apply_derived overwrites a raw column whose name a derived
-            # key reuses; the distinct expression would then read the
-            # derived values instead of the raw ones
+        if set(dsrcs) & derived_outs:
+            # any derived (time or scalar) key whose ALIAS matches a
+            # distinct-source column shadows it in the combo frame: the
+            # kernel-dim dedup would skip the raw column and the distinct
+            # expression would read derived key values instead
             raise _Unroutable(
                 "count(distinct) source shadowed by a derived key name")
         if any(c.startswith("__") for c in group_cols + dsrcs):
@@ -2066,6 +2067,11 @@ def _regroup_derived(base: DataFrame, r: dict) -> DataFrame:
             fins.append(F.max(c).cast("long").alias(c))
         else:  # cnt / sum* / nn* — additive
             fins.append(F.sum(c).cast("long").alias(c))
+    if not fins:
+        # SELECT DISTINCT over derived keys composed under a cross-column
+        # OR: the orx frame carries no partial columns — deduping the
+        # derived values IS the re-group (an empty agg() would raise)
+        return base.select(*r["group_cols"]).distinct()
     return base.groupBy(*r["group_cols"]).agg(*fins)
 
 

@@ -305,6 +305,10 @@ ROUTABLE = [
     "FROM docs WHERE n_chars > 500 GROUP BY upper(lang)",
     "SELECT count(distinct upper(lang)) AS d FROM docs "
     "WHERE lang = 'en' OR n_chars > 4000",
+    # SELECT DISTINCT over a derived key under a cross-column OR: the
+    # composed orx frame has no partials — the re-group is a dedup
+    "SELECT DISTINCT upper(lang) AS L FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000",
 ]
 
 FALLBACK = [
@@ -1317,3 +1321,46 @@ def test_noninjective_derived_key_count_distinct(spark, tmp_path_factory):
             == [f.dataType for f in slow.schema.fields], sql
         assert sorted(map(repr, map(tuple, fast.collect()))) \
             == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+def test_time_key_alias_shadowing_raw_column(spark, tmp_path_factory):
+    """REGRESSION: a time-derived key ALIASED to the name of a stored
+    column ('to_date(ts) AS day' on a store that also has a raw 'day'
+    string column) must fall back whenever another derived key or a
+    COUNT(DISTINCT) expression reads that raw column — the kernel-dim
+    dedup would otherwise skip the raw column and evaluate the
+    expression over the derived DATE (silently wrong). Fallback parity
+    is asserted against Spark."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(hours=7 * i),
+             ["mon", "tue", "wed", "thu"][i % 4], i) for i in range(200)]
+    df = spark.createDataFrame(rows, "ts timestamp, day string, n long")
+    out = str(tmp_path_factory.mktemp("shadow")) + "/store"
+    engine.run_encode(spark, df, out, buckets=2, salt_col="day")
+    stores = {"ev2": out}
+    df.createOrReplaceTempView("ev2")
+    for sql in [
+        "SELECT to_date(ts) AS day, upper(day) AS U, count(*) AS c "
+        "FROM ev2 GROUP BY to_date(ts), upper(day)",
+        "SELECT upper(day) AS U, to_date(ts) AS day, count(*) AS c "
+        "FROM ev2 GROUP BY upper(day), to_date(ts)",
+        "SELECT to_date(ts) AS day, count(distinct upper(day)) AS d "
+        "FROM ev2 GROUP BY to_date(ts)",
+        "SELECT to_date(ts) AS day, count(distinct day) AS d "
+        "FROM ev2 GROUP BY to_date(ts)",
+    ]:
+        assert sqlagg.route_agg_sql(spark, sql, stores) is None, sql
+        fast = sqlagg.store_agg_sql(spark, sql, stores)
+        slow = spark.sql(sql)
+        assert sorted(map(repr, map(tuple, fast.collect()))) \
+            == sorted(map(repr, map(tuple, slow.collect()))), sql
+    # the same statements over NON-colliding aliases still route
+    ok = ("SELECT to_date(ts) AS d0, upper(day) AS U, count(*) AS c "
+          "FROM ev2 GROUP BY to_date(ts), upper(day)")
+    assert sqlagg.route_agg_sql(spark, ok, stores) is not None
+    fast = sqlagg.store_agg_sql(spark, ok, stores)
+    slow = spark.sql(ok)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
