@@ -336,7 +336,7 @@ _SQLEXPR_CMP = {"EqualTo": "=", "EqualNullSafe": "<=>",
 _SQLEXPR_CONN = {"And": "AND", "Or": "OR"}
 
 
-def _sqlexpr_build(e, srcs: list[str]) -> str:
+def _sqlexpr_build(e, srcs: list[str], resolve=None) -> str:
     """Whitelisted deterministic scalar expression -> SQL text over
     bare (backquoted) column names, collecting the stored columns it
     reads into ``srcs``. The rebuild preserves the ANALYZED tree —
@@ -344,8 +344,25 @@ def _sqlexpr_build(e, srcs: list[str]) -> str:
     raw-grouped partials re-analyzes to the identical expression Spark's
     fallback plan evaluates per row: same functions, same coercions,
     value- and type-identical output. Non-whitelisted nodes raise
-    _Unroutable (the statement falls back)."""
+    _Unroutable (the statement falls back).
+
+    ``resolve`` (optional) maps a subtree to a replacement SQL fragment
+    before any other rule — the SELECT-expression-over-group-keys path
+    passes a resolver that turns subtrees semantically equal to a
+    grouping expression into that group's output column, and makes bare
+    column references unroutable (a non-grouped column under an
+    Aggregate is not a valid scalar output anyway)."""
+    def rec(x):
+        return _sqlexpr_build(x, srcs, resolve)
+
     name = _cls(e)
+    if resolve is not None:
+        hit = resolve(e)
+        if hit is not None:
+            return hit
+        if name == "AttributeReference":
+            raise _Unroutable(
+                f"column {e.name()} is not a grouping expression")
     if name == "AttributeReference":
         col = str(e.name())
         if col not in srcs:
@@ -357,21 +374,21 @@ def _sqlexpr_build(e, srcs: list[str]) -> str:
             return f"CAST(NULL AS {e.dataType().sql()})"
         return str(e.sql())
     if name == "Cast":
-        return (f"CAST({_sqlexpr_build(e.child(), srcs)} "
+        return (f"CAST({rec(e.child())} "
                 f"AS {e.dataType().sql()})")
     fn = _SQLEXPR_FN1.get(name)
     if fn is not None:
         ch = e.children()
         if ch.size() != 1:
             raise _Unroutable(f"{name} with {ch.size()} args")
-        return f"{fn}({_sqlexpr_build(ch.apply(0), srcs)})"
+        return f"{fn}({rec(ch.apply(0))})"
     hit = _SQLEXPR_FNN.get(name)
     if hit is not None:
         fn, arity = hit
         ch = e.children()
         if ch.size() != arity:
             raise _Unroutable(f"{name} with {ch.size()} args")
-        args = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
+        args = ", ".join(rec(ch.apply(i))
                          for i in range(arity))
         return f"{fn}({args})"
     fn = _SQLEXPR_VAR.get(name)
@@ -379,7 +396,7 @@ def _sqlexpr_build(e, srcs: list[str]) -> str:
         ch = e.children()
         if ch.size() < 1:
             raise _Unroutable(f"empty {name}")
-        args = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
+        args = ", ".join(rec(ch.apply(i))
                          for i in range(ch.size()))
         return f"{fn}({args})"
     sym = _SQLEXPR_BIN.get(name) or _SQLEXPR_CMP.get(name) \
@@ -388,21 +405,21 @@ def _sqlexpr_build(e, srcs: list[str]) -> str:
         ch = e.children()
         if ch.size() != 2:
             raise _Unroutable(f"{name} with {ch.size()} args")
-        return (f"({_sqlexpr_build(ch.apply(0), srcs)} {sym} "
-                f"{_sqlexpr_build(ch.apply(1), srcs)})")
+        return (f"({rec(ch.apply(0))} {sym} "
+                f"{rec(ch.apply(1))})")
     if name == "Not":
-        return f"(NOT {_sqlexpr_build(e.child(), srcs)})"
+        return f"(NOT {rec(e.child())})"
     if name == "IsNull":
-        return f"({_sqlexpr_build(e.child(), srcs)} IS NULL)"
+        return f"({rec(e.child())} IS NULL)"
     if name == "IsNotNull":
-        return f"({_sqlexpr_build(e.child(), srcs)} IS NOT NULL)"
+        return f"({rec(e.child())} IS NOT NULL)"
     if name == "In":
         ch = e.children()
         if ch.size() < 2:
             raise _Unroutable("empty IN list")
-        items = ", ".join(_sqlexpr_build(ch.apply(i), srcs)
+        items = ", ".join(rec(ch.apply(i))
                           for i in range(1, ch.size()))
-        return f"({_sqlexpr_build(ch.apply(0), srcs)} IN ({items}))"
+        return f"({rec(ch.apply(0))} IN ({items}))"
     if name == "Like":
         # the escape char is a constructor param, not a child — a
         # rebuild without the ESCAPE clause would silently change
@@ -410,23 +427,23 @@ def _sqlexpr_build(e, srcs: list[str]) -> str:
         if str(e.escapeChar()) != "\\":
             raise _Unroutable("LIKE with a custom escape character")
         ch = e.children()
-        return (f"({_sqlexpr_build(ch.apply(0), srcs)} LIKE "
-                f"{_sqlexpr_build(ch.apply(1), srcs)})")
+        return (f"({rec(ch.apply(0))} LIKE "
+                f"{rec(ch.apply(1))})")
     if name == "If":
         ch = e.children()
-        return (f"if({_sqlexpr_build(ch.apply(0), srcs)}, "
-                f"{_sqlexpr_build(ch.apply(1), srcs)}, "
-                f"{_sqlexpr_build(ch.apply(2), srcs)})")
+        return (f"if({rec(ch.apply(0))}, "
+                f"{rec(ch.apply(1))}, "
+                f"{rec(ch.apply(2))})")
     if name == "CaseWhen":
         br = e.branches()
         parts = ["CASE"]
         for i in range(br.size()):
             t = br.apply(i)
-            parts.append(f"WHEN {_sqlexpr_build(t._1(), srcs)} "
-                         f"THEN {_sqlexpr_build(t._2(), srcs)}")
+            parts.append(f"WHEN {rec(t._1())} "
+                         f"THEN {rec(t._2())}")
         ev = e.elseValue()
         if ev.isDefined():
-            parts.append(f"ELSE {_sqlexpr_build(ev.get(), srcs)}")
+            parts.append(f"ELSE {rec(ev.get())}")
         parts.append("END")
         return " ".join(parts)
     raise _Unroutable(f"group expression {name}")
@@ -1092,16 +1109,22 @@ def _expr_refs(spec: list) -> set:
 def _augmented_out(r: dict) -> list:
     """out_cols with expression entries replaced by the hidden aggregate
     outputs they read — the entry list the finishing selects compute
-    BEFORE :func:`_expr_finish` rebuilds the expressions."""
-    return ([e for e in r["out_cols"] if e[1] != "expr"]
+    BEFORE :func:`_expr_finish` rebuilds the expressions. Group-key
+    expressions ("gexpr") are excluded too: the finishing selects append
+    them directly (they must evaluate while the group columns are still
+    in the frame)."""
+    return ([e for e in r["out_cols"] if e[1] not in ("expr", "gexpr")]
             + [(a, "agg", None) for a in (r.get("hidden") or [])])
 
 
 def _expr_finish(df: DataFrame, r: dict) -> DataFrame:
     """Evaluate expression outputs over the routed aggregates and select
-    the visible schema in its declared order (dropping hidden slots)."""
+    the visible schema in its declared order (dropping hidden slots).
+    Group-key expressions were already computed by the finishing select
+    (appended last) — the declared-order select here puts them back in
+    SELECT position."""
     exprs = [e for e in r["out_cols"] if e[1] == "expr"]
-    if not exprs:
+    if not exprs and not any(e[1] == "gexpr" for e in r["out_cols"]):
         return df
     for name, _, spec in exprs:
         df = df.withColumn(name, _expr_col(spec, df))
@@ -1205,6 +1228,16 @@ def _operand_spec(e, ids: dict[int, str]) -> list:
     if dt in ("timestamp", "timestamp_ntz", "date"):
         return ["tlit", dt, v]
     return ["lit", v]
+
+
+def _contains_agg(e) -> bool:
+    """True if any node in the expression tree is an AggregateExpression
+    — used to pick which _Unroutable to surface when a SELECT item fails
+    both the over-aggregates and the over-group-keys rebuilds."""
+    if _cls(e) == "AggregateExpression":
+        return True
+    ch = e.children()
+    return any(_contains_agg(ch.apply(i)) for i in range(ch.size()))
 
 
 def _contains_arith(e) -> bool:
@@ -1545,10 +1578,38 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             # hidden routed outputs; the expression rebuilds over them
             if _cls(e) != "Alias":
                 raise _Unroutable(f"unaliased select item {e.sql()}")
-            espec = _expr_spec(named, aggs, hidden)
+            try:
+                espec = _expr_spec(named, aggs, hidden)
+                kind = "expr"
+            except _Unroutable:
+                if _contains_agg(named):
+                    # the expression reads aggregates, so the group-key
+                    # rebuild below can never route it — surface the
+                    # over-aggregates error (e.g. a reserved-alias
+                    # collision), not a generic whitelist miss
+                    raise
+                # scalar expression over GROUP KEYS in the SELECT
+                # (`SELECT upper(lang), count(*) ... GROUP BY lang`):
+                # subtrees semantically equal to a grouping expression
+                # resolve to that group's output column and the
+                # whitelisted rebuild evaluates over the O(groups)
+                # finished rows — a derived key must itself be selected
+                # to carry a name, so only resolvable keys appear here
+                def _resolve(n):
+                    for gi, g in enumerate(gexprs):
+                        if n.semanticEquals(g):
+                            if g_names[gi] is None:
+                                raise _Unroutable(
+                                    "expression over a derived key "
+                                    "missing from the SELECT")
+                            return f"`{g_names[gi]}`"
+                    return None
+                gsrcs: list[str] = []
+                espec = _sqlexpr_build(named, gsrcs, resolve=_resolve)
+                kind = "gexpr"
             if out_name in aggs:
                 raise _Unroutable(f"duplicate output alias {out_name!r}")
-            out_cols.append((out_name, "expr", espec))
+            out_cols.append((out_name, kind, espec))
         if any(n == out_name for n, _, _ in out_cols[:-1]):
             raise _Unroutable(f"duplicate output name {out_name!r}")
         ids[out_id] = out_name
@@ -1628,6 +1689,14 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # a visible output (a group key could too) named like a hidden
         # expression slot would collide in the finishing frame
         raise _Unroutable("output name collides with a hidden slot")
+    out_names = [n for n, _, _ in out_cols]
+    if len({n.lower() for n in out_names}) != len(out_names):
+        # Spark resolves column names case-insensitively by default, so
+        # the finishing selects' name-based rebinds (expr/gexpr outputs,
+        # declared-order reselect) would hit AMBIGUOUS_REFERENCE on
+        # outputs differing only by case — fall back, Spark's positional
+        # plan handles them natively
+        raise _Unroutable("output names differ only by case")
     orx_cons = [c for c in constraints if c[0] == "orx"]
     plain_cons = [c for c in constraints if c[0] != "orx"]
     predicates = _constraints_to_predicates(plain_cons)
@@ -2179,6 +2248,8 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                 sel.append(fin[gcol].alias(name))
             else:
                 sel.append(fin[names[aggs[name][0]]].alias(name))
+        sel += [F.expr(spec).alias(name)
+                for name, kind, spec in r["out_cols"] if kind == "gexpr"]
         return _finish(_expr_finish(fin.select(*sel), r), r)
     if not group_cols:
         if r.get("orx"):
@@ -2253,6 +2324,10 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             sel.append(base[kname("nn", aggs[name][1])].alias(name))
         else:  # sum
             sel.append(base[kname("sum", aggs[name][1])].alias(name))
+    # group-key expressions evaluate HERE, while the group columns are
+    # still in the frame (one projection — no sequential shadowing)
+    sel += [F.expr(spec).alias(name)
+            for name, kind, spec in r["out_cols"] if kind == "gexpr"]
     return _finish(_expr_finish(base.select(*sel), r), r)
 
 

@@ -309,6 +309,25 @@ ROUTABLE = [
     # composed orx frame has no partials — the re-group is a dedup
     "SELECT DISTINCT upper(lang) AS L FROM docs "
     "WHERE lang = 'en' OR n_chars > 4000",
+    # scalar expressions over GROUP KEYS in the SELECT ("gexpr"): the
+    # key stays plain in the kernel, the expression evaluates over the
+    # O(groups) finished rows — key optionally co-selected, multi-key
+    # concat, beside aggregate arithmetic, over a derived key's subtree,
+    # with ORDER BY/LIMIT, and beside COUNT(DISTINCT)
+    "SELECT upper(lang) AS U, count(*) AS c FROM docs GROUP BY lang",
+    "SELECT lang, length(lang) AS n, count(*) AS c FROM docs "
+    "GROUP BY lang",
+    "SELECT concat(lang, '/', source) AS k, count(*) AS c FROM docs "
+    "GROUP BY lang, source",
+    "SELECT upper(lang) AS U, sum(n_chars)/count(*) AS r FROM docs "
+    "GROUP BY lang",
+    "SELECT substring(source, 1, 4) AS s4, "
+    "upper(substring(source, 1, 4)) AS su4, count(*) AS c FROM docs "
+    "GROUP BY substring(source, 1, 4)",
+    "SELECT upper(lang) AS U, count(*) AS c FROM docs GROUP BY lang "
+    "ORDER BY c DESC, U LIMIT 3",
+    "SELECT upper(lang) AS U, count(distinct source) AS d FROM docs "
+    "GROUP BY lang",
 ]
 
 FALLBACK = [
@@ -360,6 +379,15 @@ FALLBACK = [
     "SELECT CASE WHEN n_chars > 2500 THEN 'long' ELSE 'short' END AS b, "
     "avg(n_chars) AS a FROM docs GROUP BY "
     "CASE WHEN n_chars > 2500 THEN 'long' ELSE 'short' END",
+    # mixing aggregates and group keys in ONE output expression
+    "SELECT count(*) + length(lang) AS x FROM docs GROUP BY lang",
+    # non-whitelisted function over a group key in the SELECT
+    "SELECT soundex(lang) AS s, count(*) AS c FROM docs GROUP BY lang",
+    # outputs differing only by case: Spark's name resolution is
+    # case-insensitive, so the finishing rebinds would be ambiguous
+    "SELECT substring(source, 1, 4) AS s4, "
+    "upper(substring(source, 1, 4)) AS S4, count(*) AS c FROM docs "
+    "GROUP BY substring(source, 1, 4)",
 ]
 
 
