@@ -318,7 +318,10 @@ _SQLEXPR_FNN = {"Substring": ("substring", 3),
                 "SplitPart": ("split_part", 3),
                 "Round": ("round", 2),  # round(x) analyzes with scale 0
                 "Left": ("left", 2), "Right": ("right", 2),
-                "Pmod": ("pmod", 2)}
+                "Pmod": ("pmod", 2),
+                # grouping(col) analyzes to
+                # cast((shiftright(spark_grouping_id, k) & 1) as tinyint)
+                "ShiftRight": ("shiftright", 2)}
 #: variadic whitelisted functions
 _SQLEXPR_VAR = {"Concat": "concat", "Coalesce": "coalesce"}
 #: binary arithmetic (always parenthesized in the rebuild) — bucketing
@@ -327,7 +330,8 @@ _SQLEXPR_VAR = {"Concat": "concat", "Coalesce": "coalesce"}
 #: construction (decimal CheckOverflow wrappers are unknown classes and
 #: fall back)
 _SQLEXPR_BIN = {"Add": "+", "Subtract": "-", "Multiply": "*",
-                "Divide": "/", "Remainder": "%", "IntegralDivide": "DIV"}
+                "Divide": "/", "Remainder": "%", "IntegralDivide": "DIV",
+                "BitwiseAnd": "&"}
 #: comparisons / boolean connectives — legal anywhere in a derived key
 #: (CASE WHEN n > 2500 THEN 'long' ... END bucketing labels)
 _SQLEXPR_CMP = {"EqualTo": "=", "EqualNullSafe": "<=>",
@@ -1418,6 +1422,106 @@ def _resolve_order(order, ids: dict[int, str]) -> list | None:
     return keys
 
 
+def _parse_gsets(node):
+    """Aggregate(Expand(Project(src))) — the analyzed shape of GROUP BY
+    ROLLUP / CUBE / GROUPING SETS — parsed into the pieces the router
+    needs, or raise _Unroutable.
+
+    Spark lowers grouping sets by duplicating every grouping expression
+    in a Project (``lang#0 AS lang#7``), then an Expand that emits one
+    projection per grouping set — original columns passed through, each
+    key slot either the duplicate attribute or a null literal, plus a
+    literal ``spark_grouping_id`` whose bit k is 1 when key k is grouped
+    OUT — and a final Aggregate keyed on (keys..., grouping id). The
+    parse is strict: any slot that is not exactly that shape (or a
+    passthrough that is not the identity) falls back, so a future
+    analyzer change degrades to the row-identical fallback, never to a
+    wrong answer.
+
+    Returns ``(key_attrs, gid_attr, sets, key_srcs, source_chain)``:
+    the Aggregate-side key attributes (what SELECT items reference), the
+    grouping-id attribute, ``[(mask, gid), ...]`` per grouping set (mask
+    aligned with key order, True = key present), each key's SOURCE
+    expression (the Project alias child — a plain column or a derived
+    expression for ``ROLLUP(upper(lang))``), and the plan node under the
+    Project (where WHERE/relation resolution continues)."""
+    expand = node.child()
+    ges = node.groupingExpressions()
+    gexprs = [ges.apply(i) for i in range(ges.size())]
+    if any(_cls(g) != "AttributeReference" for g in gexprs):
+        raise _Unroutable("grouping-sets key beyond an attribute")
+    gids = [g for g in gexprs if str(g.name()) == "spark_grouping_id"]
+    if len(gids) != 1:
+        raise _Unroutable("grouping sets without a single grouping id")
+    gid_attr = gids[0]
+    keys = [g for g in gexprs if g is not gid_attr]
+    if not keys:
+        raise _Unroutable("grouping sets with no keys")
+    out = expand.output()
+    out_attrs = [out.apply(i) for i in range(out.size())]
+    pos = {int(a.exprId().id()): j for j, a in enumerate(out_attrs)}
+    try:
+        key_pos = [pos[int(k.exprId().id())] for k in keys]
+        gid_pos = pos[int(gid_attr.exprId().id())]
+    except KeyError:
+        raise _Unroutable("grouping key not in the expand output")
+    proj = expand.child()
+    if _cls(proj) != "Project":
+        raise _Unroutable("expand without a key projection")
+    pl = proj.projectList()
+    dup_src = {}
+    for i in range(pl.size()):
+        item = pl.apply(i)
+        if _cls(item) == "Alias":
+            dup_src[int(item.exprId().id())] = item.child()
+    projections = expand.projections()
+    special = set(key_pos) | {gid_pos}
+    sets: list[tuple[list[bool], int]] = []
+    key_srcs: list = [None] * len(keys)
+    for pi in range(projections.size()):
+        row = projections.apply(pi)
+        if row.size() != len(out_attrs):
+            raise _Unroutable("expand projection arity mismatch")
+        mask = []
+        for kj, p in enumerate(key_pos):
+            slot = row.apply(p)
+            scls = _cls(slot)
+            if scls == "Literal":
+                if slot.value() is not None:
+                    raise _Unroutable("non-null literal in an expand key")
+                mask.append(False)
+            elif scls == "AttributeReference":
+                src = dup_src.get(int(slot.exprId().id()))
+                if src is None:
+                    raise _Unroutable("expand key not from the projection")
+                if key_srcs[kj] is None:
+                    key_srcs[kj] = src
+                elif not key_srcs[kj].semanticEquals(src):
+                    raise _Unroutable("expand key source differs per set")
+                mask.append(True)
+            else:
+                raise _Unroutable(f"expand key slot {scls}")
+        g = row.apply(gid_pos)
+        if _cls(g) != "Literal" or g.value() is None:
+            raise _Unroutable("non-literal grouping id")
+        sets.append((mask, int(str(g.value()))))
+        for j, a in enumerate(out_attrs):
+            # aggregates read the passthrough columns — they must be the
+            # identity in EVERY projection, or subtotal rows would
+            # aggregate different values than the fallback
+            if j in special:
+                continue
+            slot = row.apply(j)
+            if _cls(slot) != "AttributeReference" \
+                    or int(slot.exprId().id()) != int(a.exprId().id()):
+                raise _Unroutable("expand passthrough is not the identity")
+    if any(s is None for s in key_srcs):
+        # a key grouped out in EVERY set has no source expression to
+        # name (its output is null everywhere) — marginal, fall back
+        raise _Unroutable("grouping key absent from every set")
+    return keys, gid_attr, sets, key_srcs, proj.child()
+
+
 def _route(analyzed, stores: dict[str, str]) -> dict:
     """Analyzed plan -> routing description, or raise _Unroutable.
 
@@ -1533,11 +1637,22 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         node = node.child()
     if _cls(node) != "Aggregate":
         raise _Unroutable(f"root {_cls(node)}")
-    constraints, view = _filter_and_relation(node.child(), stores)
-
-    ges = node.groupingExpressions()
-    gexprs = [ges.apply(i) for i in range(ges.size())]
-    parsed = [_parse_group_expr(g) for g in gexprs]
+    gsets = None
+    gid_attr = None
+    if _cls(node.child()) == "Expand":
+        # GROUP BY ROLLUP / CUBE / GROUPING SETS: ONE kernel pass at the
+        # union-of-keys grouping, then per-set re-aggregations of the
+        # O(groups) partials (cnt/sum/nn re-add, mn/mx re-min/max — the
+        # same combination multi-bucket finishing performs), unioned
+        # with a literal grouping id per set
+        gexprs, gid_attr, gsets, key_srcs, src_chain = _parse_gsets(node)
+        constraints, view = _filter_and_relation(src_chain, stores)
+        parsed = [_parse_group_expr(s) for s in key_srcs]
+    else:
+        constraints, view = _filter_and_relation(node.child(), stores)
+        ges = node.groupingExpressions()
+        gexprs = [ges.apply(i) for i in range(ges.size())]
+        parsed = [_parse_group_expr(g) for g in gexprs]
     # output names: a plain key keeps its column name; a derived key takes
     # the SELECT alias of the first item semantically equal to it (a
     # derived key that never appears in the SELECT has no name to carry
@@ -1562,7 +1677,12 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             named = e.child()
         matched = next((gi for gi, g in enumerate(gexprs)
                         if named.semanticEquals(g)), None)
-        if matched is not None:
+        if gid_attr is not None and named.semanticEquals(gid_attr):
+            # grouping_id() — or the bare spark_grouping_id attribute
+            # Catalyst appends as a hidden output under HAVING
+            # grouping(...) shapes — reads the per-set literal id column
+            out_cols.append((out_name, "gexpr", "`__gid`"))
+        elif matched is not None:
             if g_names[matched] is None:
                 g_names[matched] = out_name
             out_cols.append((out_name, "group", g_names[matched]))
@@ -1596,6 +1716,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 # finished rows — a derived key must itself be selected
                 # to carry a name, so only resolvable keys appear here
                 def _resolve(n):
+                    if gid_attr is not None \
+                            and n.semanticEquals(gid_attr):
+                        # grouping(col) = cast((shiftright(gid, k) & 1)
+                        # as tinyint) — rebuilds over the per-set id
+                        return "`__gid`"
                     for gi, g in enumerate(gexprs):
                         if n.semanticEquals(g):
                             if g_names[gi] is None:
@@ -1697,11 +1822,26 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # outputs differing only by case — fall back, Spark's positional
         # plan handles them natively
         raise _Unroutable("output names differ only by case")
+    if gsets is not None:
+        if any(n.lower() == "__gid" for n in out_names + group_cols):
+            # the per-set frames carry the grouping id in a __gid column
+            raise _Unroutable("output name collides with the grouping id "
+                              "column")
+        if any(_PARTIAL_COL_RE.match(g) for g in group_cols):
+            # the per-set re-aggregation frame holds the kernel partials
+            # beside the keys — a key named like one would be ambiguous
+            raise _Unroutable("group output name collides with a kernel "
+                              "partial column")
     orx_cons = [c for c in constraints if c[0] == "orx"]
     plain_cons = [c for c in constraints if c[0] != "orx"]
     predicates = _constraints_to_predicates(plain_cons)
     orx_preds = None
     if orx_cons:
+        if gsets is not None:
+            # the inclusion-exclusion composition joins per-group across
+            # passes — composing it per grouping SET too is untested
+            # surface for a marginal shape
+            raise _Unroutable("cross-column OR under grouping sets")
         # cross-column OR routes via inclusion-exclusion: |A or B| =
         # |A| + |B| - |A and B| holds row-wise (SQL WHERE is a row
         # filter; NULL conditions are non-matches on both sides), and
@@ -1731,6 +1871,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
     dspecs = {spec for spec in aggs.values()
               if spec[0] in ("cntd", "cntde")}
+    if dspecs and gsets is not None:
+        # combo-row partials re-aggregate per set only by re-counting
+        # distinct values — a different finishing shape, not wired
+        raise _Unroutable("count(distinct) under grouping sets")
     if dspecs:
         # COUNT(DISTINCT d) routes through the composite group kernel with
         # d (or, for a derived expression, its raw source columns) as
@@ -1792,12 +1936,15 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     return {
         "out_dir": stores[view],
         "group_col": (group_cols[0]
-                      if len(group_cols) == 1 and not derived else None),
+                      if len(group_cols) == 1 and not derived
+                      and gsets is None else None),
         "group_cols": group_cols,
         "group_specs": group_specs,
         "aggs": aggs,
         "predicates": predicates,
         "orx": orx_preds,
+        "gsets": ([[list(m), g] for m, g in gsets]
+                  if gsets is not None else None),
         "out_cols": out_cols,
         "hidden": hidden,
         "having": having,
@@ -2144,6 +2291,49 @@ def _regroup_derived(base: DataFrame, r: dict) -> DataFrame:
     return base.groupBy(*r["group_cols"]).agg(*fins)
 
 
+def _gsets_expand(base: DataFrame, r: dict) -> DataFrame:
+    """ROLLUP / CUBE / GROUPING SETS finishing: re-aggregate the fully
+    merged finest-grouping partial frame once per grouping set —
+    cnt/sum/nn re-add, mn/mx re-min/max, the exact combination the
+    kernels' own multi-bucket merging performs — with grouped-out keys
+    as typed nulls and the set's literal grouping id in ``__gid``, then
+    union the sets. Every re-aggregation runs over the O(groups) partial
+    rows, so a rollup over 10^12 source rows costs ONE kernel pass plus
+    per-set shuffles of tiny frames. A set keeping every key skips its
+    re-group (the frame is already merged at that grouping); duplicate
+    sets union duplicate rows, exactly as Spark's Expand emits them.
+    Empty input yields zero rows for every set — including the global
+    () set — matching Spark, where Expand emits nothing to group."""
+    parts = [c for c in base.columns if _PARTIAL_COL_RE.match(c)]
+    gcols = r["group_cols"]
+    by_dt = {g: base.schema[g].dataType for g in gcols}
+    frames = []
+    for mask, gid in r["gsets"]:
+        f = base.withColumn("__gid", F.lit(gid).cast("long"))
+        if all(mask):
+            frames.append(f.select("__gid", *gcols, *parts))
+            continue
+        present = [g for g, m in zip(gcols, mask) if m]
+        fins = []
+        for c in parts:
+            if c.startswith("mn"):
+                fins.append(F.min(c).cast("long").alias(c))
+            elif c.startswith("mx"):
+                fins.append(F.max(c).cast("long").alias(c))
+            else:  # cnt / sum* / nn* — additive (sums wrap mod 2^64
+                # identically whether merged once or twice)
+                fins.append(F.sum(c).cast("long").alias(c))
+        f = f.groupBy("__gid", *present).agg(*fins)
+        for g, m in zip(gcols, mask):
+            if not m:
+                f = f.withColumn(g, F.lit(None).cast(by_dt[g]))
+        frames.append(f.select("__gid", *gcols, *parts))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
     if r.get("kind") == "topk":
         return engine.topk_table(
@@ -2272,11 +2462,20 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         return _finish(_expr_finish(df.select(*sel), r), r)
     has_sqlexpr = any(tr and tr[0] == "sqlexpr"
                       for _, tr, _ in (gspecs or []))
-    if r.get("orx"):
+    if r.get("gsets"):
+        # grouping sets: one kernel pass at the finest (union-of-keys)
+        # grouping, merged per group (the sqlexpr re-group below when
+        # keys are derived), then per-set re-aggregation + union
+        base, jmap = _grouped_partials(spark, out_dir, aggs, gargs,
+                                       kcols, derived, preds,
+                                       merge=not has_sqlexpr)
+        base = _gsets_expand(_regroup_derived(base, r), r)
+    elif r.get("orx"):
         # the inclusion-exclusion composition joins per-group across
         # passes, so each pass merges on the raw kernel keys; the derived
         # re-group runs over the composed frame
         base, jmap = _orx_grouped(spark, r, gargs, kcols, derived)
+        base = _regroup_derived(base, r)
     else:
         # derived scalar keys skip the kernel-side raw-key merge: the
         # rebuilt expression is applied to the per-bucket partials and
@@ -2286,7 +2485,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         base, jmap = _grouped_partials(spark, out_dir, aggs, gargs,
                                        kcols, derived, preds,
                                        merge=not has_sqlexpr)
-    base = _regroup_derived(base, r)
+        base = _regroup_derived(base, r)
 
     def kname(kind: str, col: str) -> str:
         # partial-column name for (sum|nn|mn|mx, agg col): indexed when the

@@ -328,6 +328,33 @@ ROUTABLE = [
     "ORDER BY c DESC, U LIMIT 3",
     "SELECT upper(lang) AS U, count(distinct source) AS d FROM docs "
     "GROUP BY lang",
+    # grouping sets (ROLLUP / CUBE / GROUPING SETS): ONE kernel pass at
+    # the finest (union-of-keys) grouping, per-set re-aggregation +
+    # union with a literal grouping id; grouping()/grouping_id() read
+    # that id; the fixture's real NULL langs pin the subtotal-null vs
+    # data-null distinction (they differ only by grouping id)
+    "SELECT lang, count(*) AS c FROM docs GROUP BY ROLLUP(lang)",
+    "SELECT lang, source, count(*) AS c, sum(n_chars) AS s FROM docs "
+    "GROUP BY ROLLUP(lang, source)",
+    "SELECT lang, source, count(*) AS c FROM docs "
+    "GROUP BY CUBE(lang, source)",
+    "SELECT lang, source, count(*) AS c FROM docs "
+    "GROUP BY GROUPING SETS ((lang), (source), ())",
+    "SELECT lang, grouping(lang) AS gl, grouping_id() AS gid, "
+    "count(*) AS c FROM docs GROUP BY ROLLUP(lang)",
+    "SELECT lang, count(*) AS c FROM docs WHERE n_chars > 1000 "
+    "GROUP BY ROLLUP(lang)",
+    "SELECT lang, count(*) AS c, sum(n_chars) AS s, min(doc_id) AS mn, "
+    "avg(n_chars) AS a FROM docs GROUP BY ROLLUP(lang)",
+    "SELECT upper(lang) AS U, count(*) AS c FROM docs "
+    "GROUP BY ROLLUP(upper(lang))",
+    "SELECT lang, source, count(*) AS c FROM docs "
+    "GROUP BY ROLLUP(lang, source) HAVING count(*) > 20 "
+    "ORDER BY lang, source, c",
+    "SELECT lang, grouping_id() AS g, count(*) AS c FROM docs "
+    "GROUP BY ROLLUP(lang) HAVING grouping_id() = 0",
+    "SELECT lang, count(*) AS c FROM docs GROUP BY ROLLUP(lang) "
+    "ORDER BY grouping_id(), lang",
 ]
 
 FALLBACK = [
@@ -388,6 +415,15 @@ FALLBACK = [
     "SELECT substring(source, 1, 4) AS s4, "
     "upper(substring(source, 1, 4)) AS S4, count(*) AS c FROM docs "
     "GROUP BY substring(source, 1, 4)",
+    # grouping sets: HAVING grouping(col) rebuilds over a shiftright the
+    # HAVING operand builder does not carry; count(distinct) and
+    # cross-column OR under grouping sets are declared fallbacks
+    "SELECT lang, count(*) AS c FROM docs GROUP BY ROLLUP(lang) "
+    "HAVING grouping(lang) = 0",
+    "SELECT lang, count(DISTINCT source) AS d FROM docs "
+    "GROUP BY ROLLUP(lang)",
+    "SELECT lang, count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000 GROUP BY ROLLUP(lang)",
 ]
 
 
@@ -432,6 +468,32 @@ def test_route_description_shapes(spark, store):
         spark, "SELECT count(*) AS c FROM docs WHERE n_chars > 10 "
                "AND n_chars < 99", {"docs": store})
     assert r["predicates"] == {"n_chars": (11, 98)}
+
+
+def test_gsets_route_shape(spark, store):
+    # ROLLUP(lang, source): three grouping sets with rollup-ordered
+    # masks and Spark's own grouping-id bit values (bit k set = key k
+    # grouped OUT); the kernel pass groups at the finest (both keys)
+    r = sqlagg.route_agg_sql(
+        spark,
+        "SELECT lang, source, count(*) AS c FROM docs "
+        "GROUP BY ROLLUP(lang, source)", {"docs": store})
+    assert r["gsets"] == [[[True, True], 0], [[True, False], 1],
+                          [[False, False], 3]]
+    assert r["group_cols"] == ["lang", "source"]
+    assert r["group_col"] is None
+    # GROUPING SETS with no finest set still runs ONE union-of-keys pass
+    r = sqlagg.route_agg_sql(
+        spark,
+        "SELECT lang, source, count(*) AS c FROM docs "
+        "GROUP BY GROUPING SETS ((lang), (source))", {"docs": store})
+    assert r["gsets"] == [[[True, False], 1], [[False, True], 2]]
+    # grouping_id() in the SELECT reads the per-set literal id column
+    r = sqlagg.route_agg_sql(
+        spark,
+        "SELECT lang, grouping_id() AS g, count(*) AS c FROM docs "
+        "GROUP BY ROLLUP(lang)", {"docs": store})
+    assert ("g", "gexpr", "`__gid`") in r["out_cols"]
 
 
 def test_routed_count_reads_no_chunk_bytes(spark, store):
