@@ -214,14 +214,18 @@ def oracle_sql() -> dict[str, str]:
         # composite GROUP BY + HAVING (round 5): routed to the
         # combined-code-stream kernel; HAVING post-filters routed partials
         "store_sqlagg_grouped2": (
-            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
+            # DuckDB spells Spark's no-arg grouping_id() as
+            # GROUPING_ID(keys...) — same leftmost-key-is-MSB bit layout
+            "SELECT lang, source, "
+            "CAST(GROUPING_ID(lang, source) AS BIGINT) AS gid, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
             "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars, "
             "min(doc_id) AS min_id "
             "FROM documents WHERE n_chars BETWEEN 50 AND 5000 "
-            "GROUP BY lang, source HAVING count(*) >= 2 "
-            "ORDER BY cnt DESC, lang NULLS FIRST, source NULLS FIRST "
+            "GROUP BY ROLLUP(lang, source) HAVING count(*) >= 2 "
+            "ORDER BY cnt DESC, gid, lang NULLS FIRST, source NULLS FIRST "
             "LIMIT 40"
         ),
         # filtered top-k (round 5): WHERE reaches the topk kernel masks;

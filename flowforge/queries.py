@@ -428,24 +428,33 @@ def q_store_sqlagg_grouped2(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams combine into one int64 key — chunk.chunk_group_multi; group
     values materialize once per observed group, never per row); HAVING
     re-applies over the O(groups)-row routed result, exactly Spark's own
-    evaluation order. Route is asserted."""
+    evaluation order. Late round 5: the GROUP BY is a ROLLUP — ONE
+    kernel pass at the (lang, source) grouping, per-set re-aggregation
+    of the O(groups) partials + union with the literal grouping id
+    (sqlagg._gsets_expand), grouping_id() in the SELECT reading that id
+    — so subtotals and the grand total over 10^12 rows cost one
+    metadata pass. Route is asserted, including the gsets shape."""
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
     # round 5 widened: the FULL grouped family (count/sum/min/max/avg of
     # one column) + ORDER BY/LIMIT above the aggregate all route; the
-    # (cnt DESC, lang, source) keys are tie-free per group so the 40-row
-    # set is deterministic (NULLS FIRST spelled out for oracle parity)
-    # min(doc_id) adds a SECOND agg source column: the multi-agg kernel
-    # (one pass, per-column partials — round 5) is on the oracle path
-    sql = ("SELECT lang, source, count(*) AS cnt, sum(n_chars) AS sum_chars, "
+    # (cnt DESC, gid, lang, source) keys are tie-free per rollup row
+    # ((lang, source, gid) is unique) so the 40-row set is deterministic
+    # (NULLS FIRST spelled out for oracle parity). min(doc_id) adds a
+    # SECOND agg source column: the multi-agg kernel (one pass,
+    # per-column partials — round 5) is on the oracle path. grouping_id()
+    # distinguishes subtotal NULLs from the corpus's real NULL langs.
+    sql = ("SELECT lang, source, grouping_id() AS gid, count(*) AS cnt, "
+           "sum(n_chars) AS sum_chars, "
            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
            "avg(n_chars) AS avg_chars, min(doc_id) AS min_id "
            "FROM docs WHERE n_chars BETWEEN 50 AND 5000 "
-           "GROUP BY lang, source HAVING count(*) >= 2 "
-           "ORDER BY cnt DESC, lang NULLS FIRST, source NULLS FIRST "
+           "GROUP BY ROLLUP(lang, source) HAVING count(*) >= 2 "
+           "ORDER BY cnt DESC, gid, lang NULLS FIRST, source NULLS FIRST "
            "LIMIT 40")
-    if sqlagg.route_agg_sql(spark, sql, {"docs": out}) is None:
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
+    if r is None or not r.get("gsets"):
         raise RuntimeError("store_sqlagg_grouped2: statement failed to route")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
