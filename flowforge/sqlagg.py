@@ -1563,24 +1563,53 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             analyzed = inner
     node, order = _peel_order(analyzed)
     if _cls(node) == "Distinct":
-        # SELECT DISTINCT col analyzes as Distinct(Project([col])) — same
-        # engine answer as GROUP BY col with the counts dropped. A derived
-        # time key ("SELECT DISTINCT to_date(ts)": which days have data)
-        # routes the same way through the transform-capable kernel.
+        # SELECT DISTINCT cols analyzes as Distinct(Project([cols])) —
+        # same engine answer as GROUP BY those cols with the counts
+        # dropped. Derived time keys ("SELECT DISTINCT to_date(ts)":
+        # which days have data) and scalar keys route the same way
+        # through the transform-capable kernels; multiple columns ride
+        # the composite kernel (late round 5 — "which (lang, source)
+        # combinations exist" is a one-pass metadata answer).
         proj = node.child()
-        if _cls(proj) != "Project" or proj.projectList().size() != 1:
-            raise _Unroutable("DISTINCT beyond one plain column")
-        item = proj.projectList().apply(0)
-        out_id = int(item.exprId().id())
-        if _cls(item) == "Alias":
-            out_name, item = str(item.name()), item.child()
-        else:
-            out_name = str(item.name())
-        src, transform = _parse_group_expr(item)
-        gname = src if transform is None else out_name
-        if transform and transform[0] == "sqlexpr" \
-                and _PARTIAL_COL_RE.match(gname):
-            # the regroup frame holds the cnt partial beside the derived key
+        if _cls(proj) != "Project" or proj.projectList().size() < 1:
+            raise _Unroutable("DISTINCT over a non-projection")
+        out_names, gnames, gspecs_l, ids = [], [], [], {}
+        for i in range(proj.projectList().size()):
+            item = proj.projectList().apply(i)
+            out_id = int(item.exprId().id())
+            if _cls(item) == "Alias":
+                out_name, item = str(item.name()), item.child()
+            else:
+                out_name = str(item.name())
+            src, transform = _parse_group_expr(item)
+            gname = src if transform is None else out_name
+            if transform and transform[0] == "sqlexpr" \
+                    and _PARTIAL_COL_RE.match(gname):
+                # the regroup frame holds the cnt partial beside the
+                # derived key
+                raise _Unroutable("group output name collides with a "
+                                  "kernel partial column")
+            if out_name.startswith("__") or gname.startswith("__"):
+                raise _Unroutable("alias with reserved '__' prefix")
+            out_names.append(out_name)
+            gnames.append(gname)
+            gspecs_l.append([src, list(transform) if transform else None,
+                             gname])
+            ids[out_id] = out_name
+        if len(set(gnames)) != len(gnames) \
+                or len(set(out_names)) != len(out_names):
+            raise _Unroutable("duplicate DISTINCT columns")
+        if len({n.lower() for n in out_names}) != len(out_names):
+            raise _Unroutable("output names differ only by case")
+        sqlexpr_srcs = {s for _, tr, _ in gspecs_l
+                        if tr and tr[0] == "sqlexpr" for s in tr[2]}
+        derived_outs = {out for _, tr, out in gspecs_l if tr}
+        if derived_outs & sqlexpr_srcs:
+            # a derived key named like another key's raw source shadows
+            # it in the post-kernel frame (same guard as the Aggregate
+            # path)
+            raise _Unroutable("derived key shadows a raw source column")
+        if sqlexpr_srcs and any(_PARTIAL_COL_RE.match(n) for n in gnames):
             raise _Unroutable("group output name collides with a kernel "
                               "partial column")
         constraints, view = _filter_and_relation(proj.child(), stores)
@@ -1596,16 +1625,18 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             orx_preds = [_constraints_to_predicates(plain_cons + br_a),
                          _constraints_to_predicates(plain_cons + br_b)]
         return {"out_dir": stores[view],
-                "group_col": src if transform is None else None,
-                "group_cols": [gname],
-                "group_specs": [[src, list(transform) if transform else None,
-                                 gname]],
+                "group_col": (gspecs_l[0][0]
+                              if len(gspecs_l) == 1 and not gspecs_l[0][1]
+                              else None),
+                "group_cols": gnames,
+                "group_specs": gspecs_l,
                 "aggs": {},
                 "predicates": _constraints_to_predicates(plain_cons),
                 "orx": orx_preds,
-                "out_cols": [(out_name, "group", gname)],
+                "out_cols": [(n, "group", g)
+                             for n, g in zip(out_names, gnames)],
                 "having": None, "final": None,
-                "order": _resolve_order(order, {out_id: out_name}),
+                "order": _resolve_order(order, ids),
                 "limit": limit_k}
     # peel SELECT-projection and HAVING-filter above the Aggregate
     project = None
@@ -1868,29 +1899,51 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                for spec in aggs.values()):
             orx_preds.append(
                 _constraints_to_predicates(plain_cons + br_a + br_b))
-    sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
     dspecs = {spec for spec in aggs.values()
               if spec[0] in ("cntd", "cntde")}
-    if dspecs and gsets is not None:
-        # combo-row partials re-aggregate per set only by re-counting
-        # distinct values — a different finishing shape, not wired
-        raise _Unroutable("count(distinct) under grouping sets")
+    if len(dspecs) > 1 and gsets is not None:
+        # the extra distinct passes would need per-set joins on the
+        # (gid, keys) pairs — not wired; one distinct column composes
+        # (the combo rows re-aggregate per set by re-counting distinct
+        # values at that set's grouping)
+        raise _Unroutable(
+            "multiple count(distinct) under grouping sets")
     if dspecs:
         # COUNT(DISTINCT d) routes through the composite group kernel with
         # d (or, for a derived expression, its raw source columns) as
-        # extra GROUP BY dimensions; alongside it only count(*) and
-        # sum(one col) compose (min/max/avg over the combo partials don't)
-        if len(dspecs) > 1:
-            raise _Unroutable("multiple count(distinct) columns")
-        dspec = next(iter(dspecs))
-        dsrcs = [dspec[1]] if dspec[0] == "cntd" else list(dspec[2])
-        if any(spec[0] not in ("count", "sum", "cntd", "cntde")
-               for spec in aggs.values()) or len(sum_cols) > 1:
+        # extra GROUP BY dimensions; alongside it the FULL multi-column
+        # family composes (late round 5): the combo rows carry the
+        # kernel's per-agg-column cnt/sum/nn/mn/mx partial quads, and
+        # sum/nn re-add while mn/mx re-min/max across a group's combo
+        # rows (they partition the group), so count(*)/count(col)/sum/
+        # avg/min/max over any mix of columns finish beside the distinct
+        # count in the one kernel pass. Under a cross-column OR the combo
+        # rows union across the inclusion-exclusion passes with a sign
+        # column: cnt/sum/nn compose sign-weighted, mn/mx read the
+        # branch (sign-positive) passes only — extremes over A OR B need
+        # no overlap correction because AB-pass rows are A-rows too
+        if len(dspecs) > 1 and orx_preds is not None:
+            # the sign-weighted union composition carries ONE distinct
+            # value dimension; a second would multiply combo rows
             raise _Unroutable(
-                "count(distinct) beyond count(*) + sum(one col)")
-        if dspec[0] == "cntd" and dspec[1] in group_cols:
+                "multiple count(distinct) under cross-column OR")
+        dsrcs = []
+        for dspec in dspecs:
+            for s in ([dspec[1]] if dspec[0] == "cntd"
+                      else list(dspec[2])):
+                if s not in dsrcs:
+                    dsrcs.append(s)
+        vcols = {spec[1] for spec in aggs.values()
+                 if spec[0] in ("sum", "avg", "min", "max", "nncount")}
+        if any(spec[0] not in ("count", "sum", "avg", "min", "max",
+                               "nncount", "cntd", "cntde")
+               for spec in aggs.values()):
+            raise _Unroutable(
+                "count(distinct) beside a non-routable aggregate")
+        if any(dspec[0] == "cntd" and dspec[1] in group_cols
+               for dspec in dspecs):
             raise _Unroutable("count(distinct) column reused")
-        if set(dsrcs) & sum_cols:
+        if set(dsrcs) & vcols:
             # the kernel's agg column cannot double as a group dimension
             raise _Unroutable("count(distinct) column reused")
         if set(dsrcs) & derived_outs:
@@ -2375,69 +2428,186 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         # distinct VALUES of the (possibly derived) expression — never
         # combo rows, which over-count when a derived group key merges
         # raw groups sharing a value (upper('en')=upper('En') with the
-        # same source must count that source once)
-        dspec = next(iter(dspecs))
-        if dspec[0] == "cntd":
-            ddims = [dspec[1]] if dspec[1] not in kcols else []
-            dval = F.col(dspec[1])
-        else:
-            ddims = [s for s in dspec[2] if s not in kcols]
-            dval = F.expr(dspec[1])
-        sum_cols = {spec[1] for spec in aggs.values() if spec[0] == "sum"}
-        agg_col = next(iter(sum_cols)) if sum_cols else None
+        # same source must count that source once). SEVERAL distinct
+        # columns (late round 5) run one kernel pass each — the FIRST
+        # carries the non-distinct agg partials — and the per-pass
+        # O(groups) results join null-safely on the group keys (every
+        # pass scans the same predicate-matching rows, so the observed
+        # group sets are identical)
+        dlist: list[tuple] = []
+        for spec in aggs.values():
+            if spec[0] in ("cntd", "cntde") and spec not in dlist:
+                dlist.append(spec)
+
+        def ddims_dval(dspec):
+            if dspec[0] == "cntd":
+                return ([dspec[1]] if dspec[1] not in kcols else [],
+                        F.col(dspec[1]))
+            return ([s for s in dspec[2] if s not in kcols],
+                    F.expr(dspec[1]))
+
+        dmap = {dspec: f"__cntd{i}" for i, dspec in enumerate(dlist)}
+        dspec = dlist[0]
+        ddims, dval = ddims_dval(dspec)
+        # the non-distinct aggregates ride the SAME kernel pass(es): the
+        # combo rows PARTITION each group's rows, so the per-agg-column
+        # partial quads re-aggregate exactly as multi-bucket merging does
+        # (cnt/sum/nn re-add, mn/mx re-min/max) — count(*)/count(col)/
+        # sum/avg/min/max over any mix of columns beside the distinct
+        # count (late round 5, multi-column since the agg_specs kernel)
+        src_list, value_cols = _agg_src_list(aggs)
+        jmap = ({c: j for j, c in enumerate(src_list)}
+                if len(src_list) > 1 else None)
+
+        def kn(kind: str, col: str) -> str:
+            return f"{kind}{jmap[col]}" if jmap is not None else kind
+
         if r.get("orx"):
             # cross-column OR: one composite-kernel pass per inclusion-
             # exclusion predicate set, unioned with a sign column (+1 for
-            # the branch passes, -1 for A AND B). count(*)/sum compose as
-            # sign-weighted sums per group; count(distinct) reads the
-            # BRANCH passes' combo rows only (sign > 0) — their (group,
-            # value) sets union to exactly the values seen under A OR B,
-            # and the overlap pass must not cancel them (a value in both
-            # branches is still one value).
+            # the branch passes, -1 for A AND B). cnt/sum/nn compose as
+            # sign-weighted sums per group; count(distinct) and min/max
+            # read the BRANCH passes' combo rows only (sign > 0) — the
+            # branch (group, value) sets union to exactly the values seen
+            # under A OR B and AB-pass rows are A-rows too, so the
+            # overlap pass must not cancel values (a value in both
+            # branches is still one value) and extremes need no
+            # correction. The AB pass demotes min/max to count-only on
+            # the same column (keeps src_list order, reads validity only)
+            ab_aggs = {alias: (("nncount", spec[1])
+                               if spec[0] in ("min", "max") else spec)
+                       for alias, spec in aggs.items()}
             passes = []
-            for sgn, p in zip((1, 1, -1), r["orx"]):
-                b = engine.group_multi_table(
-                    spark, out_dir, gargs + ddims, agg_col=agg_col,
-                    predicates=p or None)
+            for sgn, tag, p in zip((1, 1, -1), ("a", "b", "ab"), r["orx"]):
+                b, jmap = _grouped_partials(
+                    spark, out_dir, ab_aggs if tag == "ab" else aggs,
+                    gargs + ddims, kcols + ddims, derived, p)
                 passes.append(b.withColumn("__sign", F.lit(sgn)))
             base = passes[0]
             for b in passes[1:]:
                 base = base.unionByName(b)
+            sgn = F.col("__sign")
             fin_aggs = [
-                F.coalesce(F.sum(F.col("cnt") * F.col("__sign")), F.lit(0))
-                .cast("long").alias("__cnt"),
-                F.count_distinct(F.when(F.col("__sign") > 0, dval))
-                .cast("long").alias("__cntd"),
+                F.coalesce(F.sum(F.col("cnt") * sgn), F.lit(0))
+                .cast("long").alias("cnt"),
+                F.count_distinct(F.when(sgn > 0, dval))
+                .cast("long").alias(dmap[dspec]),
             ]
-            if sum_cols:
-                fin_aggs.append(
-                    F.sum(F.col("sum") * F.col("__sign"))
-                    .cast("long").alias("__sum"))
+            for col in src_list:
+                fin_aggs.append(F.sum(F.col(kn("nn", col)) * sgn)
+                                .cast("long").alias(kn("nn", col)))
+                if col in value_cols:
+                    fin_aggs.append(F.sum(F.col(kn("sum", col)) * sgn)
+                                    .cast("long").alias(kn("sum", col)))
+                    fin_aggs.append(
+                        F.min(F.when(sgn > 0, F.col(kn("mn", col))))
+                        .cast("long").alias(kn("mn", col)))
+                    fin_aggs.append(
+                        F.max(F.when(sgn > 0, F.col(kn("mx", col))))
+                        .cast("long").alias(kn("mx", col)))
         else:
-            base = engine.group_multi_table(
-                spark, out_dir, gargs + ddims, agg_col=agg_col,
-                predicates=preds or None)
+            base, jmap = _grouped_partials(
+                spark, out_dir, aggs, gargs + ddims, kcols + ddims,
+                derived, preds)
             fin_aggs = [
                 # count(*) over empty matches Spark's 0 (not null)
                 F.coalesce(F.sum("cnt"), F.lit(0))
-                .cast("long").alias("__cnt"),
+                .cast("long").alias("cnt"),
                 # SQL count(distinct) excludes NULL: count_distinct skips
                 # the null group; distinct VALUES, never combo rows
-                F.count_distinct(dval).cast("long").alias("__cntd"),
+                F.count_distinct(dval).cast("long").alias(dmap[dspec]),
             ]
-            if sum_cols:
-                fin_aggs.append(F.sum("sum").cast("long").alias("__sum"))
+            for col in src_list:
+                fin_aggs.append(F.sum(kn("nn", col))
+                                .cast("long").alias(kn("nn", col)))
+                if col in value_cols:
+                    fin_aggs.append(F.sum(kn("sum", col))
+                                    .cast("long").alias(kn("sum", col)))
+                    fin_aggs.append(F.min(kn("mn", col))
+                                    .cast("long").alias(kn("mn", col)))
+                    fin_aggs.append(F.max(kn("mx", col))
+                                    .cast("long").alias(kn("mx", col)))
         base = _apply_derived(base, r)  # derived keys over combo rows
-        fin = (base.groupBy(*group_cols).agg(*fin_aggs) if group_cols
-               else base.agg(*fin_aggs))
-        names = {"count": "__cnt", "cntd": "__cntd", "cntde": "__cntd",
-                 "sum": "__sum"}
+        if r.get("gsets"):
+            # ROLLUP / CUBE / GROUPING SETS over a distinct count: the
+            # finest-grouping combo rows re-aggregate once per set —
+            # count_distinct re-COUNTS at that set's grouping (a combo
+            # row's value set unions exactly), additive/extreme partials
+            # merge as everywhere else — with typed-null absent keys and
+            # the set's grouping id, unioned (the dspecs analog of
+            # _gsets_expand; every re-aggregation is O(combo rows))
+            by_dt = {g: base.schema[g].dataType for g in group_cols}
+            frames = []
+            for mask, gid in r["gsets"]:
+                present = [g for g, m in zip(group_cols, mask) if m]
+                f = base.withColumn("__gid", F.lit(int(gid)).cast("long"))
+                f = f.groupBy("__gid", *present).agg(*fin_aggs)
+                for g, m in zip(group_cols, mask):
+                    if not m:
+                        f = f.withColumn(g, F.lit(None).cast(by_dt[g]))
+                out_aggs = [c for c in f.columns
+                            if c != "__gid" and c not in group_cols]
+                frames.append(f.select("__gid", *group_cols, *out_aggs))
+            fin = frames[0]
+            for f in frames[1:]:
+                fin = fin.unionByName(f)
+        else:
+            fin = (base.groupBy(*group_cols).agg(*fin_aggs) if group_cols
+                   else base.agg(*fin_aggs))
+        for extra in dlist[1:]:
+            # one more composite pass per additional distinct column; the
+            # per-group distinct counts join back null-safely (NULL is a
+            # real SQL group) — both sides are O(groups) rows
+            eddims, edval = ddims_dval(extra)
+            eb, _ = _grouped_partials(spark, out_dir, {},
+                                      gargs + eddims, kcols + eddims,
+                                      derived, preds)
+            eagg = F.count_distinct(edval).cast("long").alias(dmap[extra])
+            if not group_cols:
+                fin = fin.crossJoin(eb.agg(eagg))
+                continue
+            eb = _apply_derived(eb, r)
+            efin = eb.groupBy(*group_cols).agg(eagg)
+            efin = efin.select(
+                *[efin[g].alias(f"{g}__r") for g in group_cols],
+                efin[dmap[extra]])
+            cond = None
+            for g in group_cols:
+                c = fin[g].eqNullSafe(efin[f"{g}__r"])
+                cond = c if cond is None else (cond & c)
+            fin = fin.join(efin, cond, "inner").drop(
+                *[f"{g}__r" for g in group_cols])
+        by_field = None
+        if any(spec[0] in ("min", "max") for spec in aggs.values()):
+            from pyspark.sql import types as T
+            meta = datasource._read_meta(out_dir)
+            by_field = {f.name: f.dataType for f in
+                        T.StructType.fromJson(meta["spark_schema"]).fields}
         sel = []
         for name, src, gcol in _augmented_out(r):
             if src == "group":
                 sel.append(fin[gcol].alias(name))
-            else:
-                sel.append(fin[names[aggs[name][0]]].alias(name))
+                continue
+            fn = aggs[name][0]
+            if fn == "count":
+                sel.append(fin["cnt"].alias(name))
+            elif fn in ("cntd", "cntde"):
+                sel.append(fin[dmap[aggs[name]]].alias(name))
+            elif fn == "avg":
+                # Spark avg(long) = wrap-sum / non-null count in one
+                # double division — both operands are those exact values
+                col = aggs[name][1]
+                sel.append((fin[kn("sum", col)]
+                            / fin[kn("nn", col)]).alias(name))
+            elif fn in ("min", "max"):
+                col = aggs[name][1]
+                sel.append(_minmax_back(
+                    kn("mn" if fn == "min" else "mx", col),
+                    by_field[col]).alias(name))
+            elif fn == "nncount":
+                sel.append(fin[kn("nn", aggs[name][1])].alias(name))
+            else:  # sum
+                sel.append(fin[kn("sum", aggs[name][1])].alias(name))
         sel += [F.expr(spec).alias(name)
                 for name, kind, spec in r["out_cols"] if kind == "gexpr"]
         return _finish(_expr_finish(fin.select(*sel), r), r)

@@ -355,12 +355,74 @@ ROUTABLE = [
     "GROUP BY ROLLUP(lang) HAVING grouping_id() = 0",
     "SELECT lang, count(*) AS c FROM docs GROUP BY ROLLUP(lang) "
     "ORDER BY grouping_id(), lang",
+    # COUNT(DISTINCT) beside the FULL multi-column family (late round
+    # 5): the combo rows carry the kernel's per-agg-column quad partials
+    # and they re-aggregate across a group's combo rows (nn re-adds,
+    # mn/mx re-min/max), so avg/min/max/count(col)/sum over any mix of
+    # columns finish beside the distinct count — one kernel pass
+    "SELECT lang, count(DISTINCT source) AS d, avg(n_chars) AS a "
+    "FROM docs GROUP BY lang",
+    "SELECT lang, count(DISTINCT source) AS d, min(n_chars) AS mn, "
+    "max(n_chars) AS mx FROM docs GROUP BY lang",
+    "SELECT count(DISTINCT lang) AS d, avg(n_chars) AS a FROM docs",
+    "SELECT lang, count(DISTINCT source) AS d, count(n_chars) AS cn "
+    "FROM docs GROUP BY lang",
+    "SELECT lang, count(DISTINCT source) AS d, sum(n_chars) AS s, "
+    "avg(n_chars) AS a, min(n_chars) AS mn FROM docs GROUP BY lang",
+    "SELECT lang, count(DISTINCT source) AS d, count(*) AS c FROM docs "
+    "WHERE n_chars > 1000 GROUP BY lang HAVING avg(n_chars) > 2000 "
+    "ORDER BY lang",
+    "SELECT upper(lang) AS U, count(DISTINCT source) AS d, "
+    "max(n_chars) AS mx FROM docs GROUP BY upper(lang)",
+    "SELECT count(DISTINCT lang) AS d, min(n_chars) AS m FROM docs",
+    # ... and over MULTIPLE agg source columns (the agg_specs kernel)
+    "SELECT lang, count(DISTINCT source) AS d, sum(n_chars) AS s, "
+    "min(doc_id) AS m FROM docs GROUP BY lang",
+    "SELECT lang, count(DISTINCT source) AS d, avg(n_chars) AS a, "
+    "max(doc_id) AS mx, count(score) AS cn, count(*) AS c "
+    "FROM docs GROUP BY lang ORDER BY lang",
+    # ... and under a cross-column OR: cnt/sum/nn sign-compose across
+    # the inclusion-exclusion passes, min/max and the distinct count
+    # read the branch (sign-positive) passes only
+    "SELECT count(DISTINCT source) AS d, avg(n_chars) AS a FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000",
+    "SELECT lang, count(DISTINCT source) AS d, min(n_chars) AS mn, "
+    "count(score) AS cn FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000 GROUP BY lang",
+    "SELECT lang, count(DISTINCT source) AS d, max(doc_id) AS mx "
+    "FROM docs WHERE lang = 'de' OR lang = 'fr' GROUP BY lang",
+    # MULTIPLE count(distinct) columns: one composite-kernel pass each
+    # (the first carries the non-distinct partials), per-group results
+    # joined null-safely on the group keys
+    "SELECT count(DISTINCT lang) AS a, count(DISTINCT source) AS b "
+    "FROM docs",
+    "SELECT lang, count(DISTINCT source) AS a, "
+    "count(DISTINCT n_chars) AS b, count(*) AS c FROM docs "
+    "GROUP BY lang",
+    "SELECT lang, count(DISTINCT source) AS a, "
+    "count(DISTINCT doc_id) AS b, avg(n_chars) AS av FROM docs "
+    "WHERE n_chars > 500 GROUP BY lang ORDER BY lang",
+    "SELECT upper(lang) AS U, count(DISTINCT source) AS a, "
+    "count(DISTINCT n_chars) AS b FROM docs GROUP BY upper(lang)",
+    # count(distinct) under grouping sets: the finest-grouping combo
+    # rows re-count distinct values at each set's grouping
+    "SELECT lang, count(DISTINCT source) AS d FROM docs "
+    "GROUP BY ROLLUP(lang)",
+    "SELECT lang, source, count(DISTINCT doc_id) AS d, count(*) AS c "
+    "FROM docs GROUP BY ROLLUP(lang, source) "
+    "ORDER BY lang, source, d",
+    "SELECT lang, grouping_id() AS g, count(DISTINCT source) AS d, "
+    "avg(n_chars) AS a FROM docs WHERE n_chars > 500 "
+    "GROUP BY ROLLUP(lang) HAVING grouping_id() = 0",
+    "SELECT upper(lang) AS U, count(DISTINCT source) AS d FROM docs "
+    "GROUP BY ROLLUP(upper(lang))",
 ]
 
 FALLBACK = [
-    "SELECT count(DISTINCT lang) AS d, min(n_chars) AS m FROM docs",
+    # two distinct columns compose pass-per-column — but not under a
+    # cross-column OR (the sign-weighted union carries ONE value dim)
     "SELECT count(DISTINCT lang) AS a, count(DISTINCT source) AS b "
-    "FROM docs",                                           # two distinct cols
+    "FROM docs WHERE lang = 'en' OR n_chars > 4000",
     "SELECT sum(DISTINCT n_chars) AS s FROM docs",         # distinct sum
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
     # cross-column OR stays a fallback beyond two branches
@@ -416,14 +478,17 @@ FALLBACK = [
     "upper(substring(source, 1, 4)) AS S4, count(*) AS c FROM docs "
     "GROUP BY substring(source, 1, 4)",
     # grouping sets: HAVING grouping(col) rebuilds over a shiftright the
-    # HAVING operand builder does not carry; count(distinct) and
-    # cross-column OR under grouping sets are declared fallbacks
+    # HAVING operand builder does not carry; multiple count(distinct)
+    # and cross-column OR under grouping sets are declared fallbacks
     "SELECT lang, count(*) AS c FROM docs GROUP BY ROLLUP(lang) "
     "HAVING grouping(lang) = 0",
-    "SELECT lang, count(DISTINCT source) AS d FROM docs "
-    "GROUP BY ROLLUP(lang)",
+    "SELECT lang, count(DISTINCT source) AS a, "
+    "count(DISTINCT doc_id) AS b FROM docs GROUP BY ROLLUP(lang)",
     "SELECT lang, count(*) AS c FROM docs "
     "WHERE lang = 'en' OR n_chars > 4000 GROUP BY ROLLUP(lang)",
+    # count(distinct) beside a non-routable aggregate
+    "SELECT lang, count(DISTINCT source) AS d, sum(DISTINCT n_chars) "
+    "AS s FROM docs GROUP BY lang",
 ]
 
 
@@ -522,10 +587,19 @@ DISTINCT_ROUTED = [
     "SELECT DISTINCT lang AS l FROM docs",
     "SELECT DISTINCT lang FROM docs WHERE n_chars > 10",  # masked counts
     "SELECT lang FROM docs GROUP BY lang",
+    # multi-column DISTINCT rides the composite kernel (late round 5):
+    # "which (lang, source) combinations exist" is one metadata pass
+    "SELECT DISTINCT lang, source FROM docs",
+    "SELECT DISTINCT lang, source FROM docs ORDER BY lang, source",
+    "SELECT DISTINCT lang, upper(source) AS us FROM docs",
+    "SELECT DISTINCT lang, source FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000",
+    "SELECT DISTINCT source, n_chars DIV 1000 AS kb FROM docs "
+    "WHERE lang = 'en'",
 ]
 
 DISTINCT_FALLBACK = [
-    "SELECT DISTINCT lang, source FROM docs",        # multi-column
+    "SELECT DISTINCT lang, lang AS l2 FROM docs",    # duplicate key
 ]
 
 
