@@ -191,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         # the user's statement has, oracled against the source table
         "store_sqlagg_route": (
             "SELECT count(*) AS cnt, count(text) AS nn_text, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS nsrc, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
             "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB evaluates the plain SQL per row
         "store_sqlagg_grouped_where": (
             "SELECT upper(lang) AS lang_u, count(*) AS cnt, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS nsrc, "
             "count(n_chars) AS nn_chars, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(sum(n_chars) AS DOUBLE) / count(*) AS chars_per_doc "

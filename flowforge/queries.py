@@ -354,8 +354,12 @@ def q_store_sqlagg_grouped_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    # count(n_chars) rides the kernel's nn partial (round-5 COUNT(col))
+    # count(n_chars) rides the kernel's nn partial (round-5 COUNT(col));
+    # count(DISTINCT source) makes source a composite-kernel dimension
+    # beside the derived key — the distinct count and the agg family
+    # finish over the same combo rows (late round 5)
     sql = ("SELECT upper(lang) AS lang_u, count(*) AS cnt, "
+           "count(DISTINCT source) AS nsrc, "
            "count(n_chars) AS nn_chars, sum(n_chars) AS sum_chars, "
            "sum(n_chars)/count(*) AS chars_per_doc "
            "FROM docs WHERE source LIKE 'src1%' AND n_chars "
@@ -408,7 +412,12 @@ def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
     # count(text) is the round-5 COUNT(col) pushdown: non-null totals come
     # off commit records / validity bitmaps — the text values never decode
+    # count(DISTINCT source) rides the same inclusion-exclusion passes
+    # (late round 5): the composite kernel's combo rows union across the
+    # branch passes with a sign column; the distinct count and min/max
+    # read sign-positive rows only, cnt/sum/nn compose sign-weighted
     sql = ("SELECT count(*) AS cnt, count(text) AS nn_text, "
+           "count(DISTINCT source) AS nsrc, "
            "sum(n_chars) AS sum_chars, "
            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
            "avg(n_chars) AS avg_chars FROM docs "
@@ -418,6 +427,9 @@ def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     if r is None or not r.get("orx"):
         raise RuntimeError("store_sqlagg_route: statement failed to route "
                            "through the cross-column OR path")
+    if not any(spec[0] == "cntd" for spec in r["aggs"].values()):
+        raise RuntimeError("store_sqlagg_route: count(distinct) did not "
+                           "take the combo-row route")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 
