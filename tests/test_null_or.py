@@ -215,3 +215,69 @@ def test_sqlagg_routes_or_isnull(spark, null_src, null_store):
         .collect())), key=repr)
     assert got4 == want4
     assert any(t[0] is None for t in got4)  # the NULL group composed once
+
+
+def test_sqlagg_count_distinct_null_groups(spark, null_src, null_store):
+    """Late-round-5 COUNT(DISTINCT) widenings on the null-bearing store:
+    the multi-distinct pass join must be NULL-SAFE (the NULL lang group
+    composes once, carrying both distinct counts), distinct counts over
+    a null-bearing VALUE column exclude NULL exactly as SQL does, and
+    the OR-composed combo rows keep those semantics per group."""
+    stores = {"docs": null_store}
+    src = spark.read.parquet(null_src)
+
+    # MULTIPLE count(distinct) columns beside the agg family: one
+    # composite pass each, per-group results joined null-safely
+    sql = ("SELECT lang, count(DISTINCT source) AS a, "
+           "count(DISTINCT n_chars) AS b, avg(doc_id) AS av "
+           "FROM docs GROUP BY lang")
+    assert sqlagg.route_agg_sql(spark, sql, stores) is not None
+    got = sorted(map(tuple, sqlagg.store_agg_sql(spark, sql, stores)
+                     .collect()), key=repr)
+    want = sorted(map(tuple, (
+        src.groupBy("lang").agg(
+            F.count_distinct("source").alias("a"),
+            F.count_distinct("n_chars").alias("b"),
+            F.avg("doc_id").alias("av"))
+        .collect())), key=repr)
+    assert got == want
+    assert any(t[0] is None for t in got)  # NULL group joined once
+
+    # count(distinct <null-bearing col>) + min under a cross-column OR:
+    # sign-composed combo rows, distinct count and min read the branch
+    # passes only; NULL n_chars values never count, all-null groups
+    # yield NULL min
+    sql2 = ("SELECT lang, count(DISTINCT n_chars) AS d, "
+            "min(doc_id) AS mn FROM docs "
+            "WHERE n_chars <= 200 OR source = 'src2' GROUP BY lang")
+    r2 = sqlagg.route_agg_sql(spark, sql2, stores)
+    assert r2 is not None and r2.get("orx") is not None
+    got2 = sorted(map(tuple, sqlagg.store_agg_sql(spark, sql2, stores)
+                      .collect()), key=repr)
+    want2 = sorted(map(tuple, (
+        src.filter((F.col("n_chars") <= 200) | (F.col("source") == "src2"))
+        .groupBy("lang").agg(
+            F.count_distinct("n_chars").alias("d"),
+            F.min("doc_id").alias("mn"))
+        .collect())), key=repr)
+    assert got2 == want2
+    assert any(t[0] is None for t in got2)
+
+    # count(distinct) under ROLLUP on the null store: the grouping id
+    # keeps the real NULL lang group distinct from the subtotal row
+    sql3 = ("SELECT lang, grouping_id() AS g, "
+            "count(DISTINCT source) AS d FROM docs "
+            "GROUP BY ROLLUP(lang)")
+    r3 = sqlagg.route_agg_sql(spark, sql3, stores)
+    assert r3 is not None and r3.get("gsets")
+    got3 = sorted(map(tuple, sqlagg.store_agg_sql(spark, sql3, stores)
+                      .collect()), key=repr)
+    want3 = sorted(map(tuple, (
+        src.rollup("lang").agg(F.grouping_id().alias("g"),
+                               F.count_distinct("source").alias("d"))
+        .select("lang", "g", "d")
+        .collect())), key=repr)
+    assert got3 == want3
+    # both the real NULL group (g=0) and the subtotal (g=1) present
+    assert any(t[0] is None and t[1] == 0 for t in got3)
+    assert any(t[0] is None and t[1] == 1 for t in got3)
