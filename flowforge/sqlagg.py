@@ -1084,6 +1084,11 @@ def _expr_col(spec: list, df: DataFrame):
         lc, rc = _expr_col(spec[2], df), _expr_col(spec[3], df)
         return {"+": lc + rc, "-": lc - rc, "*": lc * rc,
                 "/": lc / rc, "%": lc % rc}[spec[1]]
+    if k == "band":
+        return _expr_col(spec[1], df).bitwiseAND(_expr_col(spec[2], df))
+    if k == "shr":
+        # the parse guaranteed a literal shift amount
+        return F.shiftright(_expr_col(spec[1], df), int(spec[2][2]))
     if k == "neg":
         return -_expr_col(spec[1], df)
     if k == "cast":
@@ -1103,8 +1108,8 @@ def _expr_col(spec: list, df: DataFrame):
 def _expr_refs(spec: list) -> set:
     """Routed-output aliases an expression spec reads."""
     k = spec[0]
-    if k == "bin":
-        return _expr_refs(spec[2]) | _expr_refs(spec[3])
+    if k in ("bin", "band", "shr"):
+        return _expr_refs(spec[-2]) | _expr_refs(spec[-1])
     if k in ("neg", "cast"):
         return _expr_refs(spec[-1])
     return {spec[1]} if k == "col" else set()
@@ -1246,7 +1251,8 @@ def _contains_agg(e) -> bool:
 
 def _contains_arith(e) -> bool:
     name = _cls(e)
-    if name in _EXPR_BINOPS or name == "UnaryMinus":
+    if name in _EXPR_BINOPS or name in ("UnaryMinus", "ShiftRight",
+                                        "BitwiseAnd"):
         return True
     if name == "Cast":
         return _contains_arith(e.child())
@@ -1266,6 +1272,18 @@ def _arith_operand(e, ids: dict[int, str]) -> list:
                 _arith_operand(e.right(), ids)]
     if name == "UnaryMinus":
         return ["neg", _arith_operand(e.child(), ids)]
+    if name == "BitwiseAnd":
+        return ["band", _arith_operand(e.left(), ids),
+                _arith_operand(e.right(), ids)]
+    if name == "ShiftRight":
+        # HAVING grouping(col) analyzes to
+        # cast((shiftright(spark_grouping_id, k) & 1) as tinyint) over
+        # the hidden gid output (late round 5); the shift amount must be
+        # a literal for the F.shiftright rebuild
+        if _cls(e.right()) != "Literal":
+            raise _Unroutable("shiftright by a non-literal amount")
+        return ["shr", _arith_operand(e.left(), ids),
+                _arith_operand(e.right(), ids)]
     if name == "AttributeReference":
         key = int(e.exprId().id())
         if key not in ids:
@@ -1357,7 +1375,7 @@ def _minmax_back(col_name: str, dtype):
 
 
 def _operand_col(spec: list, df: DataFrame):
-    if spec[0] in ("bin", "neg", "cast", "elit"):
+    if spec[0] in ("bin", "band", "shr", "neg", "cast", "elit"):
         return _expr_col(spec, df)
     if spec[0] == "col":
         return df[spec[1]]

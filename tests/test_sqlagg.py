@@ -416,6 +416,17 @@ ROUTABLE = [
     "GROUP BY ROLLUP(lang) HAVING grouping_id() = 0",
     "SELECT upper(lang) AS U, count(DISTINCT source) AS d FROM docs "
     "GROUP BY ROLLUP(upper(lang))",
+    # HAVING grouping(col) routes (late round 5): the analyzed
+    # shiftright/bitwise-and over the hidden gid output rebuilds as
+    # Column arithmetic over the routed per-set id
+    "SELECT lang, count(*) AS c FROM docs GROUP BY ROLLUP(lang) "
+    "HAVING grouping(lang) = 0",
+    "SELECT lang, source, count(*) AS c FROM docs "
+    "GROUP BY ROLLUP(lang, source) "
+    "HAVING grouping(source) = 1 AND count(*) > 5 "
+    "ORDER BY lang, source",
+    "SELECT lang, grouping(lang) AS gl, count(DISTINCT source) AS d "
+    "FROM docs GROUP BY ROLLUP(lang) HAVING grouping(lang) = 0",
 ]
 
 FALLBACK = [
@@ -477,11 +488,8 @@ FALLBACK = [
     "SELECT substring(source, 1, 4) AS s4, "
     "upper(substring(source, 1, 4)) AS S4, count(*) AS c FROM docs "
     "GROUP BY substring(source, 1, 4)",
-    # grouping sets: HAVING grouping(col) rebuilds over a shiftright the
-    # HAVING operand builder does not carry; multiple count(distinct)
-    # and cross-column OR under grouping sets are declared fallbacks
-    "SELECT lang, count(*) AS c FROM docs GROUP BY ROLLUP(lang) "
-    "HAVING grouping(lang) = 0",
+    # grouping sets: multiple count(distinct) and cross-column OR under
+    # grouping sets are declared fallbacks
     "SELECT lang, count(DISTINCT source) AS a, "
     "count(DISTINCT doc_id) AS b FROM docs GROUP BY ROLLUP(lang)",
     "SELECT lang, count(*) AS c FROM docs "
