@@ -1920,12 +1920,16 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     dspecs = {spec for spec in aggs.values()
               if spec[0] in ("cntd", "cntde")}
     if len(dspecs) > 1 and gsets is not None:
-        # the extra distinct passes would need per-set joins on the
-        # (gid, keys) pairs — not wired; one distinct column composes
-        # (the combo rows re-aggregate per set by re-counting distinct
-        # values at that set's grouping)
-        raise _Unroutable(
-            "multiple count(distinct) under grouping sets")
+        # extra distinct passes re-aggregate per set and join back on
+        # (grouping id, keys) — sound because every pass scans the same
+        # predicate-matching rows, so per-set group frames are identical
+        # row sets on both sides. EXCEPT under duplicated grouping sets:
+        # Spark emits the duplicate rows twice and a per-set equi-join
+        # would square them (2×2=4) — only that shape falls back
+        masks = [tuple(m) for m, _ in gsets]
+        if len(set(masks)) != len(masks):
+            raise _Unroutable(
+                "multiple count(distinct) under duplicate grouping sets")
     if dspecs:
         # COUNT(DISTINCT d) routes through the composite group kernel with
         # d (or, for a derived expression, its raw source columns) as
@@ -2585,16 +2589,42 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                 fin = fin.crossJoin(eb.agg(eagg))
                 continue
             eb = _apply_derived(eb, r)
-            efin = eb.groupBy(*group_cols).agg(eagg)
+            if r.get("gsets"):
+                # grouping sets: the extra pass re-aggregates once per
+                # set exactly like the first, then joins on (grouping id,
+                # keys) — null-safe so a real NULL group matches itself;
+                # it stays distinct from subtotal NULLs because the ids
+                # differ. The route guard rejected duplicate sets (the
+                # equi-join would square their duplicated rows)
+                eby_dt = {g: eb.schema[g].dataType for g in group_cols}
+                eframes = []
+                for mask, gid in r["gsets"]:
+                    present = [g for g, m in zip(group_cols, mask) if m]
+                    f = eb.withColumn(
+                        "__gid", F.lit(int(gid)).cast("long"))
+                    f = f.groupBy("__gid", *present).agg(eagg)
+                    for g, m in zip(group_cols, mask):
+                        if not m:
+                            f = f.withColumn(
+                                g, F.lit(None).cast(eby_dt[g]))
+                    eframes.append(
+                        f.select("__gid", *group_cols, dmap[extra]))
+                efin = eframes[0]
+                for f in eframes[1:]:
+                    efin = efin.unionByName(f)
+                jcols = ["__gid"] + list(group_cols)
+            else:
+                efin = eb.groupBy(*group_cols).agg(eagg)
+                jcols = list(group_cols)
             efin = efin.select(
-                *[efin[g].alias(f"{g}__r") for g in group_cols],
+                *[efin[g].alias(f"{g}__r") for g in jcols],
                 efin[dmap[extra]])
             cond = None
-            for g in group_cols:
+            for g in jcols:
                 c = fin[g].eqNullSafe(efin[f"{g}__r"])
                 cond = c if cond is None else (cond & c)
             fin = fin.join(efin, cond, "inner").drop(
-                *[f"{g}__r" for g in group_cols])
+                *[f"{g}__r" for g in jcols])
         by_field = None
         if any(spec[0] in ("min", "max") for spec in aggs.values()):
             from pyspark.sql import types as T

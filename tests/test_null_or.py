@@ -281,3 +281,23 @@ def test_sqlagg_count_distinct_null_groups(spark, null_src, null_store):
     # both the real NULL group (g=0) and the subtotal (g=1) present
     assert any(t[0] is None and t[1] == 0 for t in got3)
     assert any(t[0] is None and t[1] == 1 for t in got3)
+
+    # MULTIPLE count(distinct) under ROLLUP (late round 5): the extra
+    # pass joins per (grouping id, keys) null-safely, so the real NULL
+    # lang group and the subtotal row each compose exactly once, each
+    # carrying BOTH distinct counts
+    sql4 = ("SELECT lang, grouping_id() AS g, "
+            "count(DISTINCT source) AS a, count(DISTINCT n_chars) AS b "
+            "FROM docs GROUP BY ROLLUP(lang)")
+    r4 = sqlagg.route_agg_sql(spark, sql4, stores)
+    assert r4 is not None and r4.get("gsets")
+    got4 = sorted(map(tuple, sqlagg.store_agg_sql(spark, sql4, stores)
+                      .collect()), key=repr)
+    want4 = sorted(map(tuple, (
+        src.rollup("lang").agg(F.grouping_id().alias("g"),
+                               F.count_distinct("source").alias("a"),
+                               F.count_distinct("n_chars").alias("b"))
+        .select("lang", "g", "a", "b")
+        .collect())), key=repr)
+    assert got4 == want4
+    assert sum(1 for t in got4 if t[0] is None) == 2  # g=0 and g=1, once

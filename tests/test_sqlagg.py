@@ -427,6 +427,20 @@ ROUTABLE = [
     "ORDER BY lang, source",
     "SELECT lang, grouping(lang) AS gl, count(DISTINCT source) AS d "
     "FROM docs GROUP BY ROLLUP(lang) HAVING grouping(lang) = 0",
+    # multiple count(distinct) under grouping sets (late round 5): each
+    # extra pass re-aggregates per set and joins on (grouping id, keys)
+    "SELECT lang, count(DISTINCT source) AS a, "
+    "count(DISTINCT doc_id) AS b FROM docs GROUP BY ROLLUP(lang)",
+    "SELECT lang, source, count(DISTINCT doc_id) AS a, "
+    "count(DISTINCT n_chars) AS b, count(*) AS c FROM docs "
+    "GROUP BY CUBE(lang, source) "
+    "HAVING count(*) > 2 ORDER BY lang, source, a",
+    "SELECT upper(lang) AS U, count(DISTINCT source) AS a, "
+    "count(DISTINCT n_chars) AS b FROM docs "
+    "WHERE n_chars > 500 GROUP BY ROLLUP(upper(lang))",
+    "SELECT lang, count(DISTINCT source) AS a, "
+    "count(DISTINCT n_chars) AS b, avg(doc_id) AS av FROM docs "
+    "GROUP BY ROLLUP(lang) HAVING grouping_id() = 0",
 ]
 
 FALLBACK = [
@@ -488,10 +502,12 @@ FALLBACK = [
     "SELECT substring(source, 1, 4) AS s4, "
     "upper(substring(source, 1, 4)) AS S4, count(*) AS c FROM docs "
     "GROUP BY substring(source, 1, 4)",
-    # grouping sets: multiple count(distinct) and cross-column OR under
-    # grouping sets are declared fallbacks
+    # grouping sets: DUPLICATED sets with several count(distinct)
+    # columns (the per-set join would square the duplicate rows) and
+    # cross-column OR under grouping sets are declared fallbacks
     "SELECT lang, count(DISTINCT source) AS a, "
-    "count(DISTINCT doc_id) AS b FROM docs GROUP BY ROLLUP(lang)",
+    "count(DISTINCT doc_id) AS b FROM docs "
+    "GROUP BY GROUPING SETS ((lang), (lang))",
     "SELECT lang, count(*) AS c FROM docs "
     "WHERE lang = 'en' OR n_chars > 4000 GROUP BY ROLLUP(lang)",
     # count(distinct) beside a non-routable aggregate
