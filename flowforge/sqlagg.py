@@ -1018,6 +1018,44 @@ _EXPR_BINOPS = {"Add": "+", "Subtract": "-", "Multiply": "*",
                 # them), so no partially-routed interval math exists
                 "SubtractTimestamps": "-"}
 
+# Deterministic scalar functions allowed OVER aggregate outputs in SELECT
+# expressions and HAVING operands (late round 5): ``round(avg(x), 1)``,
+# ``abs(sum(x))``, ``coalesce(sum(x), 0)``, ``greatest(sum(a), sum(b))``.
+# The executor re-emits the SAME Spark function over the routed outputs
+# with the analyzer's casts preserved, so semantics (HALF_UP rounding,
+# IEEE math, null handling) are Spark's own, never a reimplementation.
+# Catalyst class -> (pyspark.sql.functions name, min arity, max arity).
+_EXPR_SCALAR_FNS = {
+    "Abs": ("abs", 1, 1), "Sqrt": ("sqrt", 1, 1), "Exp": ("exp", 1, 1),
+    "Log": ("log", 1, 1), "Log10": ("log10", 1, 1), "Log2": ("log2", 1, 1),
+    "Signum": ("signum", 1, 1), "Floor": ("floor", 1, 1),
+    "Ceil": ("ceil", 1, 1), "Pow": ("pow", 2, 2),
+    # round/bround: the scale operand must be a plain int literal (the
+    # pyspark builders take a Python int, and a dynamic scale would not
+    # be the analyzer's shape anyway)
+    "Round": ("round", 2, 2), "BRound": ("bround", 2, 2),
+    "Greatest": ("greatest", 2, None), "Least": ("least", 2, None),
+    "Coalesce": ("coalesce", 1, None),
+}
+
+
+def _fn_spec(e, operand) -> list:
+    """Whitelisted scalar function over aggregate operands -> ["fn",
+    pyspark-name, [child specs]]; ``operand`` parses each child (SELECT
+    expressions use :func:`_expr_spec`, HAVING uses
+    :func:`_arith_operand`)."""
+    pyfn, lo, hi = _EXPR_SCALAR_FNS[_cls(e)]
+    ch = e.children()
+    n = ch.size()
+    if n < lo or (hi is not None and n > hi):
+        raise _Unroutable(f"{_cls(e)} arity {n}")
+    kids = [operand(ch.apply(i)) for i in range(n)]
+    if pyfn in ("round", "bround") and not (
+            kids[1][0] == "elit"
+            and kids[1][1] in ("tinyint", "smallint", "int", "bigint")):
+        raise _Unroutable(f"non-literal {pyfn} scale")
+    return ["fn", pyfn, kids]
+
 
 def _elit(e) -> list:
     """Literal inside a SELECT arithmetic expression -> ["elit", type,
@@ -1073,6 +1111,8 @@ def _expr_spec(e, aggs: dict, hidden: list) -> list:
                 _expr_spec(e.right(), aggs, hidden)]
     if name == "UnaryMinus":
         return ["neg", _expr_spec(e.child(), aggs, hidden)]
+    if name in _EXPR_SCALAR_FNS:
+        return _fn_spec(e, lambda c: _expr_spec(c, aggs, hidden))
     return _elit(e)
 
 
@@ -1091,6 +1131,13 @@ def _expr_col(spec: list, df: DataFrame):
         return F.shiftright(_expr_col(spec[1], df), int(spec[2][2]))
     if k == "neg":
         return -_expr_col(spec[1], df)
+    if k == "fn":
+        pyfn, kids = spec[1], spec[2]
+        cols = [_expr_col(s, df) for s in kids]
+        if pyfn in ("round", "bround"):
+            # the parse guaranteed an int-literal scale
+            return getattr(F, pyfn)(cols[0], int(kids[1][2]))
+        return getattr(F, pyfn)(*cols)
     if k == "cast":
         return _expr_col(spec[2], df).cast(spec[1])
     if k == "col":
@@ -1112,6 +1159,11 @@ def _expr_refs(spec: list) -> set:
         return _expr_refs(spec[-2]) | _expr_refs(spec[-1])
     if k in ("neg", "cast"):
         return _expr_refs(spec[-1])
+    if k == "fn":
+        out: set = set()
+        for s in spec[2]:
+            out |= _expr_refs(s)
+        return out
     return {spec[1]} if k == "col" else set()
 
 
@@ -1251,8 +1303,8 @@ def _contains_agg(e) -> bool:
 
 def _contains_arith(e) -> bool:
     name = _cls(e)
-    if name in _EXPR_BINOPS or name in ("UnaryMinus", "ShiftRight",
-                                        "BitwiseAnd"):
+    if name in _EXPR_BINOPS or name in _EXPR_SCALAR_FNS \
+            or name in ("UnaryMinus", "ShiftRight", "BitwiseAnd"):
         return True
     if name == "Cast":
         return _contains_arith(e.child())
@@ -1284,6 +1336,8 @@ def _arith_operand(e, ids: dict[int, str]) -> list:
             raise _Unroutable("shiftright by a non-literal amount")
         return ["shr", _arith_operand(e.left(), ids),
                 _arith_operand(e.right(), ids)]
+    if name in _EXPR_SCALAR_FNS:
+        return _fn_spec(e, lambda c: _arith_operand(c, ids))
     if name == "AttributeReference":
         key = int(e.exprId().id())
         if key not in ids:
@@ -1375,7 +1429,7 @@ def _minmax_back(col_name: str, dtype):
 
 
 def _operand_col(spec: list, df: DataFrame):
-    if spec[0] in ("bin", "band", "shr", "neg", "cast", "elit"):
+    if spec[0] in ("bin", "band", "shr", "neg", "fn", "cast", "elit"):
         return _expr_col(spec, df)
     if spec[0] == "col":
         return df[spec[1]]

@@ -441,6 +441,31 @@ ROUTABLE = [
     "SELECT lang, count(DISTINCT source) AS a, "
     "count(DISTINCT n_chars) AS b, avg(doc_id) AS av FROM docs "
     "GROUP BY ROLLUP(lang) HAVING grouping_id() = 0",
+    # whitelisted scalar functions over aggregate outputs (late round 5):
+    # the executor re-emits the SAME Spark function over the routed
+    # outputs, so rounding/IEEE/null semantics are Spark's own
+    "SELECT abs(sum(n_chars)) AS a FROM docs",
+    "SELECT lang, round(avg(n_chars), 1) AS r FROM docs GROUP BY lang",
+    "SELECT bround(avg(n_chars), -1) AS b, floor(avg(n_chars)) AS f, "
+    "ceil(avg(n_chars)) AS c FROM docs",
+    "SELECT sqrt(sum(n_chars)) AS q, power(count(*), 2) AS p, "
+    "log10(count(*)) AS lg, exp(ln(count(*))) AS e FROM docs",
+    "SELECT coalesce(sum(n_chars), 0) AS s FROM docs WHERE lang = 'zz'",
+    "SELECT greatest(max(n_chars), count(*)) AS g, "
+    "least(min(doc_id), 5) AS l FROM docs",
+    # ... composed with HAVING, grouped ORDER BY/LIMIT, count(distinct),
+    # cross-column OR, and grouping sets
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "HAVING round(avg(n_chars), -2) >= 2500",
+    "SELECT lang, abs(sum(doc_id) - 2*sum(n_chars)) AS d FROM docs "
+    "GROUP BY lang ORDER BY d DESC, lang LIMIT 2",
+    "SELECT lang, greatest(count(DISTINCT source), 10) AS g FROM docs "
+    "GROUP BY lang",
+    "SELECT lang, round(avg(n_chars), 2) AS r FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000 GROUP BY lang",
+    "SELECT round(avg(n_chars), 1) AS r FROM docs GROUP BY ROLLUP(lang)",
+    "SELECT abs(count(*)) AS a FROM docs GROUP BY lang "
+    "HAVING abs(sum(doc_id)) > greatest(count(*), 100)",
 ]
 
 FALLBACK = [
@@ -467,8 +492,9 @@ FALLBACK = [
     "SELECT lang, count(*) AS c FROM docs GROUP BY lang LIMIT 10",
     # expression arithmetic routes, but a float-summed operand poisons it
     "SELECT sum(score)/count(*) AS r FROM docs",
-    # non-arithmetic function over an aggregate stays a fallback
-    "SELECT abs(sum(n_chars)) AS a FROM docs",
+    # a scalar function OUTSIDE the deterministic whitelist stays a
+    # fallback even over routable aggregates
+    "SELECT sha2(cast(sum(n_chars) AS string), 256) AS a FROM docs",
     # a derived scalar key must appear in the SELECT to carry a name
     "SELECT count(*) AS c FROM docs GROUP BY upper(lang)",
     # non-whitelisted string function (deterministic, but not listed)
