@@ -189,14 +189,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # SQL-text aggregate routing (flowforge/sqlagg.py): same semantics
         # the user's statement has, oracled against the source table
+        # text LIKE '%window%' exercises the late-round-5 CONTAINS route
+        # (mask-only, no zone pruning); the CASE WHEN over count(*) the
+        # branch-expression-over-aggregates route
         "store_sqlagg_route": (
             "SELECT count(*) AS cnt, count(text) AS nn_text, "
             "CAST(count(DISTINCT source) AS BIGINT) AS nsrc, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
-            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars "
+            "CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars, "
+            "CASE WHEN count(*) > 100 THEN 'many' ELSE 'few' END AS vol "
             "FROM documents WHERE (lang IN ('en', 'de') OR n_chars > 4500) "
-            "AND source LIKE 'src1%'"
+            "AND source LIKE 'src1%' AND text LIKE '%window%'"
         ),
         # round-5 oracle path: WHERE pushdown + DERIVED SCALAR group key
         # (upper — kernels group raw lang codes, Spark evaluates the

@@ -277,26 +277,35 @@ def _prefix_upper(prefix: bytes) -> bytes | None:
 
 
 def dict_may_contain(payload: bytes, meta: dict, probes: list[bytes],
-                     prefix: bool = False) -> bool | None:
-    """Dictionary short-circuit for equality/IN/prefix predicates: for
-    dict-coded chunks, decode ONLY the (small) dictionary value store and
-    test probe membership (or prefix match) — no code-stream unpack, no
-    take(). Returns None when the codec has no value-level dictionary
-    (worddict's dictionary is token-level, not value-level, so membership
-    there proves nothing)."""
+                     prefix: bool = False, mode: str | None = None
+                     ) -> bool | None:
+    """Dictionary short-circuit for equality/IN/prefix/contains/suffix
+    predicates: for dict-coded chunks, decode ONLY the (small) dictionary
+    value store and test probe membership (or prefix/substring/suffix
+    match) — no code-stream unpack, no take(). Returns None when the
+    codec has no value-level dictionary (worddict's dictionary is
+    token-level, not value-level, so membership there proves nothing).
+    ``mode`` overrides the legacy ``prefix`` flag: one of "in"/"eq",
+    "prefix", "contains", "suffix"."""
     if meta.get("codec") not in ("dict", "dictfsst"):
         return None
     from . import bytescodecs
     from .framing import unpack_sections
 
+    if mode is None:
+        mode = "prefix" if prefix else "in"
     _, body = unpack_sections(payload)
     dict_payload, _ = unpack_sections(body)
     m = meta["m"]
     _, sub_dec = bytescodecs.BYTES_CODECS[m.get("sub", "plain")]
     d_lens, d_data = sub_dec(dict_payload, m["dict"], int(m["ndv"]))
     values = bytescodecs.parts_to_arrow(d_lens, d_data).to_pylist()
-    if prefix:
+    if mode == "prefix":
         return any(v.startswith(p) for p in probes for v in values)
+    if mode == "contains":
+        return any(p in v for p in probes for v in values)
+    if mode == "suffix":
+        return any(v.endswith(p) for p in probes for v in values)
     vset = set(values)
     return any(p in vset for p in probes)
 

@@ -80,6 +80,8 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
 )
 
@@ -233,11 +235,13 @@ class ChunkStoreReader(DataSourceReader):
         los: dict[str, object] = {}
         his: dict[str, object] = {}
         prefixes: dict[str, str] = {}
+        contains_: dict[str, str] = {}
+        suffixes: dict[str, str] = {}
         nulls: dict[str, set] = {}  # col -> {"isnull", "notnull"}
         plans: list[tuple] = []  # (spec kind, col, original filter)
         remaining = []
         for f in filters:
-            plan = self._translate(f, prefixes)
+            plan = self._translate(f, prefixes, contains_, suffixes)
             if plan is None:
                 remaining.append(f)
                 continue
@@ -247,6 +251,10 @@ class ChunkStoreReader(DataSourceReader):
                 vals[col] = vals[col] & payload if col in vals else set(payload)
             elif kind == "prefix":
                 prefixes[col] = payload
+            elif kind == "contains":
+                contains_[col] = payload
+            elif kind == "suffix":
+                suffixes[col] = payload
             elif kind == "lo":
                 los[col] = payload if col not in los else max(los[col], payload)
             elif kind == "hi":
@@ -254,12 +262,14 @@ class ChunkStoreReader(DataSourceReader):
             else:  # "null"
                 nulls.setdefault(col, set()).add(payload)
 
-        # one spec per column, priority in > prefix > range; filters whose
-        # kind lost the priority race are re-yielded so Spark evaluates them
+        # one spec per column, priority in > prefix > contains > suffix >
+        # range; filters whose kind lost the priority race are re-yielded
+        # so Spark evaluates them
         consumed_kind: dict[str, str] = {}
         for col in {c for _, c, _ in plans}:
             t = self.by_name[col]
             if col not in vals and col not in prefixes \
+                    and col not in contains_ and col not in suffixes \
                     and col not in los and col not in his:
                 continue  # null-only column: resolved in the null pass below
             if col in vals:
@@ -273,6 +283,12 @@ class ChunkStoreReader(DataSourceReader):
             elif col in prefixes:
                 consumed_kind[col] = "prefix"
                 self.predicates[col] = ("prefix", prefixes[col])
+            elif col in contains_:
+                consumed_kind[col] = "contains"
+                self.predicates[col] = ("contains", contains_[col])
+            elif col in suffixes:
+                consumed_kind[col] = "suffix"
+                self.predicates[col] = ("suffix", suffixes[col])
             else:
                 consumed_kind[col] = "range"
                 lo, hi = los.get(col), his.get(col)
@@ -297,14 +313,17 @@ class ChunkStoreReader(DataSourceReader):
         for kind, col, f in plans:
             if kind == "null":
                 continue  # always consumed exactly (see null resolution)
-            k = "in" if kind == "in" else "prefix" if kind == "prefix" else "range"
+            k = (kind if kind in ("in", "prefix", "contains", "suffix")
+                 else "range")
             if consumed_kind.get(col) != k:
                 remaining.append(f)
         yield from remaining
 
-    def _translate(self, f, prefixes_seen: dict) -> tuple | None:
-        """One Catalyst filter -> ("in"|"prefix"|"lo"|"hi", col, payload),
-        or None when it cannot be evaluated exactly by the kernel."""
+    def _translate(self, f, prefixes_seen: dict, contains_seen: dict,
+                   suffixes_seen: dict) -> tuple | None:
+        """One Catalyst filter -> ("in"|"prefix"|"contains"|"suffix"|
+        "lo"|"hi", col, payload), or None when it cannot be evaluated
+        exactly by the kernel."""
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             return None
@@ -335,6 +354,18 @@ class ChunkStoreReader(DataSourceReader):
             # a second ANDed prefix cannot be merged — leave it to Spark
             if is_str and isinstance(f.value, str) and col not in prefixes_seen:
                 return ("prefix", col, f.value)
+            return None
+        if isinstance(f, (StringContains, StringEndsWith)):
+            # LIKE '%x%' / '%x' (round 5): no zone-map pruning, but the
+            # kernel's exact byte-level mask decodes only the predicate
+            # column (dict chunks test just the value store). One spec
+            # per column per kind; empty probes stay Spark-side.
+            seen = (contains_seen if isinstance(f, StringContains)
+                    else suffixes_seen)
+            kind = "contains" if isinstance(f, StringContains) else "suffix"
+            if is_str and isinstance(f.value, str) and f.value \
+                    and col not in seen:
+                return (kind, col, f.value)
             return None
         if isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
             v = f.value

@@ -881,6 +881,8 @@ def _chunk_survives(meta: dict, spec: tuple, n_rows: int | None = None) -> bool:
                     and int(nulls) == int(n_rows))
     if spec[0] == "or":
         return any(_chunk_survives(meta, s, n_rows) for s in spec[1])
+    if spec[0] in ("contains", "suffix"):
+        return True  # no zone-map proof exists for substring matches
     if spec[0] in ("range", "frange"):
         if "min" not in meta or "max" not in meta:
             return True  # no zone map -> cannot prune
@@ -964,6 +966,17 @@ def _value_spec_mask(a, spec: tuple, pc):
         for p in spec[1]:
             pm = pc.equal(pc.binary_slice(ab, 0, len(p)),
                           pa.scalar(p, type=pa.large_binary()))
+            cm = pm if cm is None else pc.or_kleene(cm, pm)
+        return cm
+    if spec[0] in ("contains", "suffix"):
+        # byte-level substring/suffix match is exact for strings: UTF-8
+        # is self-synchronizing, so a byte match always aligns to
+        # character boundaries; nulls stay null (Kleene)
+        ab = a.cast(pa.large_binary())
+        fn = pc.match_substring if spec[0] == "contains" else pc.ends_with
+        cm = None
+        for p in spec[1]:
+            pm = fn(ab, pattern=p)
             cm = pm if cm is None else pc.or_kleene(cm, pm)
         return cm
     # "in"/"intin": SQL semantics — null never matches
@@ -1062,11 +1075,12 @@ def _make_decode_kernel(out_dir: str, columns: list[str],
                         skip = False
                         for c in pred_cols:
                             spec = predicates[c]
-                            if spec[0] in ("in", "prefix"):
+                            if spec[0] in ("in", "prefix",
+                                           "contains", "suffix"):
                                 m, _ = col_meta[c][s]
                                 may = chunklib.dict_may_contain(
                                     pred_payloads[c][s], m, spec[1],
-                                    prefix=spec[0] == "prefix")
+                                    mode=spec[0])
                                 if may is False:
                                     skip = True
                                     break
@@ -1144,6 +1158,8 @@ def _bucket_survives(st: dict, spec: tuple, n_rows: int | None = None) -> bool:
                     and int(nulls) == int(n_rows))
     if spec[0] == "or":
         return any(_bucket_survives(st, s, n_rows) for s in spec[1])
+    if spec[0] in ("contains", "suffix"):
+        return True  # no zone-map proof exists for substring matches
     if spec[0] in ("range", "frange"):
         return not ("min" in st and (st["min"] > spec[2] or st["max"] < spec[1]))
     if spec[0] == "intin":
@@ -1215,7 +1231,7 @@ def _normalize_spec(c: str, spec, t: str) -> tuple:
 
 def _normalize_value_spec(c: str, spec, t: str) -> tuple:
     if (isinstance(spec, tuple) and len(spec) == 2
-            and spec[0] in ("in", "eq", "prefix")):
+            and spec[0] in ("in", "eq", "prefix", "contains", "suffix")):
         many = isinstance(spec[1], (list, tuple))
         vals = list(spec[1]) if many else [spec[1]]
         if not vals:
@@ -1224,6 +1240,25 @@ def _normalize_value_spec(c: str, spec, t: str) -> tuple:
             raise ValueError(
                 f"'in' takes a list of values for column {c!r} "
                 f"(use ('eq', v) for a single value)")
+        if spec[0] in ("contains", "suffix"):
+            # substring / suffix match (round 5): zone maps cannot prune
+            # these, but the exact mask decodes ONLY the predicate column
+            # (dict-coded chunks test just the value store) — still far
+            # cheaper than a full decode. Byte-level matching is exact
+            # for strings because UTF-8 is self-synchronizing: s is a
+            # substring/suffix of t as STRINGS iff bytes(s) is of
+            # bytes(t)
+            if t not in ("string", "binary"):
+                raise ValueError(
+                    f"'{spec[0]}' predicates need a string/binary "
+                    f"column; {c!r} is {t}")
+            if any((isinstance(v, str) and v == "") or
+                   (isinstance(v, (bytes, bytearray)) and len(v) == 0)
+                   for v in vals):
+                raise ValueError(f"empty '{spec[0]}' probe for {c!r}")
+            probes = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                      for v in vals]
+            return (spec[0], probes, vals)
         if spec[0] in ("in", "eq") and _is_predicate_type(t):
             # int-domain IN/equality: zone test is membership against
             # the chunk/bucket [min, max] (epoch-unit for timestamps)
@@ -1369,6 +1404,16 @@ def _zone_all_match(st: dict, spec: tuple, n_rows: int | None = None) -> bool:
     if kind == "prefix" and len(spec[1]) == 1:
         p = spec[1][0]
         return bmin.startswith(p) and bmax.startswith(p)
+    if kind in ("contains", "suffix"):
+        # only a CONSTANT zone proves substring/suffix matches: a
+        # sub-ZONE_PREFIX bmax equals max itself (same truncation
+        # argument as "in"), so min == max == bmin and one probe
+        # matching that value proves every row
+        if not (bmin == bmax and len(bmin) < chunklib.ZONE_PREFIX):
+            return False
+        if kind == "contains":
+            return any(p in bmin for p in spec[1])
+        return any(bmin.endswith(p) for p in spec[1])
     return False
 
 
@@ -1464,11 +1509,12 @@ def _make_count_kernel(out_dir: str, predicates: dict):
                     skip = False
                     for c in pred_cols:
                         spec = predicates[c]
-                        if spec[0] in ("in", "prefix"):
+                        if spec[0] in ("in", "prefix",
+                                       "contains", "suffix"):
                             m, _ = col_meta[c][s]
                             may = chunklib.dict_may_contain(
                                 payloads[c][s], m, spec[1],
-                                prefix=spec[0] == "prefix")
+                                mode=spec[0])
                             if may is False:
                                 skip = True
                                 break
@@ -1991,11 +2037,12 @@ def _make_agg_kernel(out_dir: str, predicates: dict, aggs: dict,
                     skip = False
                     for c in pred_cols:
                         spec = predicates[c]
-                        if spec[0] in ("in", "prefix"):
+                        if spec[0] in ("in", "prefix",
+                                       "contains", "suffix"):
                             m, _ = col_meta[c][s]
                             may = chunklib.dict_may_contain(
                                 payloads[c][s], m, spec[1],
-                                prefix=spec[0] == "prefix")
+                                mode=spec[0])
                             if may is False:
                                 skip = True
                                 break

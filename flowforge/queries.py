@@ -416,13 +416,20 @@ def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (late round 5): the composite kernel's combo rows union across the
     # branch passes with a sign column; the distinct count and min/max
     # read sign-positive rows only, cnt/sum/nn compose sign-weighted
+    # text LIKE '%window%' is the late-round-5 CONTAINS predicate (no zone
+    # pruning exists — the mask decodes only the text column, riding
+    # every inclusion-exclusion pass); the CASE WHEN over count(*) is the
+    # late-round-5 branch-expression-over-aggregates route (rebuilt as
+    # F.when over the routed output — Spark's own CaseWhen)
     sql = ("SELECT count(*) AS cnt, count(text) AS nn_text, "
            "count(DISTINCT source) AS nsrc, "
            "sum(n_chars) AS sum_chars, "
            "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
-           "avg(n_chars) AS avg_chars FROM docs "
+           "avg(n_chars) AS avg_chars, "
+           "CASE WHEN count(*) > 100 THEN 'many' ELSE 'few' END AS vol "
+           "FROM docs "
            "WHERE (lang IN ('en', 'de') OR n_chars > 4500) "
-           "AND source LIKE 'src1%'")
+           "AND source LIKE 'src1%' AND text LIKE '%window%'")
     r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
     if r is None or not r.get("orx"):
         raise RuntimeError("store_sqlagg_route: statement failed to route "
@@ -430,6 +437,9 @@ def q_store_sqlagg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not any(spec[0] == "cntd" for spec in r["aggs"].values()):
         raise RuntimeError("store_sqlagg_route: count(distinct) did not "
                            "take the combo-row route")
+    if r["predicates"].get("text", ("",))[0] != "contains":
+        raise RuntimeError("store_sqlagg_route: LIKE '%..%' did not take "
+                           "the contains route")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 

@@ -668,6 +668,8 @@ def _constraint_to_userform(kind: str, v) -> tuple | str:
         return ("in", v)
     if kind == "prefix":
         return ("prefix", v)
+    if kind in ("contains", "suffix"):
+        return (kind, v)
     if kind == "between":
         return (v[0], v[1])
     if kind == "isnull":
@@ -790,12 +792,35 @@ def _leaf_to_constraint(c) -> tuple:
         return ("in", col,
                 [_literal(lst.apply(i), dom) for i in range(lst.size())])
     if name == "Like":
+        # a custom ESCAPE char changes what the pattern's wildcards MEAN
+        # (`'src1!%' ESCAPE '!'` is the literal string "src1%", not a
+        # prefix) — routing it as a plain pattern returned wrong rows
+        # (live bug found round 5); only the default escape routes, and
+        # a default-escape char anywhere in the pattern falls back too
+        if str(c.escapeChar()) != "\\":
+            raise _Unroutable("LIKE with a custom escape character")
         col = _attr_name(c.left())
         pat = _literal(c.right())
-        if (isinstance(pat, str) and pat.endswith("%") and len(pat) > 1
-                and "%" not in pat[:-1] and "_" not in pat and "\\" not in pat):
-            return ("prefix", col, pat[:-1])
-        raise _Unroutable(f"LIKE pattern {pat!r} is not a plain prefix")
+        if (not isinstance(pat, str) or "_" in pat or "\\" in pat):
+            raise _Unroutable(f"LIKE pattern {pat!r} is not routable")
+        body = pat.strip("%")
+        if "%" in body or not body:
+            raise _Unroutable(f"LIKE pattern {pat!r} is not routable")
+        if pat.startswith("%") and pat.endswith("%"):
+            return ("contains", col, body)   # '%x%'
+        if pat.endswith("%"):
+            return ("prefix", col, body)     # 'x%'
+        if pat.startswith("%"):
+            return ("suffix", col, body)     # '%x'
+        return ("eq", col, body)             # no wildcard: equality
+    if name in ("Contains", "StartsWith", "EndsWith"):
+        # contains(col, 'x') / startswith / endswith function forms
+        kind = {"Contains": "contains", "StartsWith": "prefix",
+                "EndsWith": "suffix"}[name]
+        v = _literal(c.right())
+        if not isinstance(v, str) or not v:
+            raise _Unroutable(f"{name} over a non-string or empty literal")
+        return (kind, _attr_name(c.left()), v)
     if name in ("GreaterThan", "GreaterThanOrEqual",
                 "LessThan", "LessThanOrEqual"):
         l, r = c.left(), c.right()
@@ -904,7 +929,9 @@ def _constraints_to_predicates(constraints: list) -> dict:
                 slot[k] = (max(slot[k], val) if k == "lo"
                            else min(slot[k], val))
                 continue
-            if k in slot or (k in ("eq", "in", "prefix") and slot) \
+            if k in slot \
+                    or (k in ("eq", "in", "prefix", "contains", "suffix")
+                        and slot) \
                     or (k in ("lo", "hi") and not set(slot) <= {"lo", "hi"}) \
                     or set(slot) & {"or", "isnull", "notnull"}:
                 raise _Unroutable(f"multiple constraints on column {col!r}")
@@ -931,6 +958,10 @@ def _constraints_to_predicates(constraints: list) -> dict:
             preds[col] = ("in", slot["in"])
         elif "prefix" in slot:
             preds[col] = ("prefix", slot["prefix"])
+        elif "contains" in slot:
+            preds[col] = ("contains", slot["contains"])
+        elif "suffix" in slot:
+            preds[col] = ("suffix", slot["suffix"])
         else:
             lo, hi = slot.get("lo"), slot.get("hi")
             if isinstance(lo, float) or isinstance(hi, float):
@@ -1113,7 +1144,28 @@ def _expr_spec(e, aggs: dict, hidden: list) -> list:
         return ["neg", _expr_spec(e.child(), aggs, hidden)]
     if name in _EXPR_SCALAR_FNS:
         return _fn_spec(e, lambda c: _expr_spec(c, aggs, hidden))
+    if name in ("If", "CaseWhen"):
+        return _branch_spec(e, lambda c: _expr_spec(c, aggs, hidden))
     return _elit(e)
+
+
+def _branch_spec(e, operand) -> list:
+    """IF / CASE WHEN over aggregate outputs -> ["if", cond, then, else]
+    | ["case", [[cond, value], ...], else|None] (late round 5: the
+    classification report ``CASE WHEN count(*) > 100 THEN 'hot' ELSE
+    'cold' END``). Conditions share the HAVING condition grammar;
+    branch values share the expression operand grammar. The executor
+    rebuilds via F.when/otherwise — Spark's own CaseWhen evaluation."""
+    if _cls(e) == "If":
+        ch = e.children()
+        return ["if", _cond_spec(ch.apply(0), operand),
+                operand(ch.apply(1)), operand(ch.apply(2))]
+    br = e.branches()
+    branches = [[_cond_spec(br.apply(i)._1(), operand),
+                 operand(br.apply(i)._2())] for i in range(br.size())]
+    ev = e.elseValue()
+    els = operand(ev.get()) if ev.isDefined() else None
+    return ["case", branches, els]
 
 
 def _expr_col(spec: list, df: DataFrame):
@@ -1138,6 +1190,18 @@ def _expr_col(spec: list, df: DataFrame):
             # the parse guaranteed an int-literal scale
             return getattr(F, pyfn)(cols[0], int(kids[1][2]))
         return getattr(F, pyfn)(*cols)
+    if k == "if":
+        return F.when(_having_col(spec[1], df),
+                      _expr_col(spec[2], df)) \
+                .otherwise(_expr_col(spec[3], df))
+    if k == "case":
+        col = None
+        for cond, val in spec[1]:
+            c, v = _having_col(cond, df), _expr_col(val, df)
+            col = F.when(c, v) if col is None else col.when(c, v)
+        if spec[2] is not None:
+            col = col.otherwise(_expr_col(spec[2], df))
+        return col
     if k == "cast":
         return _expr_col(spec[2], df).cast(spec[1])
     if k == "col":
@@ -1163,6 +1227,16 @@ def _expr_refs(spec: list) -> set:
         out: set = set()
         for s in spec[2]:
             out |= _expr_refs(s)
+        return out
+    if k == "if":
+        return (_having_col_refs(spec[1]) | _expr_refs(spec[2])
+                | _expr_refs(spec[3]))
+    if k == "case":
+        out = set()
+        for cond, val in spec[1]:
+            out |= _having_col_refs(cond) | _expr_refs(val)
+        if spec[2] is not None:
+            out |= _expr_refs(spec[2])
         return out
     return {spec[1]} if k == "col" else set()
 
@@ -1304,7 +1378,8 @@ def _contains_agg(e) -> bool:
 def _contains_arith(e) -> bool:
     name = _cls(e)
     if name in _EXPR_BINOPS or name in _EXPR_SCALAR_FNS \
-            or name in ("UnaryMinus", "ShiftRight", "BitwiseAnd"):
+            or name in ("UnaryMinus", "ShiftRight", "BitwiseAnd",
+                        "If", "CaseWhen"):
         return True
     if name == "Cast":
         return _contains_arith(e.child())
@@ -1338,6 +1413,8 @@ def _arith_operand(e, ids: dict[int, str]) -> list:
                 _arith_operand(e.right(), ids)]
     if name in _EXPR_SCALAR_FNS:
         return _fn_spec(e, lambda c: _arith_operand(c, ids))
+    if name in ("If", "CaseWhen"):
+        return _branch_spec(e, lambda c: _arith_operand(c, ids))
     if name == "AttributeReference":
         key = int(e.exprId().id())
         if key not in ids:
@@ -1346,40 +1423,59 @@ def _arith_operand(e, ids: dict[int, str]) -> list:
     return _elit(e)
 
 
-def _having_spec(c, ids: dict[int, str]) -> list:
-    """HAVING condition (analyzed Catalyst, over Aggregate outputs) -> a
-    JSON-safe spec tree the executor rebuilds as a DataFrame filter.
-    Anything beyond and/or/not/in/null-tests/comparisons is unroutable."""
+def _cond_spec(c, operand) -> list:
+    """Boolean condition (analyzed Catalyst) -> a JSON-safe spec tree the
+    executor rebuilds as a DataFrame filter; ``operand`` parses the value
+    leaves (HAVING passes :func:`_operand_spec` over Aggregate outputs,
+    SELECT CASE/IF conditions pass :func:`_expr_spec` over inline
+    aggregates). Anything beyond and/or/not/in/null-tests/comparisons is
+    unroutable."""
     name = _cls(c)
     if name in ("And", "Or"):
-        return [name.lower(), _having_spec(c.left(), ids),
-                _having_spec(c.right(), ids)]
+        return [name.lower(), _cond_spec(c.left(), operand),
+                _cond_spec(c.right(), operand)]
     if name == "Not":
-        return ["not", _having_spec(c.child(), ids)]
+        return ["not", _cond_spec(c.child(), operand)]
     if name == "IsNull":
-        return ["isnull", _operand_spec(c.child(), ids)]
+        return ["isnull", operand(c.child())]
     if name == "IsNotNull":
-        return ["notnull", _operand_spec(c.child(), ids)]
+        return ["notnull", operand(c.child())]
     if name == "In":
         lst = c.list()
-        items = [_operand_spec(lst.apply(i), ids) for i in range(lst.size())]
-        if any(s[0] != "lit" for s in items):
-            # time-typed IN values would compare raw epoch ints against a
-            # typed column in the rebuilt filter — conservative fallback
-            raise _Unroutable("HAVING IN over non-plain literals")
-        return ["in", _operand_spec(c.value(), ids),
-                [s[1] for s in items]]
+        if lst.size() == 0:
+            raise _Unroutable("empty IN list")
+        items = [operand(lst.apply(i)) for i in range(lst.size())]
+        value = operand(c.value())
+        if all(s[0] == "lit" or (s[0] == "elit"
+                                 and not s[1].startswith("decimal("))
+               for s in items):
+            return ["in", value,
+                    [s[1] if s[0] == "lit" else s[2] for s in items]]
+        # non-plain items (time-typed tlits, analyzer-cast literals,
+        # expression operands) rebuild as an OR chain of typed ``=``
+        # comparisons — exactly equivalent to IN over a flat item list
+        # (null value -> null either way; items are never null literals),
+        # and each leg re-coerces through Spark's own comparison rules
+        spec = None
+        for s in items:
+            leg = ["cmp", "=", value, s]
+            spec = leg if spec is None else ["or", spec, leg]
+        return spec
     ops = {"EqualTo": "=", "GreaterThan": ">", "GreaterThanOrEqual": ">=",
            "LessThan": "<", "LessThanOrEqual": "<="}
     if name in ops:
-        return ["cmp", ops[name], _operand_spec(c.left(), ids),
-                _operand_spec(c.right(), ids)]
+        return ["cmp", ops[name], operand(c.left()), operand(c.right())]
     if name == "Between":
-        inp = _operand_spec(c.input(), ids)
+        inp = operand(c.input())
         return ["and",
-                ["cmp", ">=", inp, _operand_spec(c.lower(), ids)],
-                ["cmp", "<=", inp, _operand_spec(c.upper(), ids)]]
+                ["cmp", ">=", inp, operand(c.lower())],
+                ["cmp", "<=", inp, operand(c.upper())]]
     raise _Unroutable(f"HAVING condition {name}")
+
+
+def _having_spec(c, ids: dict[int, str]) -> list:
+    """HAVING condition over Aggregate outputs -> filter spec tree."""
+    return _cond_spec(c, lambda e: _operand_spec(e, ids))
 
 
 def _having_col_refs(spec: list) -> set:
@@ -1429,7 +1525,8 @@ def _minmax_back(col_name: str, dtype):
 
 
 def _operand_col(spec: list, df: DataFrame):
-    if spec[0] in ("bin", "band", "shr", "neg", "fn", "cast", "elit"):
+    if spec[0] in ("bin", "band", "shr", "neg", "fn", "if", "case",
+                   "cast", "elit"):
         return _expr_col(spec, df)
     if spec[0] == "col":
         return df[spec[1]]

@@ -115,6 +115,45 @@ def test_pushfilters_translates_specs(docs_store):
     assert norm["text"] == ("notnull",)
 
 
+def test_pushfilters_contains_suffix(docs_store):
+    from pyspark.sql.datasource import StringContains, StringEndsWith
+
+    r = _reader(docs_store)
+    remaining = list(r.pushFilters([
+        StringContains(attribute=("source",), value="item1"),
+        StringEndsWith(attribute=("text",), value="end"),
+    ]))
+    assert remaining == []
+    assert r.predicates == {
+        "source": ("contains", "item1"),
+        "text": ("suffix", "end"),
+    }
+    # the explicit decode path normalizes the same forms
+    norm = engine._normalize_predicates(r.predicates, r.by_name)
+    assert norm["source"] == ("contains", [b"item1"], ["item1"])
+    assert norm["text"] == ("suffix", [b"end"], ["end"])
+
+    # one spec per column per kind: a second ANDed contains stays
+    # Spark-side; an empty probe stays Spark-side
+    r2 = _reader(docs_store)
+    rem2 = list(r2.pushFilters([
+        StringContains(attribute=("source",), value="a"),
+        StringContains(attribute=("source",), value="b"),
+        StringEndsWith(attribute=("text",), value=""),
+    ]))
+    assert len(rem2) == 2
+    assert r2.predicates == {"source": ("contains", "a")}
+
+    # priority: in > contains — the contains filter is re-yielded
+    r3 = _reader(docs_store)
+    rem3 = list(r3.pushFilters([
+        EqualTo(attribute=("source",), value="src1/item1"),
+        StringContains(attribute=("source",), value="item"),
+    ]))
+    assert len(rem3) == 1
+    assert r3.predicates == {"source": ("eq", "src1/item1")}
+
+
 def test_pushfilters_in_intersection_and_contradiction(docs_store):
     r = _reader(docs_store)
     rem = list(r.pushFilters([

@@ -497,6 +497,59 @@ def test_prefix_predicate_pushdown(spark, tmpdir_clean, tmp_path_factory):
     assert not chunklib.prefix_in_zone(b"A", b"a" * 24, b"m" * 24)
 
 
+def test_contains_suffix_predicate_pushdown(spark, tmpdir_clean,
+                                            tmp_path_factory):
+    """('contains', s) / ('suffix', s) predicates (round 5): no zone-map
+    pruning exists for substring matches, but the exact byte-level mask
+    (UTF-8 is self-synchronizing, so byte containment == string
+    containment) decodes only the predicate column; dict-coded chunks
+    short-circuit off the value store. Result equals Spark's own
+    contains/endswith filters."""
+    d = tmp_path_factory.mktemp("contains_src")
+    src = datagen.write_webpages(str(d), ROWS, row_group_size=512)
+    out = os.path.join(tmpdir_clean, "enc")
+    engine.run_encode_path(spark, src, out, target_rows=512, chunk_rows=64)
+    df = spark.read.parquet(src)
+
+    got = engine.decode_table(spark, out, columns=["url", "lang"],
+                              predicates={"url": ("contains", "host12")})
+    want = df.filter(F.col("url").contains("host12")).select("url", "lang")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # multiple probes OR together; suffix matches the url tail
+    got2 = engine.decode_table(
+        spark, out, columns=["url"],
+        predicates={"url": ("suffix", ["?id=7", "?id=42"])})
+    want2 = df.filter(F.col("url").endswith("?id=7")
+                      | F.col("url").endswith("?id=42")).select("url")
+    assert got2.count() == want2.count() > 0
+    assert got2.exceptAll(want2).count() == 0
+
+    # dict short-circuit primitives
+    from flowforge.codecs import chunk as chunklib
+    import pyarrow as pa
+    arr = pa.array([b"alpha", b"beta", b"alpha"], type=pa.large_binary())
+    payload, meta = chunklib.encode_array(arr, "dict")
+    assert chunklib.dict_may_contain(payload, meta, [b"lph"],
+                                     mode="contains") is True
+    assert chunklib.dict_may_contain(payload, meta, [b"zz"],
+                                     mode="contains") is False
+    assert chunklib.dict_may_contain(payload, meta, [b"eta"],
+                                     mode="suffix") is True
+    assert chunklib.dict_may_contain(payload, meta, [b"alp"],
+                                     mode="suffix") is False
+
+    # empty probes and non-string columns are refused up front
+    with pytest.raises(ValueError, match="empty 'contains' probe"):
+        engine.decode_table(spark, out,
+                            predicates={"url": ("contains", "")})
+    with pytest.raises(ValueError, match="string/binary"):
+        engine.decode_table(spark, out,
+                            predicates={"warc_ts": ("suffix", "x")})
+
+
 def test_int_in_predicate_pushdown(spark, tmpdir_clean):
     """('in', [ints]) / ('eq', int) on int-ordered columns: zone membership
     pruning + exact is_in row filter; timestamps take epoch-unit values."""

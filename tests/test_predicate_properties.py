@@ -40,12 +40,17 @@ def _matches(v: bytes | None, spec: tuple) -> bool:
         return v in spec[1]
     if kind == "prefix":
         return any(v.startswith(p) for p in spec[1])
+    if kind == "contains":
+        return any(p in v for p in spec[1])
+    if kind == "suffix":
+        return any(v.endswith(p) for p in spec[1])
     raise AssertionError(kind)
 
 
 @settings(max_examples=200, deadline=None)
 @given(values=_values, probes=st.lists(_probe, min_size=1, max_size=3),
-       kind=st.sampled_from(["in", "prefix"]), codec=_codec)
+       kind=st.sampled_from(["in", "prefix", "contains", "suffix"]),
+       codec=_codec)
 def test_zone_dict_and_mask_soundness(values, probes, kind, codec):
     arr = pa.array(values, type=pa.large_binary())
     payload, meta = chunklib.encode_array(arr, codec)
@@ -59,8 +64,7 @@ def test_zone_dict_and_mask_soundness(values, probes, kind, codec):
         assert not any_match, (values, probes, kind, meta)
 
     # 2. dict short-circuit never skips a matching chunk
-    may = chunklib.dict_may_contain(payload, meta, probes,
-                                    prefix=(kind == "prefix"))
+    may = chunklib.dict_may_contain(payload, meta, probes, mode=kind)
     if may is None:
         assert meta["codec"] not in ("dict", "dictfsst")
     elif may is False:
@@ -144,6 +148,10 @@ def _ref_match(v, spec) -> bool:
         return v in spec[1]
     if kind == "prefix":
         return any(v.startswith(p) for p in spec[1])
+    if kind == "contains":
+        return any(p in v for p in spec[1])
+    if kind == "suffix":
+        return any(v.endswith(p) for p in spec[1])
     raise AssertionError(kind)
 
 
@@ -163,6 +171,9 @@ _int_spec = st.one_of(
 _bytes_leaf = st.one_of(
     st.lists(_probe, min_size=1, max_size=3).map(lambda p: ("in", p, p)),
     st.lists(_probe, min_size=1, max_size=2).map(lambda p: ("prefix", p, p)),
+    st.lists(_probe, min_size=1, max_size=2).map(
+        lambda p: ("contains", p, p)),
+    st.lists(_probe, min_size=1, max_size=2).map(lambda p: ("suffix", p, p)),
     st.just(("isnull",)),
     st.just(("notnull",)),
 )

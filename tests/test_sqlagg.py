@@ -466,6 +466,43 @@ ROUTABLE = [
     "SELECT round(avg(n_chars), 1) AS r FROM docs GROUP BY ROLLUP(lang)",
     "SELECT abs(count(*)) AS a FROM docs GROUP BY lang "
     "HAVING abs(sum(doc_id)) > greatest(count(*), 100)",
+    # CASE WHEN / IF over aggregate outputs (late round 5): conditions
+    # share the HAVING grammar, branch values the expression grammar;
+    # the rebuild is F.when/otherwise — Spark's own CaseWhen
+    "SELECT lang, CASE WHEN count(*) > 200 THEN 'hot' ELSE 'cold' END "
+    "AS cls FROM docs GROUP BY lang",
+    "SELECT lang, CASE WHEN avg(n_chars) > 2600 THEN 'long' "
+    "WHEN avg(n_chars) > 2400 THEN 'mid' END AS cls, count(*) AS c "
+    "FROM docs GROUP BY lang",  # no ELSE -> NULL
+    "SELECT if(count(*) > 500, 'big', 'small') AS sz FROM docs",
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "HAVING CASE WHEN lang IS NULL THEN 0 ELSE count(*) END > 150",
+    "SELECT CASE WHEN sum(n_chars) IS NULL THEN -1 "
+    "ELSE round(sum(n_chars) / count(*), 0) END AS r FROM docs "
+    "WHERE lang = 'zz'",  # empty input: null-sum branch exercised
+    "SELECT lang, CASE WHEN count(*) BETWEEN 100 AND 250 THEN 'mid' "
+    "ELSE 'edge' END AS b FROM docs GROUP BY ROLLUP(lang)",
+    # count(DISTINCT) embedded inside expressions — incl. an IN whose
+    # analyzer-cast items rebuild as the typed OR chain
+    "SELECT if(count(DISTINCT source) > 25, 1, 0) AS wide FROM docs",
+    "SELECT lang, count(DISTINCT source) * 2 AS d FROM docs "
+    "GROUP BY lang",
+    "SELECT lang, if(count(DISTINCT source) IN (18, 19, 20), 1, 0) "
+    "AS full_cov FROM docs GROUP BY lang",
+    # contains / suffix string predicates (late round 5): LIKE '%x%' /
+    # '%x' / bare 'x' and the contains()/endswith() function forms route
+    # — no zone-map pruning, but the kernel mask decodes ONLY the
+    # predicate column (dict chunks test just the value store)
+    "SELECT count(*) AS c FROM docs WHERE source LIKE '%item1%'",
+    "SELECT lang, count(*) AS c, sum(n_chars) AS s FROM docs "
+    "WHERE source LIKE '%7' GROUP BY lang",
+    "SELECT count(*) AS c FROM docs WHERE source LIKE 'src1/item3'",
+    "SELECT count(*) AS c FROM docs "
+    "WHERE contains(source, 'item2') AND lang = 'en'",
+    "SELECT count(*) AS c FROM docs "
+    "WHERE endswith(source, '3') OR lang IS NULL",
+    "SELECT lang, count(*) AS c FROM docs "
+    "WHERE source LIKE '%item%' AND n_chars > 1000 GROUP BY lang",
 ]
 
 FALLBACK = [
@@ -480,7 +517,12 @@ FALLBACK = [
     "WHERE lang = 'en' OR n_chars > 100 OR source = 'src2'",
     "SELECT sum(score) AS s FROM docs",                    # float sum
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
-    "SELECT count(*) AS c FROM docs WHERE source LIKE '%item%'",  # infix
+    # a custom ESCAPE char changes what the wildcards mean — routing the
+    # raw pattern as prefix/contains returned WRONG ROWS (live bug found
+    # and fixed in round 5); must stay a fallback in WHERE too
+    "SELECT count(*) AS c FROM docs WHERE source LIKE 'src1!%' ESCAPE '!'",
+    # single-char wildcard: not expressible as prefix/contains/suffix
+    "SELECT count(*) AS c FROM docs WHERE source LIKE '%it_m%'",
     "SELECT lang, count(lang) AS c FROM docs GROUP BY lang",  # agg==group
     "SELECT lang, count(lang) AS c, sum(n_chars) AS s FROM docs "
     "GROUP BY lang",          # agg==group inside a multi-agg statement
@@ -521,6 +563,8 @@ FALLBACK = [
     "CASE WHEN n_chars > 2500 THEN 'long' ELSE 'short' END",
     # mixing aggregates and group keys in ONE output expression
     "SELECT count(*) + length(lang) AS x FROM docs GROUP BY lang",
+    "SELECT lang, CASE WHEN max(n_chars) > 4990 THEN concat(lang, '!') "
+    "ELSE lang END AS tag FROM docs GROUP BY lang",
     # non-whitelisted function over a group key in the SELECT
     "SELECT soundex(lang) AS s, count(*) AS c FROM docs GROUP BY lang",
     # outputs differing only by case: Spark's name resolution is
@@ -1144,6 +1188,11 @@ HAVING_TIME_ROUTABLE = [
     # filter (date literal vs timestamp column)
     "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
     "HAVING max(ts) > date'2024-06-01'",
+    # time-typed IN values (late round 5): non-plain IN items rebuild as
+    # an OR chain of typed = comparisons — exactly IN's semantics over a
+    # flat literal list
+    "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
+    "HAVING max(ts) IN (timestamp'2024-06-01', timestamp'2024-06-02')",
 ]
 
 
@@ -1169,9 +1218,6 @@ HAVING_TIME_FALLBACK = [
     # a shape the router cannot bind; falls back row-identically
     "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
     "HAVING max(ts) BETWEEN timestamp'2024-01-01' AND timestamp'2030-01-01'",
-    # time-typed IN values stay conservative
-    "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
-    "HAVING max(ts) IN (timestamp'2024-06-01')",
 ]
 
 
