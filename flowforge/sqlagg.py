@@ -703,24 +703,48 @@ def _leaf_to_constraint(c) -> tuple:
         branches = _flatten_or(c)
         branch_cons = [[_leaf_to_constraint(leaf)
                         for leaf in _flatten_and(b)] for b in branches]
-        cols = {col for bc in branch_cons for _, col, _ in bc}
-        if len(cols) == 1 and all(len(bc) == 1 for bc in branch_cons):
-            # same-column single-leaf branches: the engine's native
-            # per-column OR spec (round 5, verdict next #5)
-            forms = [_constraint_to_userform(k, v)
-                     for bc in branch_cons for k, _, v in bc]
-            return ("or", cols.pop(), forms)
-        if len(branches) == 2:
-            # cross-column (or multi-leaf-branch) OR of exactly two
-            # branches: routable for UNGROUPED additive aggregates via
-            # inclusion-exclusion over three conjunctive passes (A, B,
-            # A AND B) — see _route / _execute_route (round 5)
+        # merge single-leaf branches constraining the SAME column into
+        # one ("or", col, forms) branch — the engine's native per-column
+        # OR spec. `lang='en' OR lang='de'` collapses to one branch (the
+        # round-5 same-column path), and `lang='en' OR lang='de' OR
+        # n>4000` becomes a TWO-branch cross-column OR whose
+        # intersection passes are conflict-free (late round 5)
+        by_col: dict[str, list] = {}   # col -> forms (when merging)
+        first_con: dict[str, tuple] = {}  # col -> its sole constraint
+        col_order: list[str] = []
+        rest: list = []
+        for bc in branch_cons:
+            if len(bc) == 1 and bc[0][0] != "orx":
+                k, col, v = bc[0]
+                forms = (list(v) if k == "or"
+                         else [_constraint_to_userform(k, v)])
+                if col not in by_col:
+                    by_col[col] = []
+                    col_order.append(col)
+                    first_con[col] = bc[0]
+                else:
+                    first_con.pop(col, None)
+                by_col[col].extend(forms)
+            else:
+                rest.append(bc)
+        branch_cons = [[first_con.get(col) or ("or", col, by_col[col])]
+                       for col in col_order] + rest
+        if len(branch_cons) == 1 and not rest:
+            return branch_cons[0][0] if col_order[0] in first_con \
+                else ("or", col_order[0], by_col[col_order[0]])
+        if len(branch_cons) <= 3:
+            # cross-column (or multi-leaf-branch) OR of up to three
+            # branches: routable via inclusion-exclusion over conjunctive
+            # passes — n branch passes, plus every >=2 subset
+            # intersection with sign (-1)^(|S|+1) when an additive
+            # partial is read (2^n - 1 passes total, which is why n caps
+            # at 3) — see _route / _execute_route (round 5)
             for bc in branch_cons:
                 for k, _, _v in bc:
                     if k == "orx":
                         raise _Unroutable("nested cross-column OR")
             return ("orx", None, branch_cons)
-        raise _Unroutable("cross-column OR beyond two branches")
+        raise _Unroutable("cross-column OR beyond three branches")
     if name == "Between":  # RuntimeReplaceable: input BETWEEN lower AND upper
         dcol = _date_proj(c.input())
         if dcol:  # to_date(ts) BETWEEN d1 AND d2 -> exact micros range
@@ -1786,13 +1810,12 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         plain_cons = [c for c in constraints if c[0] != "orx"]
         orx_preds = None
         if orx_cons:
-            # DISTINCT over A OR B = the union of the two branch passes'
-            # group sets — no overlap correction needed (round 5)
+            # DISTINCT over a cross-column OR = the union of the branch
+            # passes' group sets — no overlap correction needed (round 5)
             if len(orx_cons) > 1:
                 raise _Unroutable("multiple cross-column ORs")
-            br_a, br_b = orx_cons[0][2]
-            orx_preds = [_constraints_to_predicates(plain_cons + br_a),
-                         _constraints_to_predicates(plain_cons + br_b)]
+            orx_preds = [_constraints_to_predicates(plain_cons + b)
+                         for b in orx_cons[0][2]]
         return {"out_dir": stores[view],
                 "group_col": (gspecs_l[0][0]
                               if len(gspecs_l) == 1 and not gspecs_l[0][1]
@@ -2036,6 +2059,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     plain_cons = [c for c in constraints if c[0] != "orx"]
     predicates = _constraints_to_predicates(plain_cons)
     orx_preds = None
+    orx_signs = None
     if orx_cons:
         if gsets is not None:
             # the inclusion-exclusion composition joins per-group across
@@ -2059,15 +2083,27 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # (see _execute_route's union-with-sign composition).
         if len(orx_cons) > 1:
             raise _Unroutable("multiple cross-column ORs")
-        br_a, br_b = orx_cons[0][2]
-        orx_preds = [
-            _constraints_to_predicates(plain_cons + br_a),
-            _constraints_to_predicates(plain_cons + br_b),
-        ]
+        brs = orx_cons[0][2]
+        n_br = len(brs)
+        orx_preds = [_constraints_to_predicates(plain_cons + b)
+                     for b in brs]
+        orx_signs = [1] * n_br
         if any(spec[0] in ("count", "nncount", "sum", "avg")
                for spec in aggs.values()):
-            orx_preds.append(
-                _constraints_to_predicates(plain_cons + br_a + br_b))
+            # additive outputs need the intersection passes: IE over n
+            # branches takes every subset of size >= 2 with sign
+            # (-1)^(|S|+1) — 2^n - 1 passes total, which is why the
+            # parser caps n at 3 (7 passes). A subset whose merged
+            # constraints conflict on one column raises here and the
+            # whole statement falls back row-identically.
+            import itertools
+            for size in range(2, n_br + 1):
+                for combo in itertools.combinations(range(n_br), size):
+                    merged = list(plain_cons)
+                    for i in combo:
+                        merged += brs[i]
+                    orx_preds.append(_constraints_to_predicates(merged))
+                    orx_signs.append(1 if size % 2 == 1 else -1)
     dspecs = {spec for spec in aggs.values()
               if spec[0] in ("cntd", "cntde")}
     if len(dspecs) > 1 and gsets is not None:
@@ -2169,6 +2205,8 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         "aggs": aggs,
         "predicates": predicates,
         "orx": orx_preds,
+        "orx_signs": orx_signs,
+        "orx_branches": (len(orx_cons[0][2]) if orx_cons else None),
         "gsets": ([[list(m), g] for m, g in gsets]
                   if gsets is not None else None),
         "out_cols": out_cols,
@@ -2210,6 +2248,16 @@ def _finish(df: DataFrame, r: dict) -> DataFrame:
     return order_limit(project(df))
 
 
+def _orx_shape(r: dict) -> tuple[int, list[int], list[str]]:
+    """(branch count, per-pass IE signs, per-pass tags) for a cross-column
+    OR route. Route dicts predate the n-branch generalization carry no
+    signs — those were always 2 branches (+ optional A-AND-B pass)."""
+    n_pass = len(r["orx"])
+    n_br = r.get("orx_branches") or 2
+    signs = r.get("orx_signs") or ([1, 1, -1][:n_pass])
+    return n_br, signs, [f"t{i}" for i in range(n_pass)]
+
+
 def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
     """Ungrouped aggregates under a cross-column OR: three routed
     :func:`engine.agg_table` passes — branch A, branch B, A AND B — then
@@ -2248,27 +2296,30 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
         else:  # min / max
             comp[alias] = (fn, req((fn, spec[1])))
     pass_aggs = {a: spec for spec, a in need.items()}
-    # the overlap pass only feeds the additive compositions — computing
-    # min/max partials there would decode agg columns for results the
-    # composition never reads
+    # the intersection passes only feed the additive compositions —
+    # computing min/max partials there would decode agg columns for
+    # results the composition never reads
     ab_aggs = {a: spec for a, spec in pass_aggs.items()
                if spec[0] not in ("min", "max")}
-    tags = ("a", "b", "ab")[:len(r["orx"])]  # 2 passes when min/max-only
+    n_br, signs, tags = _orx_shape(r)
     dfs = [
         engine.agg_table(spark, out_dir,
-                         ab_aggs if tag == "ab" else pass_aggs,
+                         ab_aggs if i >= n_br else pass_aggs,
                          predicates=p or None)
-        .select(*[F.col(a).alias(f"{a}_{tag}")
-                  for a in (ab_aggs if tag == "ab" else pass_aggs)])
-        for tag, p in zip(tags, r["orx"])
+        .select(*[F.col(a).alias(f"{a}_{tags[i]}")
+                  for a in (ab_aggs if i >= n_br else pass_aggs)])
+        for i, p in enumerate(r["orx"])
     ]
-    j = dfs[0].crossJoin(dfs[1])
-    if len(dfs) == 3:
-        j = j.crossJoin(dfs[2])
+    j = dfs[0]
+    for d in dfs[1:]:
+        j = j.crossJoin(d)
 
-    def ie(p: str):  # IE over one partial; only reachable with 3 passes
-        a, b, ab = (F.coalesce(F.col(f"{p}_{t}"), F.lit(0)) for t in tags)
-        return a + b - ab
+    def ie(p: str):  # IE over one partial across every pass, signed
+        out = None
+        for s, t in zip(signs, tags):
+            leg = F.coalesce(F.col(f"{p}_{t}"), F.lit(0)) * F.lit(s)
+            out = leg if out is None else out + leg
+        return out
 
     sel = []
     for name, _, _ in _augmented_out(r):
@@ -2282,9 +2333,12 @@ def _orx_agg(spark: SparkSession, r: dict) -> DataFrame:
             nn = ie(k[2])
             sel.append(F.when(nn > 0, ie(k[1]) / nn)
                        .cast("double").alias(name))
-        else:  # min / max in the kernel's int64 domain
+        else:  # min / max in the kernel's int64 domain: null-skipping
+            # least/greatest over the BRANCH passes (intersection rows
+            # are branch rows too, so they add no extreme)
             f = F.least if k[0] == "min" else F.greatest
-            sel.append(f(F.col(f"{k[1]}_a"), F.col(f"{k[1]}_b"))
+            sel.append(f(*[F.col(f"{k[1]}_{tags[i]}")
+                           for i in range(n_br)])
                        .cast("long").alias(name))
     out = j.select(*sel)
     if any(aggs[n][0] in ("min", "max") for n, _, _ in _augmented_out(r)):
@@ -2414,45 +2468,54 @@ def _orx_grouped(spark: SparkSession, r: dict, gargs: list,
         else:  # max
             add(kn("mx", spec[1]), "mx")
     preds_list = r["orx"]
-    tags = ("a", "b", "ab")[:len(preds_list)]
-    # the overlap pass feeds only the additive compositions: demote its
-    # min/max specs to nncount on the same column, so a column aggregated
-    # ONLY by min/max runs count-only there (validity bitmaps, values
-    # never decode) while src_list order — and with it every kernel
-    # partial name — stays identical across the passes (mn/mx columns
-    # come back NULL in count-only mode, present but unread)
+    n_br, signs, tags = _orx_shape(r)
+    # the intersection passes feed only the additive compositions: demote
+    # their min/max specs to nncount on the same column, so a column
+    # aggregated ONLY by min/max runs count-only there (validity bitmaps,
+    # values never decode) while src_list order — and with it every
+    # kernel partial name — stays identical across the passes (mn/mx
+    # columns come back NULL in count-only mode, present but unread)
     ab_aggs = {alias: (("nncount", spec[1])
                        if spec[0] in ("min", "max") else spec)
                for alias, spec in aggs.items()}
     passes = []
     jmap = None
-    for tag, p in zip(tags, preds_list):
+    for i, p in enumerate(preds_list):
         b, jmap = _grouped_partials(
-            spark, out_dir, ab_aggs if tag == "ab" else aggs, gargs,
+            spark, out_dir, ab_aggs if i >= n_br else aggs, gargs,
             gcols, derived, p)
         passes.append(b)
     part_names = [n for n, _, _ in parts]
     tagged = [p.select(*[F.col(c).alias(f"{c}__{t}")
                          for c in gcols + part_names])
               for p, t in zip(passes, tags)]
-    a, b = tagged[0], tagged[1]
-    cond = None
-    for g in gcols:
-        c = a[f"{g}__a"].eqNullSafe(b[f"{g}__b"])
-        cond = c if cond is None else (cond & c)
-    u = a.join(b, cond, "full_outer")
-    key = {g: F.coalesce(u[f"{g}__a"], u[f"{g}__b"]) for g in gcols}
-    if len(tagged) == 3:
-        ab = tagged[2]
-        cond2 = None
+    # observed groups = union of the BRANCH passes (an intersection pass
+    # cannot hold a group its branches lack): chain full outer joins over
+    # the branches, carrying the coalesced key forward
+    u = tagged[0]
+    key = {g: u[f"{g}__{tags[0]}"] for g in gcols}
+    for i in range(1, n_br):
+        t = tagged[i]
+        cond = None
         for g in gcols:
-            c = key[g].eqNullSafe(ab[f"{g}__ab"])
-            cond2 = c if cond2 is None else (cond2 & c)
-        u = u.join(ab, cond2, "left_outer")
+            c = key[g].eqNullSafe(t[f"{g}__{tags[i]}"])
+            cond = c if cond is None else (cond & c)
+        u = u.join(t, cond, "full_outer")
+        key = {g: F.coalesce(key[g], u[f"{g}__{tags[i]}"]) for g in gcols}
+    for i in range(n_br, len(tagged)):
+        t = tagged[i]
+        cond = None
+        for g in gcols:
+            c = key[g].eqNullSafe(t[f"{g}__{tags[i]}"])
+            cond = c if cond is None else (cond & c)
+        u = u.join(t, cond, "left_outer")
 
-    def ie(name: str):  # only reachable when the third pass ran
-        xs = [F.coalesce(F.col(f"{name}__{t}"), F.lit(0)) for t in tags]
-        return xs[0] + xs[1] - xs[2]
+    def ie(name: str):  # signed IE over one partial across every pass
+        out = None
+        for s, t in zip(signs, tags):
+            leg = F.coalesce(F.col(f"{name}__{t}"), F.lit(0)) * F.lit(s)
+            out = leg if out is None else out + leg
+        return out
 
     sel = [key[g].alias(g) for g in gcols]
     for name, kind, aux in parts:
@@ -2461,9 +2524,10 @@ def _orx_grouped(spark: SparkSession, r: dict, gargs: list,
         elif kind == "sum":
             sel.append(F.when(ie(aux) > 0, ie(name))
                        .cast("long").alias(name))
-        else:  # mn / mx
+        else:  # mn / mx: null-skipping extremes over the branch passes
             f = F.least if kind == "mn" else F.greatest
-            sel.append(f(F.col(f"{name}__a"), F.col(f"{name}__b"))
+            sel.append(f(*[F.col(f"{name}__{tags[i]}")
+                           for i in range(n_br)])
                        .cast("long").alias(name))
     return u.select(*sel), jmap
 
@@ -2650,10 +2714,11 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             ab_aggs = {alias: (("nncount", spec[1])
                                if spec[0] in ("min", "max") else spec)
                        for alias, spec in aggs.items()}
+            n_br, orx_signs, _ = _orx_shape(r)
             passes = []
-            for sgn, tag, p in zip((1, 1, -1), ("a", "b", "ab"), r["orx"]):
+            for i, (sgn, p) in enumerate(zip(orx_signs, r["orx"])):
                 b, jmap = _grouped_partials(
-                    spark, out_dir, ab_aggs if tag == "ab" else aggs,
+                    spark, out_dir, ab_aggs if i >= n_br else aggs,
                     gargs + ddims, kcols + ddims, derived, p)
                 passes.append(b.withColumn("__sign", F.lit(sgn)))
             base = passes[0]

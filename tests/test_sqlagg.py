@@ -503,6 +503,35 @@ ROUTABLE = [
     "WHERE endswith(source, '3') OR lang IS NULL",
     "SELECT lang, count(*) AS c FROM docs "
     "WHERE source LIKE '%item%' AND n_chars > 1000 GROUP BY lang",
+    # THREE-branch cross-column OR (late round 5): n branch passes plus
+    # every >=2 subset intersection with IE signs — 7 passes additive,
+    # 3 passes for extremes/DISTINCT; same-column branches merge first,
+    # so 'lang=en OR lang=de OR n>4000' is a clean 2-branch OR
+    "SELECT count(*) AS c, sum(n_chars) AS s, avg(n_chars) AS a "
+    "FROM docs WHERE lang = 'en' OR n_chars > 4000 "
+    "OR source LIKE 'src1/%'",
+    "SELECT lang, count(*) AS c, sum(n_chars) AS s FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000 OR source LIKE 'src1/%' "
+    "GROUP BY lang",
+    "SELECT min(n_chars) AS mn, max(doc_id) AS mx FROM docs "
+    "WHERE lang = 'de' OR n_chars > 4500 OR source LIKE '%item9%'",
+    "SELECT lang, count(DISTINCT source) AS d, count(*) AS c, "
+    "max(doc_id) AS mx FROM docs "
+    "WHERE lang = 'en' OR n_chars > 4000 OR doc_id < 100 GROUP BY lang",
+    "SELECT lang, count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR n_chars > 3500 OR doc_id < 200 "
+    "GROUP BY lang HAVING count(*) > 5 ORDER BY c DESC, lang",
+    "SELECT count(*) AS c, sum(doc_id) AS s FROM docs "
+    "WHERE n_chars > 1000 OR n_chars > 2000 OR lang = 'fr'",
+    "SELECT count(*) AS c FROM docs "
+    "WHERE lang = 'en' OR lang = 'de' OR n_chars > 4000",
+    "SELECT lang, count(*) AS c, avg(n_chars) AS a FROM docs "
+    "WHERE lang = 'en' OR lang = 'fr' OR n_chars > 4500 OR doc_id < 40 "
+    "GROUP BY lang",
+    "SELECT count(*) AS c FROM docs WHERE source LIKE 'src1/%' "
+    "OR source LIKE 'src2/%' OR n_chars > 4500",
+    "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR lang = 'de' "
+    "OR (n_chars > 4000 AND doc_id < 600)",
 ]
 
 FALLBACK = [
@@ -512,9 +541,10 @@ FALLBACK = [
     "FROM docs WHERE lang = 'en' OR n_chars > 4000",
     "SELECT sum(DISTINCT n_chars) AS s FROM docs",         # distinct sum
     "SELECT doc_id, n_chars FROM docs WHERE lang = 'en'",  # not an aggregate
-    # cross-column OR stays a fallback beyond two branches
-    "SELECT count(*) AS c FROM docs "
-    "WHERE lang = 'en' OR n_chars > 100 OR source = 'src2'",
+    # cross-column OR stays a fallback beyond THREE branch columns
+    # (2^4 - 1 = 15 inclusion-exclusion passes would not be a win)
+    "SELECT count(*) AS c FROM docs WHERE lang = 'en' OR n_chars > 100 "
+    "OR source = 'src2' OR doc_id < 5",
     "SELECT sum(score) AS s FROM docs",                    # float sum
     "SELECT count(*) AS c FROM docs WHERE lang = 'en' AND lang = 'de'",
     # a custom ESCAPE char changes what the wildcards mean — routing the
@@ -1375,10 +1405,14 @@ def test_route_reason_surfaces_fallback_cause(spark, time_store):
     """route_agg_sql_reason names the first unroutable shape, so
     jobs/query.py --explain can tell the user which clause to rephrase."""
     stores = {"ev": time_store}
+    # four DISTINCT columns stay beyond the 3-branch inclusion-exclusion
+    # cap (2^4 - 1 = 15 passes would not be a win); same-column branches
+    # merge first, so 'lang=en OR lang=de OR n>5' is only 2 branches
     r, reason = sqlagg.route_agg_sql_reason(
         spark, "SELECT count(*) AS c FROM ev "
-               "WHERE lang = 'en' OR n > 5 OR lang = 'de'", stores)
-    assert r is None and "beyond two branches" in reason
+               "WHERE lang = 'en' OR n > 5 OR ts > timestamp'2024-06-01' "
+               "OR tn < timestamp_ntz'2024-01-01'", stores)
+    assert r is None and "beyond three branches" in reason
     r, reason = sqlagg.route_agg_sql_reason(
         spark, "SELECT count(*) AS c FROM ev GROUP BY to_date(ts)", stores)
     assert r is None and "not in SELECT" in reason
@@ -1440,6 +1474,24 @@ def test_cross_column_or_route_shape(spark, store):
         spark, "SELECT lang, count(*) AS c, min(n_chars) AS mn FROM docs "
                "WHERE lang = 'en' OR n_chars > 4000 GROUP BY lang", stores)
     assert len(r4["orx"]) == 3
+
+    # THREE branches (late round 5): additive IE = 3 singles + 3 pairs +
+    # 1 triple = 7 signed passes; extremes/DISTINCT still 3 branch passes
+    r5 = sqlagg.route_agg_sql(
+        spark, "SELECT count(*) AS c FROM docs WHERE lang = 'en' "
+               "OR n_chars > 4000 OR doc_id < 100", stores)
+    assert len(r5["orx"]) == 7 and r5["orx_branches"] == 3
+    assert r5["orx_signs"] == [1, 1, 1, -1, -1, -1, 1]
+    r6 = sqlagg.route_agg_sql(
+        spark, "SELECT min(n_chars) AS mn FROM docs WHERE lang = 'en' "
+               "OR n_chars > 4000 OR doc_id < 100", stores)
+    assert len(r6["orx"]) == 3 and r6["orx_signs"] == [1, 1, 1]
+    # same-column branches merge into one ("or", col, forms) branch
+    r7 = sqlagg.route_agg_sql(
+        spark, "SELECT count(*) AS c FROM docs WHERE lang = 'en' "
+               "OR lang = 'de' OR n_chars > 4000", stores)
+    assert r7["orx_branches"] == 2 and len(r7["orx"]) == 3
+    assert r7["orx"][0] == {"lang": ("or", [("eq", "en"), ("eq", "de")])}
 
 
 def test_hidden_sort_aggregate_route_shape(spark, store):
