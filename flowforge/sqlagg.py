@@ -1290,6 +1290,38 @@ def _expr_finish(df: DataFrame, r: dict) -> DataFrame:
     return df.select(*[F.col(n) for n, _, _ in r["out_cols"]])
 
 
+def _store_view(node, stores) -> str:
+    """SubqueryAlias chain -> registered store view name, verified against
+    the RELATION ITSELF, not the alias text (late round 5 fix): the old
+    top-alias name check routed ``FROM other AS docs`` to store ``docs``
+    — the alias shadows the view name in SQL scope, so Spark read
+    ``other`` while the route read the store: silently wrong rows. Now
+    the aliases are peeled and the node underneath must be the flowforge
+    Data Source relation whose ``path`` option is one of the caller's
+    registered store directories; the matching view name is returned.
+    This also ROUTES aliased stores (``FROM docs d``), which previously
+    fell back on the alias/view name mismatch."""
+    while _cls(node) == "SubqueryAlias":
+        node = node.child()
+    if _cls(node) == "View":
+        node = node.child()
+    if _cls(node) != "DataSourceV2Relation":
+        raise _Unroutable(f"relation {_cls(node)}")
+    try:
+        if str(node.table().name()) != datasource.ChunkStoreDataSource.name():
+            raise _Unroutable(
+                f"relation is a {node.table().name()} table, not a store")
+        path = node.options().get("path")
+    except _Unroutable:
+        raise
+    except Exception as e:  # pragma: no cover - defensive py4j surface
+        raise _Unroutable(f"unreadable relation identity: {e}")
+    for view, out_dir in stores.items():
+        if out_dir == path:
+            return view
+    raise _Unroutable(f"relation path {path!r} is not a registered store")
+
+
 def _filter_and_relation(node, stores) -> tuple[list, str]:
     """[Filter] -> SubqueryAlias chain under an Aggregate/Distinct root ->
     (constraints, view name)."""
@@ -1298,12 +1330,7 @@ def _filter_and_relation(node, stores) -> tuple[list, str]:
         for leaf in _flatten_and(node.condition()):
             constraints.append(_leaf_to_constraint(leaf))
         node = node.child()
-    if _cls(node) != "SubqueryAlias":
-        raise _Unroutable(f"relation {_cls(node)}")
-    view = str(node.identifier().toString())
-    if view not in stores:
-        raise _Unroutable(f"view {view!r} is not a registered store")
-    return constraints, view
+    return constraints, _store_view(node, stores)
 
 
 def _route_topk(analyzed, stores: dict[str, str]) -> dict:

@@ -706,6 +706,36 @@ def test_unknown_view_is_not_routed(spark, store):
     assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
 
 
+def test_alias_shadowing_a_store_name_is_not_routed(spark, store):
+    # ``FROM other AS docs``: SQL scope resolves ``docs`` to the ALIAS of
+    # view ``other``, not to the registered store — the route must follow
+    # the relation identity (the flowforge Data Source path), never the
+    # alias text. The old top-alias name check routed this to the store
+    # and returned the store's rows (live wrong-answer bug, late round 5).
+    spark.createDataFrame([("zz", 1)], "lang string, n_chars long") \
+        .createOrReplaceTempView("other")
+    sql = "SELECT lang, count(*) AS c FROM other AS docs GROUP BY lang"
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+    fast, slow = _both(spark, store, sql)
+    # re-register: _both's store_agg_sql re-bound view ``docs``; the
+    # statement must still read ``other`` through the alias
+    spark.createDataFrame([("zz", 1)], "lang string, n_chars long") \
+        .createOrReplaceTempView("other")
+    assert sorted(map(tuple, fast.collect())) == [("zz", 1)]
+    assert sorted(map(tuple, slow.collect())) == [("zz", 1)]
+
+
+def test_aliased_store_routes(spark, store):
+    # ``FROM docs d`` previously fell back on the alias/view name
+    # mismatch; the relation-identity resolution routes it
+    sql = ("SELECT d.lang, count(*) AS c, sum(d.n_chars) AS s "
+           "FROM docs d WHERE d.n_chars > 100 GROUP BY d.lang")
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is not None
+    fast, slow = _both(spark, store, sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect())))
+
+
 DISTINCT_ROUTED = [
     "SELECT DISTINCT lang FROM docs",
     "SELECT DISTINCT lang AS l FROM docs",
