@@ -77,7 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitype_normalize": Q.q_multitype_normalize,
         # relational operators (SURVEY §2.2 categories, DuckDB-oracled)
         "window_running": Q.q_window_running,
-        "cube_lang_source": Q.q_cube_lang_source,
+        # joined-statement aggregate routing (late round 5): store JOIN dim
+        # answers off kernel partials + a broadcast dim join — the CUBE
+        # grouping-sets shape this slot held moved into
+        # store_sqlagg_grouped2's ROLLUP (same lattice machinery)
+        "store_sqlagg_join": Q.q_store_sqlagg_join,
         "anti_customers_no_orders": Q.q_anti_customers_no_orders,
         "semi_parts_shipped": Q.q_semi_parts_shipped,
         "range_join_late_lines": Q.q_range_join_late_lines,
@@ -335,10 +339,16 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_value_c "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
-        "cube_lang_source": (
-            "SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt, "
-            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
-            "FROM documents GROUP BY CUBE(lang, source)"
+        # joined-statement routing (late round 5): kernel partials on the
+        # store join key, broadcast inner join vs the VALUES dim, re-merge
+        "store_sqlagg_join": (
+            "SELECT d.region AS region, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(s.n_chars) AS BIGINT) AS sum_chars, "
+            "min(s.doc_id) AS min_id, max(s.n_chars) AS max_chars, "
+            "count(s.text) AS nn_text "
+            "FROM documents s JOIN (VALUES ('en', 'west'), ('de', 'east'), "
+            "('fr', 'west')) AS d(lang, region) ON s.lang = d.lang "
+            "WHERE s.n_chars > 100 GROUP BY d.region ORDER BY region"
         ),
         "anti_customers_no_orders": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS no_order_customers "

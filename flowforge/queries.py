@@ -481,6 +481,34 @@ def q_store_sqlagg_grouped2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 
+def q_store_sqlagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joined-statement routing (late round 5): ``store JOIN dim`` typed as
+    SQL routes as ONE grouped kernel pass keyed on the store-side join key
+    (metadata/codec kernels with the full bucket/zone-map pruning stack),
+    a BROADCAST inner equi-join of those O(ndv) partials against the dim
+    subplan (here an inline VALUES table — no registered view needed), and
+    one re-merge groupBy on the final output keys. The 10^12-row store
+    never shuffles raw rows: the plan's single exchange carries
+    O(partitions x join-key ndv) partial rows. Duplicate dim keys multiply
+    partials exactly like row-level inner-join multiplicity ('west'
+    carries both en and fr). Route is asserted; parity/fallback matrix in
+    tests/test_join_route.py."""
+    from . import sqlagg
+
+    out = _ensure_store(spark, sf_dir, "documents", "doc_id")
+    sql = ("SELECT d.region AS region, count(*) AS cnt, "
+           "sum(s.n_chars) AS sum_chars, min(s.doc_id) AS min_id, "
+           "max(s.n_chars) AS max_chars, count(s.text) AS nn_text "
+           "FROM docs s JOIN (VALUES ('en', 'west'), ('de', 'east'), "
+           "('fr', 'west')) AS d(lang, region) ON s.lang = d.lang "
+           "WHERE s.n_chars > 100 GROUP BY d.region ORDER BY region")
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
+    if r is None or r.get("join") is None:
+        raise RuntimeError("store_sqlagg_join: statement failed to route "
+                           "through the joined-statement path")
+    return sqlagg.store_agg_sql(spark, sql, {"docs": out})
+
+
 def q_store_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ORDER BY/LIMIT pushdown (round 5, verdict next #3): 'latest
     25 events WHERE event_type=click' typed as SQL routes to

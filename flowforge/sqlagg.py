@@ -1333,6 +1333,134 @@ def _filter_and_relation(node, stores) -> tuple[list, str]:
     return constraints, _store_view(node, stores)
 
 
+class _PlanHandle:
+    """Holds the dim side's ANALYZED logical plan for a routed join.
+    Wrapped so ``json.dumps(route, default=str)`` in --explain prints a
+    one-line tag instead of the full multi-line plan tree."""
+
+    def __init__(self, jplan, n_cols: int):
+        self.jplan = jplan
+        self.n_cols = n_cols
+
+    def __str__(self) -> str:  # pragma: no cover - cosmetic
+        return f"<analyzed dim subplan ({self.n_cols} cols)>"
+
+    __repr__ = __str__
+
+
+def _ref_ids(e) -> set[int]:
+    """exprIds of every attribute an expression references."""
+    refs = e.references().toSeq()
+    return {int(refs.apply(i).exprId().id()) for i in range(refs.size())}
+
+
+def _out_map(plan) -> dict[int, tuple[str, int]]:
+    """plan output -> {exprId: (name, position)} (py4j Seq order)."""
+    out = plan.output()
+    return {int(out.apply(i).exprId().id()): (str(out.apply(i).name()), i)
+            for i in range(out.size())}
+
+
+def _contains_store_relation(node) -> bool:
+    """True if any flowforge Data Source relation sits in the subtree."""
+    if _cls(node) == "DataSourceV2Relation":
+        try:
+            return str(node.table().name()) \
+                == datasource.ChunkStoreDataSource.name()
+        except Exception:  # pragma: no cover - defensive py4j surface
+            return True
+    ch = node.children()
+    return any(_contains_store_relation(ch.apply(i))
+               for i in range(ch.size()))
+
+
+def _try_store_view(node, stores) -> str | None:
+    try:
+        return _store_view(node, stores)
+    except _Unroutable:
+        return None
+
+
+def _parse_join(node, stores) -> tuple[dict, str]:
+    """Inner equi-join of ONE registered store with a small dim subplan ->
+    (join description, store view name). The dim side may be any analyzed
+    subplan that contains no chunk store (a plain view, a VALUES inline
+    table, a filtered/projected subquery — it re-materializes via
+    ``Dataset.ofRows`` at execution and is broadcast, so it must be
+    small); sides are told apart by exprId, never by column NAME, because
+    the natural join spelling ``ON s.lang = d.lang`` has the same name on
+    both sides."""
+    jt = str(node.joinType().sql())
+    if jt != "INNER":
+        raise _Unroutable(f"{jt} join")
+    if node.condition().isEmpty():
+        raise _Unroutable("join without a condition")
+    left, right = node.left(), node.right()
+    lview = _try_store_view(left, stores)
+    rview = _try_store_view(right, stores)
+    if lview is not None and rview is not None:
+        raise _Unroutable("join of two stores")
+    if lview is None and rview is None:
+        raise _Unroutable("join without a store side")
+    store_side, dim_side = (left, right) if lview else (right, left)
+    view = lview if lview is not None else rview
+    if _contains_store_relation(dim_side):
+        # a store nested in the dim subplan would re-materialize fully
+        # into the broadcast — never the plan to route to
+        raise _Unroutable("chunk store inside the dim side of a join")
+    store_ids = _out_map(store_side)
+    dim_ids = _out_map(dim_side)
+    pairs: list[tuple[str, int]] = []  # (store column, dim position)
+    for leaf in _flatten_and(node.condition().get()):
+        if _cls(leaf) != "EqualTo":
+            raise _Unroutable(f"join condition {_cls(leaf)}")
+        a, b = leaf.children().apply(0), leaf.children().apply(1)
+        if _cls(a) != "AttributeReference" \
+                or _cls(b) != "AttributeReference":
+            # a Cast here means the key types differ — the kernel's group
+            # values carry the store column's own type, so only same-type
+            # plain-column equalities route
+            raise _Unroutable("join keys must be plain same-type columns")
+        aid, bid = int(a.exprId().id()), int(b.exprId().id())
+        if aid in store_ids and bid in dim_ids:
+            pairs.append((store_ids[aid][0], dim_ids[bid][1]))
+        elif bid in store_ids and aid in dim_ids:
+            pairs.append((store_ids[bid][0], dim_ids[aid][1]))
+        else:
+            raise _Unroutable("join equality not across the two sides")
+    return {"view": view, "plan": _PlanHandle(dim_side, len(dim_ids)),
+            "store_ids": store_ids, "dim_ids": dim_ids,
+            "pairs": pairs, "n_dim": len(dim_ids)}, view
+
+
+def _filter_join_relation(node, stores) -> tuple[list, str, dict | None]:
+    """[Filter] -> Join | alias chain -> (constraints, view, join|None).
+
+    With a Join under the WHERE, every AND leaf must constrain the STORE
+    side only: store-side conjuncts push down as usual; a conjunct
+    touching the dim side falls back (phrase it inside the dim view /
+    subquery instead — for an INNER join the result is the same)."""
+    fcond = None
+    if _cls(node) == "Filter":
+        fcond = node.condition()
+        node = node.child()
+    if _cls(node) != "Join":
+        constraints = ([_leaf_to_constraint(leaf)
+                        for leaf in _flatten_and(fcond)]
+                       if fcond is not None else [])
+        return constraints, _store_view(node, stores), None
+    join, view = _parse_join(node, stores)
+    constraints = []
+    if fcond is not None:
+        dim_idset = set(join["dim_ids"])
+        for leaf in _flatten_and(fcond):
+            if _ref_ids(leaf) & dim_idset:
+                raise _Unroutable(
+                    "WHERE constrains the dim side of a joined statement")
+            constraints.append(_leaf_to_constraint(leaf))
+    return constraints, view, join
+
+
 def _route_topk(analyzed, stores: dict[str, str]) -> dict:
     """GlobalLimit(LocalLimit(Sort(Project(SubqueryAlias)))) ->
     engine.topk_table routing. Requires exactly (order_col [ASC|DESC],
@@ -1898,11 +2026,40 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         gexprs, gid_attr, gsets, key_srcs, src_chain = _parse_gsets(node)
         constraints, view = _filter_and_relation(src_chain, stores)
         parsed = [_parse_group_expr(s) for s in key_srcs]
+        join = None
     else:
-        constraints, view = _filter_and_relation(node.child(), stores)
+        constraints, view, join = _filter_join_relation(node.child(),
+                                                        stores)
         ges = node.groupingExpressions()
         gexprs = [ges.apply(i) for i in range(ges.size())]
-        parsed = [_parse_group_expr(g) for g in gexprs]
+        if join is None:
+            parsed = [_parse_group_expr(g) for g in gexprs]
+        else:
+            # joined statement (late round 5): group keys may come from
+            # either side — a dim attribute becomes a ("dimkey", pos)
+            # spec the execution resolves from the broadcast dim frame;
+            # store keys stay plain kernel dimensions. Derived keys,
+            # count(distinct), grouping sets, and cross-column ORs keep
+            # their named fallbacks in the joined shape (v1 scope).
+            parsed = []
+            for g in gexprs:
+                if _cls(g) == "AttributeReference" \
+                        and int(g.exprId().id()) in join["dim_ids"]:
+                    pos = join["dim_ids"][int(g.exprId().id())][1]
+                    parsed.append((None, ("dimkey", pos)))
+                    continue
+                gids = _ref_ids(g)
+                if not gids <= set(join["store_ids"]):
+                    if gids <= set(join["dim_ids"]):
+                        raise _Unroutable("derived group key in a "
+                                          "joined statement")
+                    raise _Unroutable(
+                        "group key mixes the two join sides")
+                src, tr = _parse_group_expr(g)
+                if tr is not None:
+                    raise _Unroutable("derived group key in a joined "
+                                      "statement")
+                parsed.append((src, tr))
     # output names: a plain key keeps its column name; a derived key takes
     # the SELECT alias of the first item semantically equal to it (a
     # derived key that never appears in the SELECT has no name to carry
@@ -1938,6 +2095,16 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             out_cols.append((out_name, "group", g_names[matched]))
         elif _cls(named) == "AggregateExpression":
             alias, spec = _parse_agg_fn(e)
+            if join is not None:
+                if spec[0] in ("cntd", "cntde"):
+                    raise _Unroutable(
+                        "count(distinct) in a joined statement")
+                if not _ref_ids(named) <= set(join["store_ids"]):
+                    # a dim column may share its NAME with a store column
+                    # (ON s.lang = d.lang) — aggregate args bind by
+                    # exprId, so sum(d.w) must not route as sum(store.w)
+                    raise _Unroutable(
+                        "aggregate over the dim side of a join")
             if alias in aggs:
                 raise _Unroutable(f"duplicate output alias {alias!r}")
             aggs[alias] = spec
@@ -1951,6 +2118,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             try:
                 espec = _expr_spec(named, aggs, hidden)
                 kind = "expr"
+                if join is not None \
+                        and not _ref_ids(named) <= set(join["store_ids"]):
+                    raise _Unroutable(
+                        "aggregate expression over the dim side of a join")
             except _Unroutable:
                 if _contains_agg(named):
                     # the expression reads aggregates, so the group-key
@@ -1982,6 +2153,12 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 gsrcs: list[str] = []
                 espec = _sqlexpr_build(named, gsrcs, resolve=_resolve)
                 kind = "gexpr"
+                if join is not None and gsrcs:
+                    # the joined finishing frame carries only the group
+                    # outputs and partials — raw source columns are not
+                    # available to re-evaluate against
+                    raise _Unroutable("expression over non-key columns "
+                                      "in a joined statement")
             if out_name in aggs:
                 raise _Unroutable(f"duplicate output alias {out_name!r}")
             out_cols.append((out_name, kind, espec))
@@ -2206,6 +2383,33 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             raise _Unroutable(
                 "grouped aggregate beyond count(*) + "
                 "count/sum/avg/min/max")
+    if join is not None:
+        if orx_preds is not None:
+            # the inclusion-exclusion join composition and the dim join
+            # are both per-group outer compositions — composing them is
+            # untested surface for a marginal shape
+            raise _Unroutable("cross-column OR in a joined statement")
+        # kernel pass dimensions: the store-side join keys plus the
+        # store-side group keys (deduplicated — a key may be both)
+        kframe: list[str] = []
+        for sk, _ in join["pairs"]:
+            if sk not in kframe:
+                kframe.append(sk)
+        for (src, tr), out in zip(parsed, g_names):
+            if tr is None and src not in kframe:
+                kframe.append(src)
+        join["kernel_keys"] = kframe
+        jk_pos = {p for _, p in join["pairs"]}
+        for (src, tr), out in zip(parsed, g_names):
+            if tr is None or tr[1] in jk_pos:
+                # store keys keep their names; a dim key that IS a join
+                # key resolves to the equal store column instead
+                continue
+            if _PARTIAL_COL_RE.match(out) or out.startswith("__"):
+                # the joined finishing frame carries the kernel partials
+                # beside the group outputs
+                raise _Unroutable(
+                    "dim key output name collides with a kernel column")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
     final = None
@@ -2224,9 +2428,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             final.append((ids[key], out_name))
     return {
         "out_dir": stores[view],
+        "join": join,
         "group_col": (group_cols[0]
                       if len(group_cols) == 1 and not derived
-                      and gsets is None else None),
+                      and gsets is None and join is None else None),
         "group_cols": group_cols,
         "group_specs": group_specs,
         "aggs": aggs,
@@ -2651,6 +2856,74 @@ def _gsets_expand(base: DataFrame, r: dict) -> DataFrame:
     return out
 
 
+def _exec_join(spark: SparkSession, r: dict):
+    """Joined-statement execution (late round 5): ONE grouped kernel pass
+    keyed on the store-side join keys (plus store-side group keys)
+    collapses the store to O(key ndv) pre-merge partial rows with the full
+    bucket/zone-map pruning stack; the dim subplan re-materializes via
+    ``Dataset.ofRows`` and BROADCASTS into an inner equi-join against
+    those partials — a dim row with k key matches duplicates a partial k
+    times, exactly the row-level inner-join multiplicity, and NULL store
+    keys drop at the equality, matching SQL inner-join semantics — then
+    ONE groupBy on the final output keys re-merges the partials (cnt/sum/
+    nn re-add, mn/mx re-min/max: the kernels' own multi-bucket
+    combination). At 10^12 rows the store never shuffles raw rows: the
+    plan's single exchange carries O(partitions x join-key ndv) partials
+    keyed on the FINAL group columns."""
+    from pyspark.sql import DataFrame as _DF
+    jn = r["join"]
+    kcols = list(jn["kernel_keys"])
+    base, jmap = _grouped_partials(spark, r["out_dir"], r["aggs"],
+                                   kcols, kcols, False,
+                                   r["predicates"] or None, merge=False)
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, jn["plan"].jplan)
+    dim = _DF(jdf, spark).toDF(*[f"__dim{i}" for i in range(jn["n_dim"])])
+    need = sorted({p for _, p in jn["pairs"]}
+                  | {tr[1] for _, tr, _ in r["group_specs"]
+                     if tr and tr[0] == "dimkey"})
+    dim = F.broadcast(dim.select(*[dim[f"__dim{p}"] for p in need]))
+    cond = None
+    for sk, p in jn["pairs"]:
+        c = base[sk] == dim[f"__dim{p}"]
+        cond = c if cond is None else cond & c
+    joined = base.join(dim, cond, "inner")
+    jk_store = {p: sk for sk, p in jn["pairs"]}
+    sel = []
+    for src, tr, out in r["group_specs"]:
+        if tr and tr[0] == "dimkey":
+            p = tr[1]
+            # a dim key that IS a join key equals the store column on
+            # every surviving row — read the store side (no payload col)
+            col = base[jk_store[p]] if p in jk_store else dim[f"__dim{p}"]
+            sel.append(col.alias(out))
+        else:
+            sel.append(base[src].alias(out))
+    parts = [c for c in base.columns if _PARTIAL_COL_RE.match(c)]
+    joined = joined.select(*sel, *[base[c] for c in parts])
+    gcols = r["group_cols"]
+    fins = []
+    for c in parts:
+        if c.startswith("mn"):
+            fins.append(F.min(c).cast("long").alias(c))
+        elif c.startswith("mx"):
+            fins.append(F.max(c).cast("long").alias(c))
+        elif gcols:
+            # grouped: plain re-adds — a NULL sum partial means zero
+            # non-null rows contributed, exactly what F.sum skips
+            fins.append(F.sum(c).cast("long").alias(c))
+        elif c == "cnt" or c.startswith("nn"):
+            # ungrouped: count over an empty join is 0, not NULL
+            fins.append(F.coalesce(F.sum(c), F.lit(0))
+                        .cast("long").alias(c))
+        else:  # ungrouped sum{j}: NULL iff its nn partial total is 0
+            fins.append(F.when(F.sum("nn" + c[3:]) > 0, F.sum(c))
+                        .cast("long").alias(c))
+    if gcols:
+        return joined.groupBy(*gcols).agg(*fins), jmap
+    return joined.agg(*fins), jmap
+
+
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
     if r.get("kind") == "topk":
         return engine.topk_table(
@@ -2902,7 +3175,15 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         sel += [F.expr(spec).alias(name)
                 for name, kind, spec in r["out_cols"] if kind == "gexpr"]
         return _finish(_expr_finish(fin.select(*sel), r), r)
-    if not group_cols:
+    has_sqlexpr = any(tr and tr[0] == "sqlexpr"
+                      for _, tr, _ in (gspecs or []))
+    if r.get("join"):
+        # joined statement: kernel pass on the store-side keys, broadcast
+        # inner join against the dim subplan, re-merge partials on the
+        # final group columns (grouped) or in one global agg (ungrouped);
+        # the shared finishing select below reads the result unchanged
+        base, jmap = _exec_join(spark, r)
+    elif not group_cols:
         if r.get("orx"):
             return _finish(_expr_finish(_orx_agg(spark, r), r), r)
         df = engine.agg_table(spark, out_dir, aggs, predicates=preds or None)
@@ -2921,9 +3202,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             else:
                 sel.append(F.col(name))
         return _finish(_expr_finish(df.select(*sel), r), r)
-    has_sqlexpr = any(tr and tr[0] == "sqlexpr"
-                      for _, tr, _ in (gspecs or []))
-    if r.get("gsets"):
+    elif r.get("gsets"):
         # grouping sets: one kernel pass at the finest (union-of-keys)
         # grouping, merged per group (the sqlexpr re-group below when
         # keys are derived), then per-set re-aggregation + union

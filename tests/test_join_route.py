@@ -1,0 +1,236 @@
+"""Joined-statement routing (flowforge/sqlagg.py, late round 5).
+
+``store JOIN dim`` aggregates route as: one grouped kernel pass keyed on
+the store-side join keys (metadata/codec kernels, full pruning stack),
+a BROADCAST inner equi-join of those O(ndv) partials against the dim
+subplan, and one re-merge groupBy on the final keys — the store never
+shuffles raw rows. Every statement here runs routed AND as plain
+spark.sql over the same views and must agree on rows and schema,
+including the inner-join subtleties the composition must reproduce:
+duplicate dim keys multiply row counts, NULL keys never match, dim rows
+without matches vanish.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flowforge import engine, sqlagg
+
+ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    rng = np.random.default_rng(11)
+    rows = [
+        (
+            int(i),
+            ["en", "de", "fr", None][int(rng.integers(0, 4))],
+            f"src{int(rng.integers(0, 5))}",
+            int(rng.integers(0, 1000)),
+            float(rng.standard_normal()),
+        )
+        for i in range(ROWS)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n long, "
+              "score double")
+    out = str(tmp_path_factory.mktemp("joinroute")) + "/store"
+    engine.run_encode(spark, df, out, buckets=4, salt_col="source")
+    return out
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    # ``dim``: unique keys, one key ('zz') matching nothing, one store
+    # lang (None and 'fr') without a dim row; a NAME-COLLIDING ``lang``
+    # column (the natural ON s.lang = d.lang spelling)
+    spark.createDataFrame(
+        [("en", "west", 1.0), ("de", "east", 2.0), ("zz", "north", 9.9)],
+        "lang string, region string, w double",
+    ).createOrReplaceTempView("dim")
+    # ``dimdup``: duplicate join keys (en x2) — inner-join multiplicity —
+    # plus a NULL key row, which SQL equality never matches
+    spark.createDataFrame(
+        [("en", "west"), ("en", "west2"), ("de", "east"), (None, "void")],
+        "lang string, region string",
+    ).createOrReplaceTempView("dimdup")
+    # ``dim2``: two-column join key
+    spark.createDataFrame(
+        [("en", "src0", "hot"), ("de", "src1", "cold"),
+         ("fr", "src2", "cold")],
+        "lang string, source string, label string",
+    ).createOrReplaceTempView("dim2")
+
+
+ROUTED = [
+    # grouped by a dim payload column, WHERE on the store side
+    "SELECT d.region AS region, count(*) AS cnt, sum(s.n) AS t, "
+    "min(s.doc_id) AS md FROM docs s JOIN dim d ON s.lang = d.lang "
+    "WHERE s.n > 100 GROUP BY d.region ORDER BY region",
+    # store + dim keys mixed, HAVING + avg + ORDER BY
+    "SELECT s.source, d.region, count(*) AS cnt, avg(s.n) AS a "
+    "FROM docs s JOIN dim d ON s.lang = d.lang "
+    "GROUP BY s.source, d.region HAVING count(*) > 20 "
+    "ORDER BY s.source, d.region",
+    # ungrouped global aggregate over the join
+    "SELECT count(*) AS c, sum(s.n) AS t, max(s.n) AS mx, "
+    "count(s.source) AS nc FROM docs s JOIN dim d ON s.lang = d.lang",
+    # dim key that IS the join key (reads the equal store column)
+    "SELECT d.lang, count(*) AS c FROM docs s JOIN dim d "
+    "ON s.lang = d.lang GROUP BY d.lang ORDER BY d.lang",
+    # store on the RIGHT side of the JOIN
+    "SELECT d.region, count(*) AS c FROM dim d JOIN docs s "
+    "ON d.lang = s.lang GROUP BY d.region ORDER BY d.region",
+    # duplicate dim keys multiply counts; NULL dim keys match nothing
+    "SELECT d.region, count(*) AS c, sum(s.n) AS t FROM docs s "
+    "JOIN dimdup d ON s.lang = d.lang GROUP BY d.region ORDER BY d.region",
+    "SELECT count(*) AS c FROM docs s JOIN dimdup d ON s.lang = d.lang",
+    # two-column equi-join
+    "SELECT d.label, count(*) AS c, sum(s.n) AS t FROM docs s JOIN dim2 d "
+    "ON s.lang = d.lang AND s.source = d.source "
+    "GROUP BY d.label ORDER BY d.label",
+    # inline VALUES dim — no registered view at all
+    "SELECT d.region, count(*) AS c FROM docs s JOIN "
+    "(VALUES ('en', 'west'), ('de', 'east')) AS d(lang, region) "
+    "ON s.lang = d.lang GROUP BY d.region ORDER BY d.region",
+    # filtered/projected subquery dim (the dim-side WHERE lives INSIDE)
+    "SELECT d.region, count(*) AS c FROM docs s JOIN "
+    "(SELECT lang, region FROM dim WHERE w >= 1.0) d "
+    "ON s.lang = d.lang GROUP BY d.region ORDER BY d.region",
+    # arithmetic over aggregates + ORDER BY a hidden aggregate + LIMIT
+    "SELECT d.region, sum(s.n)/count(*) AS avg_n FROM docs s "
+    "JOIN dim d ON s.lang = d.lang GROUP BY d.region "
+    "ORDER BY count(*) DESC LIMIT 2",
+    # no visible aggregate: which joined combinations exist
+    "SELECT s.source, d.region FROM docs s JOIN dim d ON s.lang = d.lang "
+    "GROUP BY s.source, d.region ORDER BY s.source, d.region",
+]
+
+FALLBACK = [
+    ("SELECT count(*) AS c FROM docs s LEFT JOIN dim d "
+     "ON s.lang = d.lang", "LEFT OUTER join"),
+    ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.lang = d.lang "
+     "WHERE d.w > 1", "dim side"),
+    ("SELECT sum(d.w) AS t FROM docs s JOIN dim d ON s.lang = d.lang",
+     "dim side"),
+    ("SELECT count(distinct s.source) AS c FROM docs s JOIN dim d "
+     "ON s.lang = d.lang", "count(distinct)"),
+    ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.n > d.w",
+     "join condition"),
+    ("SELECT count(*) AS c FROM docs s JOIN dim d "
+     "ON s.lang = d.lang AND s.n > 1", "join condition"),
+    ("SELECT count(*) AS c FROM docs s CROSS JOIN dim d", "cross"),
+    # count of the join-key column itself: the kernel cannot aggregate a
+    # group dimension (engine precondition — the dry-run surfaces it)
+    ("SELECT count(s.lang) AS c FROM docs s JOIN dim d "
+     "ON s.lang = d.lang", "agg columns must differ"),
+    ("SELECT d.region, sum(s.score) AS t FROM docs s JOIN dim d "
+     "ON s.lang = d.lang GROUP BY d.region", "over type double"),
+    ("SELECT upper(d.region) AS r, count(*) AS c FROM docs s JOIN dim d "
+     "ON s.lang = d.lang GROUP BY upper(d.region)", "derived group key"),
+    # dim key aliased to a kernel partial name collides in the finishing
+    ("SELECT d.region AS cnt, count(*) AS c FROM docs s JOIN dim d "
+     "ON s.lang = d.lang GROUP BY d.region", "collides"),
+    # a second store in the statement — never broadcast a chunk store
+    ("SELECT count(*) AS c FROM docs s JOIN docs t ON s.doc_id = t.doc_id",
+     "two stores"),
+    # grouping sets over a join
+    ("SELECT d.region, count(*) AS c FROM docs s JOIN dim d "
+     "ON s.lang = d.lang GROUP BY ROLLUP(d.region)", "relation Join"),
+    # cross-column OR on the store side of a join
+    ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.lang = d.lang "
+     "WHERE s.n > 900 OR s.source = 'src1'",
+     "cross-column OR in a joined statement"),
+]
+
+
+def _both(spark, store, sql):
+    fast = sqlagg.store_agg_sql(spark, sql, {"docs": store})
+    slow = spark.sql(sql)
+    return fast, slow
+
+
+def _rows_match(fast, slow):
+    """Sorted row-set equality, floats compared to 9 significant digits:
+    a double sum's value depends on partial ordering, which differs
+    between the two plans run-to-run."""
+    def norm(df):
+        return sorted(
+            tuple(f"{v:.9g}" if isinstance(v, float) else repr(v)
+                  for v in row)
+            for row in map(tuple, df.collect())
+        )
+    return norm(fast) == norm(slow)
+
+
+@pytest.mark.parametrize("sql", ROUTED)
+def test_joined_statements_route_and_match_spark(spark, store, dims, sql):
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": store})
+    assert r is not None and r.get("join") is not None
+    fast, slow = _both(spark, store, sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields]
+    assert _rows_match(fast, slow)
+
+
+@pytest.mark.parametrize("sql,why", FALLBACK)
+def test_joined_fallbacks_are_correct(spark, store, dims, sql, why):
+    r, reason = sqlagg.route_agg_sql_reason(spark, sql, {"docs": store})
+    assert r is None
+    assert why.lower() in (reason or "").lower()
+    fast, slow = _both(spark, store, sql)
+    assert _rows_match(fast, slow)
+
+
+def test_empty_dim_and_unmatched_store(spark, store, dims):
+    spark.createDataFrame([], "lang string, region string") \
+        .createOrReplaceTempView("dimempty")
+    for sql in (
+        "SELECT count(*) AS c, sum(s.n) AS t FROM docs s "
+        "JOIN dimempty d ON s.lang = d.lang",
+        "SELECT d.region, count(*) AS c FROM docs s "
+        "JOIN dimempty d ON s.lang = d.lang GROUP BY d.region",
+    ):
+        assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is not None
+        fast, slow = _both(spark, store, sql)
+        assert _rows_match(fast, slow)
+
+
+def test_join_route_shape_and_pruning_stats(spark, store, dims):
+    sql = ("SELECT d.region, count(*) AS cnt FROM docs s "
+           "JOIN dim d ON s.lang = d.lang WHERE s.n > 100 "
+           "GROUP BY d.region")
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": store})
+    assert r["join"]["pairs"] == [("lang", 0)]
+    assert r["join"]["kernel_keys"] == ["lang"]
+    assert r["predicates"]  # the store-side WHERE routed as predicates
+    stats = sqlagg.route_pruning_stats(r)
+    assert stats["buckets_total"] >= stats["buckets_read"] >= 0
+    # the dim side broadcasts: the physical plan must carry a broadcast
+    # exchange and exactly ONE shuffle exchange (the final-key re-merge)
+    df = sqlagg.store_agg_sql(spark, sql, {"docs": store})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, plan
+
+
+def test_join_multiplicity_exact(spark, store, dims):
+    # duplicate dim keys are the easy thing to get wrong: each store row
+    # with lang='en' must count TWICE through dimdup — pin the arithmetic
+    # against an independent derivation, not just plan-vs-plan
+    en = ROWS_BY_LANG(spark, store)
+    sql = ("SELECT count(*) AS c FROM docs s JOIN dimdup d "
+           "ON s.lang = d.lang")
+    fast = sqlagg.store_agg_sql(spark, sql, {"docs": store})
+    assert fast.collect()[0][0] == 2 * en["en"] + en["de"]
+
+
+def ROWS_BY_LANG(spark, store):
+    from flowforge import datasource
+    datasource.register(spark)
+    df = datasource._load(spark, store, None, pushdown=True)
+    return {r["lang"]: r["c"] for r in
+            df.groupBy("lang").agg(F.count("*").alias("c")).collect()}
