@@ -345,10 +345,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.region AS region, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(s.n_chars) AS BIGINT) AS sum_chars, "
             "min(s.doc_id) AS min_id, max(s.n_chars) AS max_chars, "
-            "count(s.text) AS nn_text "
-            "FROM documents s JOIN (VALUES ('en', 'west'), ('de', 'east'), "
-            "('fr', 'west')) AS d(lang, region) ON s.lang = d.lang "
-            "WHERE s.n_chars > 100 GROUP BY d.region ORDER BY region"
+            "count(s.text) AS nn_text, "
+            "sum(d.w) AS sum_w, avg(d.w) AS avg_w "
+            "FROM documents s JOIN (VALUES "
+            "('en', 'west', CAST(1.5 AS DOUBLE)), "
+            "('de', 'east', CAST(2.25 AS DOUBLE)), "
+            "('fr', 'west', CAST(0.5 AS DOUBLE)), "
+            "('it', 'north', CAST(0.25 AS DOUBLE))) "
+            "AS d(lang, region, w) ON s.lang = d.lang "
+            "WHERE s.n_chars > 100 AND d.w >= 0.5 "
+            "GROUP BY d.region ORDER BY region"
         ),
         "anti_customers_no_orders": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS no_order_customers "

@@ -491,17 +491,27 @@ def q_store_sqlagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles raw rows: the plan's single exchange carries
     O(partitions x join-key ndv) partial rows. Duplicate dim keys multiply
     partials exactly like row-level inner-join multiplicity ('west'
-    carries both en and fr). Route is asserted; parity/fallback matrix in
-    tests/test_join_route.py."""
+    carries both en and fr). The dim-side WHERE conjunct (d.w >= 0.5,
+    dropping the 'it' row) pushes INTO the broadcast subplan, and the
+    dim-side aggregates re-derive from the cnt partials (sum(d.w) =
+    re-added cnt*w; avg the quotient — the w values are exact binary
+    fractions, so parity with the row-at-a-time oracle is bit-exact).
+    Route is asserted; parity/fallback matrix in tests/test_join_route.py."""
     from . import sqlagg
 
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
     sql = ("SELECT d.region AS region, count(*) AS cnt, "
            "sum(s.n_chars) AS sum_chars, min(s.doc_id) AS min_id, "
-           "max(s.n_chars) AS max_chars, count(s.text) AS nn_text "
-           "FROM docs s JOIN (VALUES ('en', 'west'), ('de', 'east'), "
-           "('fr', 'west')) AS d(lang, region) ON s.lang = d.lang "
-           "WHERE s.n_chars > 100 GROUP BY d.region ORDER BY region")
+           "max(s.n_chars) AS max_chars, count(s.text) AS nn_text, "
+           "sum(d.w) AS sum_w, avg(d.w) AS avg_w "
+           "FROM docs s JOIN (VALUES "
+           "('en', 'west', CAST(1.5 AS DOUBLE)), "
+           "('de', 'east', CAST(2.25 AS DOUBLE)), "
+           "('fr', 'west', CAST(0.5 AS DOUBLE)), "
+           "('it', 'north', CAST(0.25 AS DOUBLE))) "
+           "AS d(lang, region, w) ON s.lang = d.lang "
+           "WHERE s.n_chars > 100 AND d.w >= 0.5 "
+           "GROUP BY d.region ORDER BY region")
     r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
     if r is None or r.get("join") is None:
         raise RuntimeError("store_sqlagg_join: statement failed to route "

@@ -1433,6 +1433,47 @@ def _parse_join(node, stores) -> tuple[dict, str]:
             "pairs": pairs, "n_dim": len(dim_ids)}, view
 
 
+def _parse_dim_agg(e, join: dict) -> str:
+    """Alias(AggregateExpression) whose references all sit on the DIM side
+    -> register ``join["dim_aggs"][alias] = (fn, dim position, output type
+    SQL)`` and return the alias. Routable fns: sum/min/max/avg over a
+    plain dim column and count(col); the value re-derives in the
+    post-broadcast finishing from the partial counts (each matched
+    (partial, dim-row) pair stands for cnt store rows). Decimal outputs
+    fall back: Spark's decimal sum/avg carry exact scale arithmetic the
+    cnt-weighted rebuild does not reproduce."""
+    if _cls(e) != "Alias":
+        raise _Unroutable(f"unaliased select item {e.sql()}")
+    alias = str(e.name())
+    if alias.startswith("__"):
+        raise _Unroutable(f"output alias {alias!r} collides with a "
+                          "kernel-internal name")
+    ae = e.child()
+    if ae.isDistinct():
+        raise _Unroutable("distinct aggregate over the dim side of a join")
+    fn = ae.aggregateFunction()
+    head = _AGG_FNS.get(_cls(fn))
+    if head is None:
+        raise _Unroutable(f"aggregate {_cls(fn)} over the dim side")
+    args = fn.children()
+    if args.size() != 1 or _cls(args.apply(0)) != "AttributeReference":
+        raise _Unroutable(
+            "dim-side aggregate over an expression in a joined statement")
+    aid = int(args.apply(0).exprId().id())
+    if aid not in join["dim_ids"]:
+        raise _Unroutable("dim-side aggregate argument not a dim output")
+    pos = join["dim_ids"][aid][1]
+    head = "nncount" if head == "count" else head
+    dt = str(ae.dataType().sql())
+    if dt.upper().startswith("DECIMAL"):
+        raise _Unroutable("decimal aggregate over the dim side of a join")
+    dim_aggs = join.setdefault("dim_aggs", {})
+    if alias in dim_aggs:
+        raise _Unroutable(f"duplicate output alias {alias!r}")
+    dim_aggs[alias] = (head, pos, dt)
+    return alias
+
+
 def _filter_join_relation(node, stores) -> tuple[list, str, dict | None]:
     """[Filter] -> Join | alias chain -> (constraints, view, join|None).
 
@@ -1453,12 +1494,48 @@ def _filter_join_relation(node, stores) -> tuple[list, str, dict | None]:
     constraints = []
     if fcond is not None:
         dim_idset = set(join["dim_ids"])
+        store_idset = set(join["store_ids"])
+        dim_leaves = []
         for leaf in _flatten_and(fcond):
-            if _ref_ids(leaf) & dim_idset:
+            refs = _ref_ids(leaf)
+            if refs and refs <= dim_idset:
+                # a conjunct over dim columns ONLY pushes INTO the dim
+                # subplan before the broadcast — for an INNER join,
+                # filter-then-join equals join-then-filter exactly
+                # (deterministic predicates only: a nondeterministic one
+                # would evaluate once per dim row instead of once per
+                # matched output row)
+                if not leaf.deterministic():
+                    raise _Unroutable(
+                        "nondeterministic dim-side WHERE in a joined "
+                        "statement")
+                dim_leaves.append(leaf)
+                continue
+            if refs & dim_idset:
                 raise _Unroutable(
-                    "WHERE constrains the dim side of a joined statement")
+                    "WHERE mixes the store and dim sides of a joined "
+                    "statement in one conjunct")
+            if not refs & store_idset:
+                raise _Unroutable(
+                    "WHERE conjunct references neither join side")
             constraints.append(_leaf_to_constraint(leaf))
+        if dim_leaves:
+            join["plan"] = _filtered_plan(join["plan"], dim_leaves)
     return constraints, view, join
+
+
+def _filtered_plan(handle: _PlanHandle, leaves: list) -> _PlanHandle:
+    """Wrap the dim subplan in a Catalyst Filter over the ANDed analyzed
+    conjuncts (exprIds already bound to the plan's own output), so the
+    broadcast carries only the surviving dim rows."""
+    from pyspark.sql import SparkSession
+    jvm = SparkSession.getActiveSession()._jvm
+    cond = leaves[0]
+    for leaf in leaves[1:]:
+        cond = jvm.org.apache.spark.sql.catalyst.expressions.And(cond, leaf)
+    jplan = jvm.org.apache.spark.sql.catalyst.plans.logical.Filter(
+        cond, handle.jplan)
+    return _PlanHandle(jplan, handle.n_cols)
 
 
 def _route_topk(analyzed, stores: dict[str, str]) -> dict:
@@ -2094,21 +2171,34 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 g_names[matched] = out_name
             out_cols.append((out_name, "group", g_names[matched]))
         elif _cls(named) == "AggregateExpression":
-            alias, spec = _parse_agg_fn(e)
-            if join is not None:
-                if spec[0] in ("cntd", "cntde"):
-                    raise _Unroutable(
-                        "count(distinct) in a joined statement")
-                if not _ref_ids(named) <= set(join["store_ids"]):
-                    # a dim column may share its NAME with a store column
-                    # (ON s.lang = d.lang) — aggregate args bind by
-                    # exprId, so sum(d.w) must not route as sum(store.w)
-                    raise _Unroutable(
-                        "aggregate over the dim side of a join")
-            if alias in aggs:
-                raise _Unroutable(f"duplicate output alias {alias!r}")
-            aggs[alias] = spec
-            out_cols.append((alias, "agg", None))
+            if join is not None and _cls(named) == "AggregateExpression" \
+                    and _ref_ids(named) \
+                    and _ref_ids(named) <= set(join["dim_ids"]):
+                # aggregate over the DIM side: each matched (partial,
+                # dim-row) pair stands for cnt store rows, so sum(d.w) =
+                # SUM(cnt*w), count(d.w) = SUM(cnt where w non-null),
+                # min/max(d.w) read the matched dim values directly, and
+                # avg = the sum/count quotient — all computed in the
+                # post-broadcast finishing, never in the kernels
+                alias = _parse_dim_agg(e, join)
+                out_cols.append((alias, "agg", None))
+            else:
+                alias, spec = _parse_agg_fn(e)
+                if join is not None:
+                    if spec[0] in ("cntd", "cntde"):
+                        raise _Unroutable(
+                            "count(distinct) in a joined statement")
+                    if not _ref_ids(named) <= set(join["store_ids"]):
+                        # a dim column may share its NAME with a store
+                        # column (ON s.lang = d.lang) — aggregate args
+                        # bind by exprId, so sum(d.w) must not route as
+                        # sum(store.w)
+                        raise _Unroutable(
+                            "aggregate over the dim side of a join")
+                if alias in aggs:
+                    raise _Unroutable(f"duplicate output alias {alias!r}")
+                aggs[alias] = spec
+                out_cols.append((alias, "agg", None))
         else:
             # arithmetic over aggregates (round 5): sum(a)/count(*),
             # sum(a)+sum(b), count(*)*2 ... — embedded aggregates become
@@ -2192,7 +2282,8 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # evaluate upper over the derived DATE, not the raw string)
         raise _Unroutable(
             "derived key output name shadows a raw source column")
-    if not aggs and not group_cols:
+    if not aggs and not group_cols \
+            and not (join is not None and join.get("dim_aggs")):
         raise _Unroutable("no aggregate outputs")
     # group-by with no aggregates is how Spark analyzes SELECT DISTINCT col
     # — routed to the same codec-layer value-counts kernel, counts dropped
@@ -2410,6 +2501,12 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 # beside the group outputs
                 raise _Unroutable(
                     "dim key output name collides with a kernel column")
+        for alias in (join.get("dim_aggs") or {}):
+            if _PARTIAL_COL_RE.match(alias):
+                # the finishing aggregation emits the re-merged partials
+                # under their kernel names beside the dim-agg outputs
+                raise _Unroutable(
+                    "dim aggregate alias collides with a kernel column")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
     final = None
@@ -2879,9 +2976,11 @@ def _exec_join(spark: SparkSession, r: dict):
     jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
         spark._jsparkSession, jn["plan"].jplan)
     dim = _DF(jdf, spark).toDF(*[f"__dim{i}" for i in range(jn["n_dim"])])
+    dim_aggs: dict = jn.get("dim_aggs") or {}
     need = sorted({p for _, p in jn["pairs"]}
                   | {tr[1] for _, tr, _ in r["group_specs"]
-                     if tr and tr[0] == "dimkey"})
+                     if tr and tr[0] == "dimkey"}
+                  | {p for _, p, _ in dim_aggs.values()})
     dim = F.broadcast(dim.select(*[dim[f"__dim{p}"] for p in need]))
     cond = None
     for sk, p in jn["pairs"]:
@@ -2900,9 +2999,47 @@ def _exec_join(spark: SparkSession, r: dict):
         else:
             sel.append(base[src].alias(out))
     parts = [c for c in base.columns if _PARTIAL_COL_RE.match(c)]
-    joined = joined.select(*sel, *[base[c] for c in parts])
+    # dim-side aggregates (late round 5): every matched (partial, dim-row)
+    # pair stands for exactly cnt store rows, so per-pair helper columns
+    # cnt-weight the dim value — sum(d.w) re-adds cnt*w, count(d.w)
+    # re-adds cnt where w is non-null, min/max read the value, avg is the
+    # quotient. Long products are exact (repeated addition of w, cnt
+    # times); double products round once where the row plan rounds per
+    # addition — within the same ulp envelope as Spark's own AQE-dependent
+    # partial orderings.
+    helpers = []
+    for alias, (fn, p, dt) in dim_aggs.items():
+        d, c = dim[f"__dim{p}"], base["cnt"]
+        if fn == "sum":
+            helpers.append((d.cast(dt) * c).alias(f"__dj_{alias}"))
+        elif fn == "avg":
+            helpers.append((d.cast("double") * c).alias(f"__dj_{alias}"))
+            helpers.append(F.when(d.isNotNull(), c).alias(f"__djn_{alias}"))
+        elif fn == "nncount":
+            helpers.append(F.when(d.isNotNull(), c).alias(f"__dj_{alias}"))
+        else:  # min / max
+            helpers.append(d.alias(f"__dj_{alias}"))
+    joined = joined.select(*sel, *[base[c] for c in parts], *helpers)
     gcols = r["group_cols"]
     fins = []
+    for alias, (fn, p, dt) in dim_aggs.items():
+        src = f"__dj_{alias}"
+        if fn == "sum":
+            # NULL iff no non-null dim value matched — F.sum's own
+            # all-null/empty semantics, grouped or not
+            e = F.sum(src).cast(dt)
+        elif fn == "nncount":
+            # count is 0, never NULL — also for a group whose matched dim
+            # values are ALL null (the helper emits NULL there, F.sum
+            # skips every row)
+            e = F.coalesce(F.sum(src), F.lit(0)).cast("long")
+        elif fn == "avg":
+            e = (F.sum(src) / F.sum(f"__djn_{alias}")).cast(dt)
+        elif fn == "min":
+            e = F.min(src).cast(dt)
+        else:
+            e = F.max(src).cast(dt)
+        fins.append(e.alias(alias))
     for c in parts:
         if c.startswith("mn"):
             fins.append(F.min(c).cast("long").alias(c))
@@ -3241,9 +3378,16 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         by_field = {f.name: f.dataType for f in
                     T.StructType.fromJson(meta["spark_schema"]).fields}
     sel = []
+    dim_agg_names = (r["join"].get("dim_aggs") or {}) if r.get("join") \
+        else {}
     for name, src, gcol in _augmented_out(r):
         if src == "group":
             sel.append(base[gcol].alias(name))
+            continue
+        if name in dim_agg_names:
+            # dim-side aggregate: _exec_join already finished it under
+            # its own alias (cnt-weighted re-derivation)
+            sel.append(base[name])
             continue
         fn = aggs[name][0]
         if fn == "count":

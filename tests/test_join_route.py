@@ -62,6 +62,13 @@ def dims(spark):
          ("fr", "src2", "cold")],
         "lang string, source string, label string",
     ).createOrReplaceTempView("dim2")
+    # ``dimw``: NULL payload values — count(d.w) must skip them, and the
+    # 'solo' group (only null w) must yield sum NULL / count 0
+    spark.createDataFrame(
+        [("en", "x", None), ("en", "x", 2.5), ("de", "y", 4.0),
+         ("fr", "solo", None)],
+        "lang string, region string, w double",
+    ).createOrReplaceTempView("dimw")
 
 
 ROUTED = [
@@ -106,15 +113,54 @@ ROUTED = [
     # no visible aggregate: which joined combinations exist
     "SELECT s.source, d.region FROM docs s JOIN dim d ON s.lang = d.lang "
     "GROUP BY s.source, d.region ORDER BY s.source, d.region",
+    # dim-side WHERE conjuncts push INTO the dim subplan pre-broadcast
+    "SELECT count(*) AS c FROM docs s JOIN dim d ON s.lang = d.lang "
+    "WHERE d.w > 1",
+    # dim-side aggregates re-derive from the cnt partials: sum = cnt*w
+    # re-added, count skips nulls, min/max read matched values, avg =
+    # the quotient — beside store aggs in the same statement
+    "SELECT d.region, sum(d.w) AS sw, count(d.w) AS cw, min(d.w) AS mw, "
+    "max(d.w) AS xw, avg(d.w) AS aw, count(*) AS c, sum(s.n) AS sn "
+    "FROM docs s JOIN dimw d ON s.lang = d.lang "
+    "GROUP BY d.region ORDER BY d.region",
+    # ungrouped dim aggs; the all-null 'solo' dim rows via lang='fr'
+    "SELECT sum(d.w) AS sw, count(d.w) AS cw, max(d.w) AS xw "
+    "FROM docs s JOIN dimw d ON s.lang = d.lang",
+    # a dim agg over a STRING column (min/max work on any orderable type)
+    "SELECT min(d.region) AS mr, count(*) AS c FROM docs s "
+    "JOIN dim d ON s.lang = d.lang",
+    # duplicate dim keys weight the dim aggs by inner-join multiplicity
+    # (1.5D: a bare 1.5 is DECIMAL, which is a named dim-agg fallback)
+    "SELECT sum(d.w) AS sw FROM docs s JOIN "
+    "(SELECT lang, 1.5D AS w FROM dimdup) d ON s.lang = d.lang",
+    # both sides constrained in separate conjuncts: store side routes as
+    # predicates, dim side filters the broadcast
+    "SELECT d.region, count(*) AS c, sum(s.n) AS t FROM docs s "
+    "JOIN dim d ON s.lang = d.lang "
+    "WHERE s.n > 100 AND d.w >= 1.0 AND d.region <> 'north' "
+    "GROUP BY d.region ORDER BY d.region",
 ]
 
 FALLBACK = [
     ("SELECT count(*) AS c FROM docs s LEFT JOIN dim d "
      "ON s.lang = d.lang", "LEFT OUTER join"),
+    # ONE conjunct touching both sides cannot split across the kernel
+    # pass and the dim filter
     ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.lang = d.lang "
-     "WHERE d.w > 1", "dim side"),
-    ("SELECT sum(d.w) AS t FROM docs s JOIN dim d ON s.lang = d.lang",
-     "dim side"),
+     "WHERE s.n > d.w", "mixes the store and dim sides"),
+    ("SELECT sum(DISTINCT d.w) AS t FROM docs s JOIN dim d "
+     "ON s.lang = d.lang", "distinct aggregate"),
+    # decimal sums carry exact scale arithmetic the cnt-weighted rebuild
+    # does not reproduce
+    ("SELECT sum(d.w) AS t FROM docs s JOIN "
+     "(SELECT lang, 1.5 AS w FROM dimdup) d ON s.lang = d.lang",
+     "decimal aggregate"),
+    ("SELECT sum(d.w + 1) AS t FROM docs s JOIN dim d ON s.lang = d.lang",
+     "over an expression"),
+    # an aggregate over a MIXED-side expression surfaces the non-column
+    # operand (the analyzer's cast makes it an expression either way)
+    ("SELECT sum(s.n + d.w) AS t FROM docs s JOIN dim d "
+     "ON s.lang = d.lang", "not a plain column"),
     ("SELECT count(distinct s.source) AS c FROM docs s JOIN dim d "
      "ON s.lang = d.lang", "count(distinct)"),
     ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.n > d.w",
