@@ -1135,7 +1135,7 @@ def _elit(e) -> list:
     raise _Unroutable(f"expression literal type {dt}")
 
 
-def _expr_spec(e, aggs: dict, hidden: list) -> list:
+def _expr_spec(e, aggs: dict, hidden: list, join: dict | None = None) -> list:
     """SELECT item expression over aggregates -> a JSON-safe spec tree
     (round 5): arithmetic (+ - * / %), unary minus, and the analyzer's
     inserted Casts over AggregateExpressions and typed literals. Each
@@ -1144,32 +1144,55 @@ def _expr_spec(e, aggs: dict, hidden: list) -> list:
     identical spec is already routed, so ``sum(n)/count(*)`` computes
     the kernel partials once. The executor rebuilds the tree as Column
     arithmetic over the routed outputs — same operand types, same
-    coercion, value-identical to the fallback plan."""
+    coercion, value-identical to the fallback plan. In a JOINED
+    statement (``join`` given), an embedded aggregate whose references
+    all sit on the DIM side registers as a hidden dim-agg slot instead
+    (cnt-weighted re-derivation), so ``sum(s.n)/sum(d.w)`` and
+    ``sum(d.w)*2`` route; one aggregate mixing the sides falls back."""
     name = _cls(e)
     if name == "Cast":
         return ["cast", str(e.dataType().simpleString()),
-                _expr_spec(e.child(), aggs, hidden)]
+                _expr_spec(e.child(), aggs, hidden, join)]
     if name == "AggregateExpression":
+        if join is not None:
+            refs = _ref_ids(e)
+            if refs and refs <= set(join["dim_ids"]):
+                dspec = _dim_agg_spec(e, join)
+                dim_aggs = join.setdefault("dim_aggs", {})
+                for a, s in dim_aggs.items():
+                    if s == dspec:
+                        return ["col", a]
+                a = f"_hx{len(hidden)}"
+                if a in aggs or a in dim_aggs:
+                    raise _Unroutable(
+                        f"alias {a!r} collides with a hidden slot")
+                dim_aggs[a] = dspec
+                hidden.append(a)
+                return ["col", a]
+            if refs and not refs <= set(join["store_ids"]):
+                raise _Unroutable(
+                    "aggregate operand mixes the two join sides")
         spec = _agg_spec_of(e)
         for a, s in aggs.items():
             if s == spec:
                 return ["col", a]
         a = f"_hx{len(hidden)}"
-        if a in aggs:
+        if a in aggs or (join is not None
+                         and a in (join.get("dim_aggs") or {})):
             raise _Unroutable(f"alias {a!r} collides with a hidden slot")
         aggs[a] = spec
         hidden.append(a)
         return ["col", a]
     if name in _EXPR_BINOPS:
         return ["bin", _EXPR_BINOPS[name],
-                _expr_spec(e.left(), aggs, hidden),
-                _expr_spec(e.right(), aggs, hidden)]
+                _expr_spec(e.left(), aggs, hidden, join),
+                _expr_spec(e.right(), aggs, hidden, join)]
     if name == "UnaryMinus":
-        return ["neg", _expr_spec(e.child(), aggs, hidden)]
+        return ["neg", _expr_spec(e.child(), aggs, hidden, join)]
     if name in _EXPR_SCALAR_FNS:
-        return _fn_spec(e, lambda c: _expr_spec(c, aggs, hidden))
+        return _fn_spec(e, lambda c: _expr_spec(c, aggs, hidden, join))
     if name in ("If", "CaseWhen"):
-        return _branch_spec(e, lambda c: _expr_spec(c, aggs, hidden))
+        return _branch_spec(e, lambda c: _expr_spec(c, aggs, hidden, join))
     return _elit(e)
 
 
@@ -1448,7 +1471,18 @@ def _parse_dim_agg(e, join: dict) -> str:
     if alias.startswith("__"):
         raise _Unroutable(f"output alias {alias!r} collides with a "
                           "kernel-internal name")
-    ae = e.child()
+    spec = _dim_agg_spec(e.child(), join)
+    dim_aggs = join.setdefault("dim_aggs", {})
+    if alias in dim_aggs:
+        raise _Unroutable(f"duplicate output alias {alias!r}")
+    dim_aggs[alias] = spec
+    return alias
+
+
+def _dim_agg_spec(ae, join: dict) -> tuple:
+    """AggregateExpression over the dim side -> (fn, dim position, output
+    type SQL) — the validation shared by plain dim-agg select items and
+    dim aggregates embedded in arithmetic expressions."""
     if ae.isDistinct():
         raise _Unroutable("distinct aggregate over the dim side of a join")
     fn = ae.aggregateFunction()
@@ -1467,11 +1501,7 @@ def _parse_dim_agg(e, join: dict) -> str:
     dt = str(ae.dataType().sql())
     if dt.upper().startswith("DECIMAL"):
         raise _Unroutable("decimal aggregate over the dim side of a join")
-    dim_aggs = join.setdefault("dim_aggs", {})
-    if alias in dim_aggs:
-        raise _Unroutable(f"duplicate output alias {alias!r}")
-    dim_aggs[alias] = (head, pos, dt)
-    return alias
+    return (head, pos, dt)
 
 
 def _filter_join_relation(node, stores) -> tuple[list, str, dict | None]:
@@ -2206,12 +2236,12 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             if _cls(e) != "Alias":
                 raise _Unroutable(f"unaliased select item {e.sql()}")
             try:
-                espec = _expr_spec(named, aggs, hidden)
+                espec = _expr_spec(named, aggs, hidden, join)
                 kind = "expr"
-                if join is not None \
-                        and not _ref_ids(named) <= set(join["store_ids"]):
+                if join is not None and not _ref_ids(named) <= (
+                        set(join["store_ids"]) | set(join["dim_ids"])):
                     raise _Unroutable(
-                        "aggregate expression over the dim side of a join")
+                        "aggregate expression beyond the two join sides")
             except _Unroutable:
                 if _contains_agg(named):
                     # the expression reads aggregates, so the group-key

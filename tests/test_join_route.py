@@ -133,6 +133,20 @@ ROUTED = [
     # (1.5D: a bare 1.5 is DECIMAL, which is a named dim-agg fallback)
     "SELECT sum(d.w) AS sw FROM docs s JOIN "
     "(SELECT lang, 1.5D AS w FROM dimdup) d ON s.lang = d.lang",
+    # arithmetic MIXING the sides: store aggs and dim aggs both become
+    # hidden routed slots the expression rebuilds over
+    "SELECT d.region, sum(s.n)/sum(d.w) AS q, sum(d.w)*2 AS dq "
+    "FROM docs s JOIN dim d ON s.lang = d.lang "
+    "GROUP BY d.region ORDER BY d.region",
+    # HAVING and ORDER BY over non-selected dim aggregates (Catalyst's
+    # hidden-output machinery flows through the dim-agg parse)
+    "SELECT d.region, count(*) AS c FROM docs s JOIN dim d "
+    "ON s.lang = d.lang GROUP BY d.region HAVING sum(d.w) > 10",
+    "SELECT d.region, count(*) AS c FROM docs s JOIN dim d "
+    "ON s.lang = d.lang GROUP BY d.region ORDER BY sum(d.w), d.region",
+    # whitelisted scalar fn over a dim agg, ungrouped
+    "SELECT round(avg(d.w), 2) AS r FROM docs s JOIN dim d "
+    "ON s.lang = d.lang",
     # both sides constrained in separate conjuncts: store side routes as
     # predicates, dim side filters the broadcast
     "SELECT d.region, count(*) AS c, sum(s.n) AS t FROM docs s "
@@ -161,6 +175,9 @@ FALLBACK = [
     # operand (the analyzer's cast makes it an expression either way)
     ("SELECT sum(s.n + d.w) AS t FROM docs s JOIN dim d "
      "ON s.lang = d.lang", "not a plain column"),
+    # ... and embedded in arithmetic, the side-mixing is the named reason
+    ("SELECT sum(s.n * d.w) + count(*) AS t FROM docs s JOIN dim d "
+     "ON s.lang = d.lang", "mixes the two join sides"),
     ("SELECT count(distinct s.source) AS c FROM docs s JOIN dim d "
      "ON s.lang = d.lang", "count(distinct)"),
     ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.n > d.w",
