@@ -2215,9 +2215,6 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             else:
                 alias, spec = _parse_agg_fn(e)
                 if join is not None:
-                    if spec[0] in ("cntd", "cntde"):
-                        raise _Unroutable(
-                            "count(distinct) in a joined statement")
                     if not _ref_ids(named) <= set(join["store_ids"]):
                         # a dim column may share its NAME with a store
                         # column (ON s.lang = d.lang) — aggregate args
@@ -2537,6 +2534,28 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 # under their kernel names beside the dim-agg outputs
                 raise _Unroutable(
                     "dim aggregate alias collides with a kernel column")
+        dl: list[tuple] = []
+        for spec in aggs.values():
+            if spec[0] in ("cntd", "cntde") and spec not in dl:
+                dl.append(spec)
+        if len(dl) > 1:
+            # several distinct columns need one kernel pass each plus
+            # null-safe per-pass joins — composing that with the dim
+            # join is untested surface
+            raise _Unroutable(
+                "several count(distinct) columns in a joined statement")
+        if dl:
+            # group outputs carry their COLUMN names through the joined
+            # finishing frame (SELECT aliases apply in the final
+            # projection), so a re-aliased store key never shadows a
+            # distinct source; dim keys named like one are caught by the
+            # derived-key-shadow check above. A store column named like
+            # a kernel partial would collide when carried beside them.
+            srcs0 = [dl[0][1]] if dl[0][0] == "cntd" else list(dl[0][2])
+            if any(_PARTIAL_COL_RE.match(s) or s.startswith("__")
+                   for s in srcs0):
+                raise _Unroutable(
+                    "count(distinct) source collides with a kernel column")
     having = (_having_spec(having_cond, ids)
               if having_cond is not None else None)
     final = None
@@ -3000,8 +3019,18 @@ def _exec_join(spark: SparkSession, r: dict):
     from pyspark.sql import DataFrame as _DF
     jn = r["join"]
     kcols = list(jn["kernel_keys"])
+    # ONE count(distinct) composes with the join (the route limits to
+    # one): its raw source column(s) ride the kernel pass as extra combo
+    # dimensions; the finishing count_distinct runs over the joined combo
+    # rows, where dim-key multiplicity duplicates combos but never VALUES
+    dspec = next((s for s in r["aggs"].values()
+                  if s[0] in ("cntd", "cntde")), None)
+    dsrcs: list[str] = []
+    if dspec is not None:
+        dsrcs = [dspec[1]] if dspec[0] == "cntd" else list(dspec[2])
+    ddims = [s for s in dsrcs if s not in kcols]
     base, jmap = _grouped_partials(spark, r["out_dir"], r["aggs"],
-                                   kcols, kcols, False,
+                                   kcols + ddims, kcols + ddims, False,
                                    r["predicates"] or None, merge=False)
     jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
         spark._jsparkSession, jn["plan"].jplan)
@@ -3049,9 +3078,23 @@ def _exec_join(spark: SparkSession, r: dict):
             helpers.append(F.when(d.isNotNull(), c).alias(f"__dj_{alias}"))
         else:  # min / max
             helpers.append(d.alias(f"__dj_{alias}"))
-    joined = joined.select(*sel, *[base[c] for c in parts], *helpers)
+    # distinct-source columns not already present as an identically-named
+    # group output carry through under their raw names (a group output of
+    # the same name IS the same store column — parse guards shadowing)
+    outs = {out for _, _, out in r["group_specs"]}
+    dcarry = [s for s in dsrcs if s not in outs]
+    joined = joined.select(*sel, *[base[c] for c in parts], *helpers,
+                           *[base[c] for c in dcarry])
     gcols = r["group_cols"]
     fins = []
+    if dspec is not None:
+        dval = F.col(dspec[1]) if dspec[0] == "cntd" else F.expr(dspec[1])
+        for alias, spec in r["aggs"].items():
+            if spec[0] in ("cntd", "cntde"):
+                # SQL count(distinct) excludes NULL — count_distinct
+                # skips them; 0 (not NULL) over an empty join
+                fins.append(F.count_distinct(dval)
+                            .cast("long").alias(alias))
     for alias, (fn, p, dt) in dim_aggs.items():
         src = f"__dj_{alias}"
         if fn == "sum":
@@ -3125,7 +3168,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         derived = False
     dspecs = {spec for spec in aggs.values()
               if spec[0] in ("cntd", "cntde")}
-    if dspecs:
+    if dspecs and not r.get("join"):
         # composite kernel with the distinct column's raw source(s) as
         # extra dimensions (deduped against the kernel group dims); the
         # finishing agg is over O(observed combos) rows and counts
@@ -3420,7 +3463,11 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             sel.append(base[name])
             continue
         fn = aggs[name][0]
-        if fn == "count":
+        if fn in ("cntd", "cntde"):
+            # only reachable via the join path (the non-join distinct
+            # branch returned above): _exec_join finished it
+            sel.append(base[name])
+        elif fn == "count":
             sel.append(base["cnt"].alias(name))
         elif fn == "avg":
             # Spark avg(long) = wrap-sum / non-null count in one double

@@ -147,6 +147,29 @@ ROUTED = [
     # whitelisted scalar fn over a dim agg, ungrouped
     "SELECT round(avg(d.w), 2) AS r FROM docs s JOIN dim d "
     "ON s.lang = d.lang",
+    # ONE count(distinct store col) composes with the join: the distinct
+    # source rides the kernel pass as a combo dimension; dim-key
+    # multiplicity duplicates combo rows but never VALUES (dimdup)
+    "SELECT d.region, count(distinct s.source) AS ds, count(*) AS c "
+    "FROM docs s JOIN dim d ON s.lang = d.lang "
+    "GROUP BY d.region ORDER BY d.region",
+    "SELECT count(distinct s.source) AS ds FROM docs s JOIN dimdup d "
+    "ON s.lang = d.lang",
+    # distinct over the join key itself, and over an expression
+    "SELECT d.region, count(distinct s.lang) AS dl FROM docs s "
+    "JOIN dim d ON s.lang = d.lang GROUP BY d.region ORDER BY d.region",
+    "SELECT count(distinct concat(s.lang, s.source)) AS dc "
+    "FROM docs s JOIN dim d ON s.lang = d.lang",
+    # count(distinct) beside dim aggs and store-side WHERE
+    "SELECT d.region, count(distinct s.source) AS ds, sum(d.w) AS sw "
+    "FROM docs s JOIN dim d ON s.lang = d.lang "
+    "WHERE s.n > 100 GROUP BY d.region ORDER BY d.region",
+    # a store key re-aliased to the distinct source's name does NOT
+    # shadow: group outputs keep their column names until the final
+    # projection
+    "SELECT s.lang AS source, count(distinct concat(s.source, 'x')) AS ds "
+    "FROM docs s JOIN dim d ON s.lang = d.lang GROUP BY s.lang "
+    "ORDER BY source",
     # both sides constrained in separate conjuncts: store side routes as
     # predicates, dim side filters the broadcast
     "SELECT d.region, count(*) AS c, sum(s.n) AS t FROM docs s "
@@ -178,8 +201,25 @@ FALLBACK = [
     # ... and embedded in arithmetic, the side-mixing is the named reason
     ("SELECT sum(s.n * d.w) + count(*) AS t FROM docs s JOIN dim d "
      "ON s.lang = d.lang", "mixes the two join sides"),
-    ("SELECT count(distinct s.source) AS c FROM docs s JOIN dim d "
-     "ON s.lang = d.lang", "count(distinct)"),
+    # TWO distinct columns would need one kernel pass each plus
+    # null-safe per-pass joins composed with the dim join
+    ("SELECT count(distinct s.source) AS a, count(distinct s.lang) AS b "
+     "FROM docs s JOIN dim d ON s.lang = d.lang",
+     "several count(distinct)"),
+    # the distinct source doubling as a value-agg column is the same
+    # named fallback as in un-joined statements
+    ("SELECT count(distinct s.n) AS a, sum(s.n) AS t FROM docs s "
+     "JOIN dim d ON s.lang = d.lang", "count(distinct) column reused"),
+    # a dim key output taking the distinct source's NAME would shadow it
+    # (plain column: the generic reuse guard; expression: the generic
+    # derived-key-shadow guard — dim keys are derived outputs)
+    ("SELECT d.region AS source, count(distinct s.source) AS ds "
+     "FROM docs s JOIN dim d ON s.lang = d.lang GROUP BY d.region",
+     "column reused"),
+    ("SELECT d.region AS source, "
+     "count(distinct concat(s.source, 'x')) AS ds "
+     "FROM docs s JOIN dim d ON s.lang = d.lang GROUP BY d.region",
+     "shadowed by a derived key name"),
     ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.n > d.w",
      "join condition"),
     ("SELECT count(*) AS c FROM docs s JOIN dim d "
