@@ -2145,9 +2145,12 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             # joined statement (late round 5): group keys may come from
             # either side — a dim attribute becomes a ("dimkey", pos)
             # spec the execution resolves from the broadcast dim frame;
-            # store keys stay plain kernel dimensions. Derived keys,
-            # count(distinct), grouping sets, and cross-column ORs keep
-            # their named fallbacks in the joined shape (v1 scope).
+            # store keys stay plain kernel dimensions, and TIME-derived
+            # store keys (to_date/year/date_trunc — the docs-per-day-
+            # per-region audit) derive IN the kernel pass exactly as in
+            # un-joined statements. Derived DIM keys, derived-scalar
+            # (sqlexpr) store keys, grouping sets, and cross-column ORs
+            # keep their named fallbacks in the joined shape.
             parsed = []
             for g in gexprs:
                 if _cls(g) == "AttributeReference" \
@@ -2163,9 +2166,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                     raise _Unroutable(
                         "group key mixes the two join sides")
                 src, tr = _parse_group_expr(g)
-                if tr is not None:
-                    raise _Unroutable("derived group key in a joined "
-                                      "statement")
+                if tr is not None and tr[0] == "sqlexpr":
+                    # the post-kernel expression rebuild + re-group does
+                    # not compose with the dim join's finishing frame
+                    raise _Unroutable("derived scalar group key in a "
+                                      "joined statement")
                 parsed.append((src, tr))
     # output names: a plain key keeps its column name; a derived key takes
     # the SELECT alias of the first item semantically equal to it (a
@@ -2508,26 +2513,41 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             # untested surface for a marginal shape
             raise _Unroutable("cross-column OR in a joined statement")
         # kernel pass dimensions: the store-side join keys plus the
-        # store-side group keys (deduplicated — a key may be both)
+        # store-side group keys (deduplicated — a key may be both);
+        # TIME-derived store keys derive IN the kernel under their out
+        # name (kernel_gargs carries the engine transform triples)
         kframe: list[str] = []
+        kgargs: list = []
         for sk, _ in join["pairs"]:
             if sk not in kframe:
                 kframe.append(sk)
+                kgargs.append(sk)
         for (src, tr), out in zip(parsed, g_names):
-            if tr is None and src not in kframe:
-                kframe.append(src)
+            if tr is None:
+                if src not in kframe:
+                    kframe.append(src)
+                    kgargs.append(src)
+            elif tr[0] != "dimkey":
+                # time-derived store key — evaluated by the kernel pass
+                if out in kframe:
+                    raise _Unroutable(
+                        "derived key output name collides with a kernel "
+                        "dimension")
+                kframe.append(out)
+                kgargs.append((src, tuple(tr), out))
         join["kernel_keys"] = kframe
+        join["kernel_gargs"] = kgargs
         jk_pos = {p for _, p in join["pairs"]}
         for (src, tr), out in zip(parsed, g_names):
-            if tr is None or tr[1] in jk_pos:
+            if tr is None or (tr[0] == "dimkey" and tr[1] in jk_pos):
                 # store keys keep their names; a dim key that IS a join
                 # key resolves to the equal store column instead
                 continue
             if _PARTIAL_COL_RE.match(out) or out.startswith("__"):
                 # the joined finishing frame carries the kernel partials
-                # beside the group outputs
+                # beside the group outputs (dim keys AND derived keys)
                 raise _Unroutable(
-                    "dim key output name collides with a kernel column")
+                    "group output name collides with a kernel column")
         for alias in (join.get("dim_aggs") or {}):
             if _PARTIAL_COL_RE.match(alias):
                 # the finishing aggregation emits the re-merged partials
@@ -3029,8 +3049,10 @@ def _exec_join(spark: SparkSession, r: dict):
     if dspec is not None:
         dsrcs = [dspec[1]] if dspec[0] == "cntd" else list(dspec[2])
     ddims = [s for s in dsrcs if s not in kcols]
+    kgargs = list(jn.get("kernel_gargs") or kcols)
+    derived = any(not isinstance(g, str) for g in kgargs)
     base, jmap = _grouped_partials(spark, r["out_dir"], r["aggs"],
-                                   kcols + ddims, kcols + ddims, False,
+                                   kgargs + ddims, kcols + ddims, derived,
                                    r["predicates"] or None, merge=False)
     jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
         spark._jsparkSession, jn["plan"].jplan)
@@ -3055,6 +3077,10 @@ def _exec_join(spark: SparkSession, r: dict):
             # every surviving row — read the store side (no payload col)
             col = base[jk_store[p]] if p in jk_store else dim[f"__dim{p}"]
             sel.append(col.alias(out))
+        elif tr:
+            # time-derived store key — the kernel pass emitted it typed
+            # under its output name
+            sel.append(base[out].alias(out))
         else:
             sel.append(base[src].alias(out))
     parts = [c for c in base.columns if _PARTIAL_COL_RE.match(c)]

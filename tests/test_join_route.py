@@ -22,6 +22,7 @@ ROWS = 2000
 
 @pytest.fixture(scope="module")
 def store(spark, tmp_path_factory):
+    import datetime
     rng = np.random.default_rng(11)
     rows = [
         (
@@ -30,12 +31,14 @@ def store(spark, tmp_path_factory):
             f"src{int(rng.integers(0, 5))}",
             int(rng.integers(0, 1000)),
             float(rng.standard_normal()),
+            datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(hours=int(rng.integers(0, 2000))),
         )
         for i in range(ROWS)
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, lang string, source string, n long, "
-              "score double")
+              "score double, ts timestamp")
     out = str(tmp_path_factory.mktemp("joinroute")) + "/store"
     engine.run_encode(spark, df, out, buckets=4, salt_col="source")
     return out
@@ -170,6 +173,16 @@ ROUTED = [
     "SELECT s.lang AS source, count(distinct concat(s.source, 'x')) AS ds "
     "FROM docs s JOIN dim d ON s.lang = d.lang GROUP BY s.lang "
     "ORDER BY source",
+    # TIME-derived store keys derive IN the kernel pass: the
+    # docs-per-day-per-region corpus audit
+    "SELECT to_date(s.ts) AS day, d.region, count(*) AS c "
+    "FROM docs s JOIN dim d ON s.lang = d.lang "
+    "GROUP BY to_date(s.ts), d.region ORDER BY day, d.region",
+    "SELECT year(s.ts) AS y, count(*) AS c, sum(d.w) AS sw "
+    "FROM docs s JOIN dim d ON s.lang = d.lang GROUP BY year(s.ts)",
+    "SELECT date_trunc('week', s.ts) AS wk, count(distinct s.source) AS ds "
+    "FROM docs s JOIN dim d ON s.lang = d.lang "
+    "GROUP BY date_trunc('week', s.ts) ORDER BY wk",
     # both sides constrained in separate conjuncts: store side routes as
     # predicates, dim side filters the broadcast
     "SELECT d.region, count(*) AS c, sum(s.n) AS t FROM docs s "
@@ -233,6 +246,11 @@ FALLBACK = [
      "ON s.lang = d.lang GROUP BY d.region", "over type double"),
     ("SELECT upper(d.region) AS r, count(*) AS c FROM docs s JOIN dim d "
      "ON s.lang = d.lang GROUP BY upper(d.region)", "derived group key"),
+    # derived-SCALAR store keys (post-kernel sqlexpr rebuild) do not
+    # compose with the joined finishing frame; time-derived keys DO
+    ("SELECT upper(s.lang) AS ul, count(*) AS c FROM docs s JOIN dim d "
+     "ON s.lang = d.lang GROUP BY upper(s.lang)",
+     "derived scalar group key"),
     # dim key aliased to a kernel partial name collides in the finishing
     ("SELECT d.region AS cnt, count(*) AS c FROM docs s JOIN dim d "
      "ON s.lang = d.lang GROUP BY d.region", "collides"),
