@@ -1414,7 +1414,7 @@ def _parse_join(node, stores) -> tuple[dict, str]:
     the natural join spelling ``ON s.lang = d.lang`` has the same name on
     both sides."""
     jt = str(node.joinType().sql())
-    if jt != "INNER":
+    if jt not in ("INNER", "LEFT OUTER", "RIGHT OUTER"):
         raise _Unroutable(f"{jt} join")
     if node.condition().isEmpty():
         raise _Unroutable("join without a condition")
@@ -1427,6 +1427,13 @@ def _parse_join(node, stores) -> tuple[dict, str]:
         raise _Unroutable("join without a store side")
     store_side, dim_side = (left, right) if lview else (right, left)
     view = lview if lview is not None else rview
+    # outer joins route only when the STORE side is the preserved one
+    # (the enrichment join: unmatched store groups keep NULL dim
+    # columns). A dim-preserving outer join would emit one bare row per
+    # unmatched dim key — not a partial composition.
+    if (jt == "LEFT OUTER" and lview is None) \
+            or (jt == "RIGHT OUTER" and rview is None):
+        raise _Unroutable("dim-preserving outer join")
     if _contains_store_relation(dim_side):
         # a store nested in the dim subplan would re-materialize fully
         # into the broadcast — never the plan to route to
@@ -1453,7 +1460,8 @@ def _parse_join(node, stores) -> tuple[dict, str]:
             raise _Unroutable("join equality not across the two sides")
     return {"view": view, "plan": _PlanHandle(dim_side, len(dim_ids)),
             "store_ids": store_ids, "dim_ids": dim_ids,
-            "pairs": pairs, "n_dim": len(dim_ids)}, view
+            "pairs": pairs, "n_dim": len(dim_ids),
+            "outer": jt != "INNER"}, view
 
 
 def _parse_dim_agg(e, join: dict) -> str:
@@ -1535,6 +1543,14 @@ def _filter_join_relation(node, stores) -> tuple[list, str, dict | None]:
                 # (deterministic predicates only: a nondeterministic one
                 # would evaluate once per dim row instead of once per
                 # matched output row)
+                if join.get("outer"):
+                    # under a store-preserving outer join, a post-join
+                    # dim predicate also eliminates the NULL-extended
+                    # unmatched rows — not the same as filtering the
+                    # broadcast (phrase it inside the dim subquery for
+                    # that meaning)
+                    raise _Unroutable(
+                        "dim-side WHERE under an outer join")
                 if not leaf.deterministic():
                     raise _Unroutable(
                         "nondeterministic dim-side WHERE in a joined "
@@ -3067,15 +3083,21 @@ def _exec_join(spark: SparkSession, r: dict):
     for sk, p in jn["pairs"]:
         c = base[sk] == dim[f"__dim{p}"]
         cond = c if cond is None else cond & c
-    joined = base.join(dim, cond, "inner")
+    # store-preserving outer join: unmatched store groups keep NULL dim
+    # columns — the partial composition is the same left join
+    joined = base.join(dim, cond, "left" if jn.get("outer") else "inner")
     jk_store = {p: sk for sk, p in jn["pairs"]}
     sel = []
     for src, tr, out in r["group_specs"]:
         if tr and tr[0] == "dimkey":
             p = tr[1]
             # a dim key that IS a join key equals the store column on
-            # every surviving row — read the store side (no payload col)
-            col = base[jk_store[p]] if p in jk_store else dim[f"__dim{p}"]
+            # every surviving row — read the store side (no payload col).
+            # NOT under an outer join: an unmatched row's dim key is
+            # NULL while the store key is not.
+            col = base[jk_store[p]] \
+                if p in jk_store and not jn.get("outer") \
+                else dim[f"__dim{p}"]
             sel.append(col.alias(out))
         elif tr:
             # time-derived store key — the kernel pass emitted it typed

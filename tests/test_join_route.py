@@ -183,6 +183,26 @@ ROUTED = [
     "SELECT date_trunc('week', s.ts) AS wk, count(distinct s.source) AS ds "
     "FROM docs s JOIN dim d ON s.lang = d.lang "
     "GROUP BY date_trunc('week', s.ts) ORDER BY wk",
+    # store-preserving OUTER joins (the enrichment join): unmatched
+    # store groups keep NULL dim columns — fr/None langs survive with
+    # region NULL, and the dim join key is read from the DIM side (NULL
+    # for unmatched, unlike the inner-join store-side shortcut)
+    "SELECT d.region, count(*) AS c, sum(s.n) AS t FROM docs s "
+    "LEFT JOIN dim d ON s.lang = d.lang GROUP BY d.region "
+    "ORDER BY d.region",
+    "SELECT d.lang, count(*) AS c FROM docs s LEFT JOIN dim d "
+    "ON s.lang = d.lang GROUP BY d.lang ORDER BY d.lang",
+    "SELECT count(*) AS c FROM docs s LEFT JOIN dimdup d "
+    "ON s.lang = d.lang",
+    "SELECT d.region, count(*) AS c FROM dim d RIGHT JOIN docs s "
+    "ON d.lang = s.lang GROUP BY d.region ORDER BY d.region",
+    # dim aggs under a left join skip the NULL-extended rows exactly as
+    # SQL does (sum/avg/count over NULL dim values)
+    "SELECT d.region, sum(d.w) AS sw, count(d.w) AS cw, avg(d.w) AS aw "
+    "FROM docs s LEFT JOIN dimw d ON s.lang = d.lang "
+    "GROUP BY d.region ORDER BY d.region",
+    "SELECT count(distinct s.source) AS ds, count(*) AS c FROM docs s "
+    "LEFT JOIN dim d ON s.lang = d.lang WHERE s.n > 100",
     # both sides constrained in separate conjuncts: store side routes as
     # predicates, dim side filters the broadcast
     "SELECT d.region, count(*) AS c, sum(s.n) AS t FROM docs s "
@@ -192,8 +212,20 @@ ROUTED = [
 ]
 
 FALLBACK = [
+    # outer joins route only when the STORE side is preserved: a
+    # dim-preserving outer join would emit bare rows per unmatched dim
+    # key, which is not a partial composition
+    ("SELECT count(*) AS c FROM dim d LEFT JOIN docs s "
+     "ON d.lang = s.lang", "dim-preserving outer join"),
+    ("SELECT count(*) AS c FROM docs s RIGHT JOIN dim d "
+     "ON s.lang = d.lang", "dim-preserving outer join"),
+    ("SELECT count(*) AS c FROM docs s FULL JOIN dim d "
+     "ON s.lang = d.lang", "FULL OUTER join"),
+    # a post-join dim predicate under an outer join also eliminates the
+    # NULL-extended rows — not the same as filtering the broadcast
     ("SELECT count(*) AS c FROM docs s LEFT JOIN dim d "
-     "ON s.lang = d.lang", "LEFT OUTER join"),
+     "ON s.lang = d.lang WHERE d.w > 1",
+     "dim-side WHERE under an outer join"),
     # ONE conjunct touching both sides cannot split across the kernel
     # pass and the dim filter
     ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.lang = d.lang "
