@@ -1993,6 +1993,439 @@ def _parse_gsets(node):
     return keys, gid_attr, sets, key_srcs, proj.child()
 
 
+_WIN_AGG = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count",
+            "Average": "avg"}
+_WIN_RANKERS = {"Rank": "rank", "DenseRank": "dense_rank",
+                "RowNumber": "row_number", "PercentRank": "percent_rank",
+                "CumeDist": "cume_dist"}
+
+
+def _win_bound(b):
+    """Catalyst frame boundary -> "up" | "uf" | "cr" | int offset."""
+    c = _cls(b).rstrip("$")  # frame markers are scala case objects
+    if c == "UnboundedPreceding":
+        return "up"
+    if c == "UnboundedFollowing":
+        return "uf"
+    if c == "CurrentRow":
+        return "cr"
+    if c == "UnaryMinus":
+        inner = b.child()
+        if _cls(inner) == "Literal" \
+                and inner.dataType().simpleString() in _INT_WIDEN:
+            return -int(str(inner.value()))
+        raise _Unroutable("non-integer window frame bound")
+    if c == "Literal" and b.dataType().simpleString() in _INT_WIDEN:
+        return int(str(b.value()))
+    raise _Unroutable(f"window frame bound {c}")
+
+
+def _win_lit(e):
+    """Plain literal -> Python value (lag/lead defaults, ntile buckets)."""
+    if _cls(e) != "Literal":
+        raise _Unroutable(f"non-literal window argument {_cls(e)}")
+    v = e.value()
+    if v is None:
+        return None
+    dt = e.dataType().simpleString()
+    if dt in _INT_WIDEN:
+        return int(str(v))
+    if dt in ("float", "double"):
+        return float(str(v))
+    if dt == "string":
+        return str(v)
+    if dt == "boolean":
+        return bool(v)
+    raise _Unroutable(f"window argument literal type {dt}")
+
+
+def _win_attr(e, ids: dict[int, str]) -> str:
+    if _cls(e) != "AttributeReference":
+        raise _Unroutable(f"window operand {_cls(e)} is not an output")
+    key = int(e.exprId().id())
+    if key not in ids:
+        raise _Unroutable("window operand is not an aggregate output")
+    return ids[key]
+
+
+def _parse_window_node(win, ids: dict[int, str], used: set) -> list:
+    """One Catalyst Window node -> list of JSON-safe window-expression
+    specs over the routed aggregate frame's columns. ``ids`` (exprId ->
+    frame column name) gains each window output so stacked Window nodes
+    and the post-projection can reference them."""
+    exprs = []
+    wes = win.windowExpressions()
+    for i in range(wes.size()):
+        al = wes.apply(i)
+        if _cls(al) != "Alias":
+            raise _Unroutable("unaliased window expression")
+        out = str(al.name())
+        wx = al.child()
+        if _cls(wx) != "WindowExpression":
+            raise _Unroutable(f"window item {_cls(wx)}")
+        fn = wx.windowFunction()
+        spec = wx.windowSpec()
+        part = [_win_attr(spec.partitionSpec().apply(j), ids)
+                for j in range(spec.partitionSpec().size())]
+        order = []
+        so = spec.orderSpec()
+        for j in range(so.size()):
+            s = so.apply(j)
+            order.append([_win_attr(s.child(), ids),
+                          str(s.direction().sql()),
+                          str(s.nullOrdering().sql())])
+        c = _cls(fn)
+        frame = None
+        if c == "AggregateExpression":
+            if fn.isDistinct():
+                raise _Unroutable("DISTINCT window aggregate")
+            af = fn.aggregateFunction()
+            ac = _cls(af)
+            pyfn = _WIN_AGG.get(ac)
+            if ac in ("First", "Last"):
+                # first_value/last_value(col [, ignoreNulls]) — the
+                # ignoreNulls flag is a scala constructor param
+                fspec = [ac.lower(),
+                         _win_attr(af.children().apply(0), ids),
+                         bool(af.ignoreNulls())]
+            elif pyfn is None:
+                raise _Unroutable(f"window aggregate {ac}")
+            else:
+                ch = af.children()
+                if ch.size() != 1:
+                    raise _Unroutable("multi-argument window aggregate")
+                arg = ch.apply(0)
+                if ac == "Count" and _cls(arg) == "Literal":
+                    fspec = ["aggstar"]
+                else:
+                    fspec = ["agg", pyfn, _win_attr(arg, ids)]
+            fr = spec.frameSpecification()
+            if _cls(fr) != "SpecifiedWindowFrame":
+                raise _Unroutable(f"window frame {_cls(fr)}")
+            kind = {"RowFrame": "rows", "RangeFrame": "range"}.get(
+                _cls(fr.frameType()).rstrip("$"))
+            if kind is None:
+                raise _Unroutable(f"frame type {_cls(fr.frameType())}")
+            frame = [kind, _win_bound(fr.lower()), _win_bound(fr.upper())]
+            if kind == "range" and (isinstance(frame[1], int)
+                                    or isinstance(frame[2], int)):
+                # a literal RANGE bound is typed to the single order key;
+                # .rangeBetween(int) rebuilds only the integral case, and
+                # calendar/interval bounds have no int rebuild at all
+                if len(order) != 1:
+                    raise _Unroutable("literal RANGE bound without a "
+                                      "single order key")
+        elif c in _WIN_RANKERS:
+            # the analyzer's fixed default frame; pyspark attaches the
+            # same one, and an explicit frame with rankers is an error
+            fspec = [_WIN_RANKERS[c]]
+        elif c == "NTile":
+            n = _win_lit(fn.children().apply(0))
+            if not isinstance(n, int):
+                raise _Unroutable("non-integer ntile buckets")
+            fspec = ["ntile", n]
+        elif c == "NthValue":
+            n = _win_lit(fn.children().apply(1))
+            if not isinstance(n, int):
+                raise _Unroutable("non-literal nth_value offset")
+            fspec = ["nth_value", _win_attr(fn.children().apply(0), ids),
+                     n, bool(fn.ignoreNulls())]
+        elif c in ("Lag", "Lead"):
+            ch = fn.children()
+            if ch.size() != 3:
+                raise _Unroutable(f"{c} arity {ch.size()}")
+            col = _win_attr(ch.apply(0), ids)
+            off = _win_lit(ch.apply(1))
+            if not isinstance(off, int):
+                raise _Unroutable("non-literal lag/lead offset")
+            dflt_e = ch.apply(2)
+            while _cls(dflt_e) == "Cast":
+                # the analyzer casts the default to the input's type;
+                # F.lag/F.lead re-coerce a plain literal the same way
+                dflt_e = dflt_e.child()
+            dflt = _win_lit(dflt_e)
+            fspec = [c.lower(), col, off, dflt]
+        else:
+            raise _Unroutable(f"window function {c}")
+        key = int(al.exprId().id())
+        if out.startswith("__"):
+            raise _Unroutable("window alias with reserved '__' prefix")
+        if out.casefold() in {u.casefold() for u in used}:
+            raise _Unroutable(f"window output {out!r} collides with "
+                              "an existing column")
+        used.add(out)
+        ids[key] = out
+        exprs.append({"out": out, "fn": fspec, "part": part,
+                      "order": order, "frame": frame})
+    return exprs
+
+
+def _route_window(outer, order, limit_k, stores: dict[str, str]):
+    """Window functions OVER the aggregate — "share of corpus"
+    (``count(*) / sum(count(*)) OVER ()``), "rank languages by volume"
+    (``rank() OVER (ORDER BY count(*) DESC)``), running totals, lag
+    deltas. Returns None when ``outer`` has no Window below (the caller
+    continues with the plain-aggregate walk).
+
+    Catalyst lowers these to Project(Project(Window+(Aggregate))) — the
+    inner Aggregate carries analyzer-injected ``_w0`` slots for the
+    window operands, the Window node(s) compute over its output, the mid
+    projection evaluates result expressions (``_w0 / _we0``), and the
+    outer projection drops the temporaries. The Aggregate is EXACTLY the
+    already-routable part: route it recursively (full pruning stack),
+    then rebuild the windows with pyspark's own Window/F functions over
+    the O(groups) routed frame — same rows in each frame, same function
+    implementations, so values and types match Spark's plan exactly
+    while the store still answers from chunk metadata."""
+    ch = outer.child()
+    mid = None
+    if _cls(ch) == "Project":
+        mid, ch = ch, ch.child()
+    wins_nodes = []
+    while _cls(ch) == "Window":
+        wins_nodes.append(ch)
+        ch = ch.child()
+    if not wins_nodes:
+        return None
+    if mid is None:
+        # single-projection shape: the one Project plays the mid role
+        mid, outer = outer, None
+    r = _route(ch, stores)
+    if r.get("kind") == "topk":
+        raise _Unroutable("window over a top-k route")
+    # frame columns after _expr_finish: the child's declared outputs
+    # (plus hidden slots, which the mid select never references)
+    ids: dict[int, str] = {}
+    agg_out = ch.output()
+    names = {n for n, _, _ in r["out_cols"]}
+    for i in range(agg_out.size()):
+        a = agg_out.apply(i)
+        nm = str(a.name())
+        if nm in names:
+            ids[int(a.exprId().id())] = nm
+    used = set(names) | set(r.get("hidden") or [])
+    wins = [_parse_window_node(w, ids, used)
+            for w in reversed(wins_nodes)]
+    # mid projection: passthroughs + whitelisted scalar expressions over
+    # aggregate and window outputs (the share division, CASE labels, ...)
+    mid_entries = []
+    mid_ids: dict[int, str] = {}
+    seen: dict[str, int] = {}
+    plist = mid.projectList()
+    for i in range(plist.size()):
+        item = plist.apply(i)
+        out = str(item.name())
+        key = int(item.exprId().id())
+        if out in seen:
+            if seen[out] == key:
+                continue  # the analyzer duplicates rank outputs
+            raise _Unroutable(f"duplicate projection name {out!r}")
+        if _cls(item) == "Alias":
+            expr = item.child()
+            if _cls(expr) == "AttributeReference":
+                mid_entries.append(["attr", _win_attr(expr, ids), out])
+            else:
+                def resolve(e, _ids=ids):
+                    if _cls(e) == "AttributeReference":
+                        return f"`{_win_attr(e, _ids)}`"
+                    return None
+                srcs: list[str] = []
+                sql = _sqlexpr_build(expr, srcs, resolve)
+                mid_entries.append(["sqlexpr", sql, out])
+        else:
+            mid_entries.append(["attr", _win_attr(item, ids), out])
+        if out.startswith("__"):
+            raise _Unroutable("alias with reserved '__' prefix")
+        seen[out] = key
+        mid_ids[key] = out
+    if len({n.casefold() for n in seen}) != len(seen):
+        raise _Unroutable("output names differ only by case")
+    # outer projection: plain renames of mid outputs
+    final = None
+    order_ids = mid_ids
+    if outer is not None:
+        final = []
+        order_ids = {}
+        plist = outer.projectList()
+        for i in range(plist.size()):
+            item = plist.apply(i)
+            out = str(item.name())
+            key = int(item.exprId().id())
+            src_e = item.child() if _cls(item) == "Alias" else item
+            if _cls(src_e) != "AttributeReference":
+                raise _Unroutable("projection over a non-output "
+                                  "expression")
+            src_key = int(src_e.exprId().id())
+            if src_key not in mid_ids:
+                raise _Unroutable("projection of a non-window output")
+            final.append([mid_ids[src_key], out])
+            order_ids[key] = out
+            if _cls(item) != "Alias":
+                order_ids.setdefault(src_key, out)
+        outs = [o for _, o in final]
+        if len({o.casefold() for o in outs}) != len(outs):
+            raise _Unroutable("output names differ only by case")
+    r["window"] = {"wins": wins, "mid": mid_entries}
+    r["final"] = final
+    r["final_after_order"] = False
+    r["order"] = _resolve_order(order, order_ids)
+    r["limit"] = limit_k
+    return r
+
+
+_NESTED_AGG = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count",
+               "Average": "avg"}
+
+
+def _route_nested(node, having_cond, project, order, limit_k,
+                  stores: dict[str, str]):
+    """Two-level aggregation — the aggregate-of-an-aggregate audit:
+    ``SELECT avg(c) FROM (SELECT count(*) AS c FROM docs GROUP BY lang)``
+    ("average docs per language"), group-size maxima, "how many groups
+    exceed N". Returns None when ``node``'s child is not itself an
+    aggregate statement (the caller continues the single-level walk).
+
+    The subquery is EXACTLY the already-routable part: route it
+    recursively (kernel partials, full pruning stack), then run the
+    outer aggregation with pyspark's own groupBy().agg() over the
+    O(inner-groups) routed frame — same rows, Spark's own aggregate
+    implementations, so values and types match the fallback exactly. A
+    Filter between the two levels (outer WHERE or inner HAVING — the
+    same filter over inner outputs either way) re-applies over the
+    routed frame before the outer aggregation."""
+    ch = node.child()
+    mid_conds = []
+    seen_sub = False
+    while True:
+        c = _cls(ch)
+        if c == "SubqueryAlias":
+            ch = ch.child()
+            seen_sub = True
+        elif c == "Filter":
+            # outer WHERE sits ABOVE the SubqueryAlias, the subquery's
+            # own HAVING below it — both are filters over the inner
+            # outputs and re-apply identically over the routed frame
+            mid_conds.append(ch.condition())
+            ch = ch.child()
+        else:
+            break
+    if not seen_sub:
+        return None
+    inner_is_agg = _cls(ch) == "Aggregate" \
+        or (_cls(ch) == "Filter" and _cls(ch.child()) == "Aggregate") \
+        or (_cls(ch) == "Project"
+            and _contains_store_relation(ch)
+            and _win_below(ch))
+    if not inner_is_agg:
+        return None
+    ri = _route(ch, stores)
+    if ri.get("kind") == "topk":
+        raise _Unroutable("outer aggregate over a top-k route")
+    # the routed inner frame's columns are the subquery's visible outputs
+    ids_in: dict[int, str] = {}
+    out = ch.output()
+    for i in range(out.size()):
+        a = out.apply(i)
+        ids_in[int(a.exprId().id())] = str(a.name())
+    filters = [_having_spec(c, ids_in) for c in mid_conds]
+    # outer grouping keys: plain inner-output columns
+    groups = []
+    gids: set[int] = set()
+    ge = node.groupingExpressions()
+    for i in range(ge.size()):
+        g = ge.apply(i)
+        if _cls(g) != "AttributeReference":
+            raise _Unroutable(
+                f"outer group expression {_cls(g)} over a subquery")
+        key = int(g.exprId().id())
+        if key not in ids_in:
+            raise _Unroutable("outer group key is not a subquery output")
+        groups.append(ids_in[key])
+        gids.add(key)
+    # outer outputs: group passthroughs + whitelisted aggregates
+    aggs = []
+    out_names = []
+    ids_out: dict[int, str] = {}
+    ae = node.aggregateExpressions()
+    for i in range(ae.size()):
+        item = ae.apply(i)
+        out_name = str(item.name())
+        key = int(item.exprId().id())
+        expr = item.child() if _cls(item) == "Alias" else item
+        if _cls(expr) == "AttributeReference":
+            if int(expr.exprId().id()) not in gids:
+                raise _Unroutable(
+                    "outer output is not a group key or aggregate")
+            aggs.append([out_name, "group",
+                         ids_in[int(expr.exprId().id())], False])
+        elif _cls(expr) == "AggregateExpression":
+            af = expr.aggregateFunction()
+            ac = _cls(af)
+            pyfn = _NESTED_AGG.get(ac)
+            if pyfn is None:
+                raise _Unroutable(f"outer aggregate {ac}")
+            fch = af.children()
+            if fch.size() != 1:
+                raise _Unroutable("multi-argument outer aggregate")
+            arg = fch.apply(0)
+            if ac == "Count" and _cls(arg) == "Literal":
+                aggs.append([out_name, "countstar", None, False])
+            else:
+                if _cls(arg) != "AttributeReference" \
+                        or int(arg.exprId().id()) not in ids_in:
+                    raise _Unroutable(
+                        "outer aggregate over a non-output expression")
+                if expr.isDistinct() and ac != "Count":
+                    raise _Unroutable(f"outer DISTINCT {ac}")
+                aggs.append([out_name, pyfn,
+                             ids_in[int(arg.exprId().id())],
+                             bool(expr.isDistinct())])
+        else:
+            raise _Unroutable(f"outer output expression {_cls(expr)}")
+        if out_name.startswith("__"):
+            raise _Unroutable("alias with reserved '__' prefix")
+        out_names.append(out_name)
+        ids_out[key] = out_name
+    if len({n.casefold() for n in out_names}) != len(out_names):
+        raise _Unroutable("output names differ only by case")
+    if not any(fn != "group" for _, fn, _, _ in aggs):
+        raise _Unroutable("outer aggregate with no aggregate outputs")
+    final = None
+    if project is not None:
+        final = []
+        for i in range(project.size()):
+            item = project.apply(i)
+            out_name = str(item.name())
+            src_e = item.child() if _cls(item) == "Alias" else item
+            if _cls(src_e) != "AttributeReference":
+                raise _Unroutable("projection over a non-output expression")
+            src_key = int(src_e.exprId().id())
+            if src_key not in ids_out:
+                raise _Unroutable("projection of a non-Aggregate output")
+            final.append([ids_out[src_key], out_name])
+    having = (_having_spec(having_cond, ids_out)
+              if having_cond is not None else None)
+    return {"kind": "nested",
+            "inner": ri,
+            "outer": {"filters": filters, "groups": groups, "aggs": aggs},
+            "out_dir": ri["out_dir"],
+            "having": having,
+            "final": final,
+            "final_after_order": False,
+            "order": _resolve_order(order, ids_out),
+            "limit": limit_k}
+
+
+def _win_below(proj) -> bool:
+    """True when a Project chain has a Window under it (the window-route
+    shape) — used to recognize a window subquery under an outer
+    aggregate without committing to the full route walk."""
+    ch = proj.child()
+    if _cls(ch) == "Project":
+        ch = ch.child()
+    return _cls(ch) == "Window"
+
+
 def _route(analyzed, stores: dict[str, str]) -> dict:
     """Analyzed plan -> routing description, or raise _Unroutable.
 
@@ -2033,6 +2466,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             limit_k = int(str(k_expr.value()))
             analyzed = inner
     node, order = _peel_order(analyzed)
+    if _cls(node) == "Project":
+        wr = _route_window(node, order, limit_k, stores)
+        if wr is not None:
+            return wr
     if _cls(node) == "Distinct":
         # SELECT DISTINCT cols analyzes as Distinct(Project([cols])) —
         # same engine answer as GROUP BY those cols with the counts
@@ -2138,6 +2575,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         node = node.child()
     if _cls(node) != "Aggregate":
         raise _Unroutable(f"root {_cls(node)}")
+    nested = _route_nested(node, having_cond, project, order, limit_k,
+                           stores)
+    if nested is not None:
+        return nested
     gsets = None
     gid_attr = None
     if _cls(node.child()) == "Expand":
@@ -2633,6 +3074,59 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     }
 
 
+def _window_exec(df: DataFrame, window: dict) -> DataFrame:
+    """Rebuild the parsed Window node stack + mid projection over the
+    routed aggregate frame (O(groups) rows). Every function is pyspark's
+    own — same implementation Spark's fallback plan runs, just over the
+    metadata-answered frame instead of a full decode."""
+    from pyspark.sql.window import Window as W
+
+    bound = {"up": W.unboundedPreceding, "uf": W.unboundedFollowing,
+             "cr": W.currentRow}
+    for node in window["wins"]:
+        for x in node:
+            w = W.partitionBy(*[F.col(c) for c in x["part"]])
+            if x["order"]:
+                keys = []
+                for name, direction, nulls in x["order"]:
+                    c = F.col(name)
+                    if direction == "ASC":
+                        keys.append(c.asc_nulls_first()
+                                    if nulls == "NULLS FIRST"
+                                    else c.asc_nulls_last())
+                    else:
+                        keys.append(c.desc_nulls_first()
+                                    if nulls == "NULLS FIRST"
+                                    else c.desc_nulls_last())
+                w = w.orderBy(*keys)
+            if x["frame"] is not None:
+                kind, lo, hi = x["frame"]
+                lo = bound.get(lo, lo)
+                hi = bound.get(hi, hi)
+                w = (w.rowsBetween(lo, hi) if kind == "rows"
+                     else w.rangeBetween(lo, hi))
+            fs = x["fn"]
+            k = fs[0]
+            if k == "agg":
+                col = getattr(F, fs[1])(F.col(fs[2]))
+            elif k == "aggstar":
+                col = F.count(F.lit(1))
+            elif k == "ntile":
+                col = F.ntile(fs[1])
+            elif k in ("first", "last"):
+                col = getattr(F, k)(F.col(fs[1]), fs[2])
+            elif k == "nth_value":
+                col = F.nth_value(F.col(fs[1]), fs[2], fs[3])
+            elif k in ("lag", "lead"):
+                col = getattr(F, k)(F.col(fs[1]), fs[2], fs[3])
+            else:  # rank / dense_rank / row_number / percent_rank / cume_dist
+                col = getattr(F, k)()
+            df = df.withColumn(x["out"], col.over(w))
+    sel = [(F.expr(spec) if kind == "sqlexpr" else F.col(spec)).alias(out)
+           for kind, spec, out in window["mid"]]
+    return df.select(*sel)
+
+
 def _finish(df: DataFrame, r: dict) -> DataFrame:
     """Apply the peeled HAVING / projection / ORDER BY over the routed
     aggregate result (all tiny: O(groups) rows). When the analyzed plan
@@ -2642,6 +3136,8 @@ def _finish(df: DataFrame, r: dict) -> DataFrame:
     the sort saw, so it applies first."""
     if r.get("having") is not None:
         df = df.filter(_having_col(r["having"], df))
+    if r.get("window") is not None:
+        df = _window_exec(df, r["window"])
 
     def order_limit(df: DataFrame) -> DataFrame:
         if r.get("order"):
@@ -3183,6 +3679,30 @@ def _exec_join(spark: SparkSession, r: dict):
 
 
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
+    if r.get("kind") == "nested":
+        # two-level aggregation: the routed inner frame is O(groups)
+        # rows; the outer aggregation is pyspark's own groupBy().agg()
+        # over it — Spark's aggregate implementations, value- and
+        # type-identical to the fallback plan's outer Aggregate
+        df = _execute_route(spark, r["inner"])
+        o = r["outer"]
+        for spec in o["filters"]:
+            df = df.filter(_having_col(spec, df))
+        sel = []
+        for out, fn, operand, distinct in o["aggs"]:
+            if fn == "group":
+                continue
+            if fn == "countstar":
+                sel.append(F.count(F.lit(1)).alias(out))
+            elif distinct:
+                sel.append(F.count_distinct(F.col(operand)).alias(out))
+            else:
+                sel.append(getattr(F, fn)(F.col(operand)).alias(out))
+        df = df.groupBy(*[F.col(g) for g in o["groups"]]).agg(*sel)
+        df = df.select(*[(F.col(operand).alias(out) if fn == "group"
+                          else F.col(out))
+                         for out, fn, operand, _ in o["aggs"]])
+        return _finish(df, r)
     if r.get("kind") == "topk":
         return engine.topk_table(
             spark, r["out_dir"], r["order_col"], r["k"],
@@ -3554,6 +4074,9 @@ def route_pruning_stats(r: dict | None) -> dict | None:
     ``buckets_total``."""
     if r is None:
         return None
+    if r.get("kind") == "nested":
+        # the store work is entirely the inner route's
+        return route_pruning_stats(r["inner"])
     if r.get("kind") == "topk":
         return engine.topk_plan(
             r["out_dir"], r["order_col"], r["k"],
