@@ -1042,10 +1042,34 @@ def _agg_spec_of(ae) -> tuple:
                 return ("cntde", sql, tuple(srcs))
         raise _Unroutable(f"distinct aggregate {_cls(fn)}")
     fn = ae.aggregateFunction()
+    args = fn.children()
+    if _cls(fn) == "Median":
+        # exact median = percentile at 0.5 (Spark's own lowering)
+        return ("pctl", _attr_name(args.apply(0)), 0.5)
+    if _cls(fn) == "Percentile":
+        # exact percentile: (col, percentage, frequency); only the
+        # scalar-double shape with the default frequency 1 routes — an
+        # ARRAY of percentages changes the output type and a frequency
+        # column weights rows the combo pass cannot see
+        if str(fn.dataType().simpleString()) != "double":
+            raise _Unroutable("percentile with an array of percentages")
+        if args.size() != 3:
+            raise _Unroutable(f"percentile arity {args.size()}")
+        freq = args.apply(2)
+        if _cls(freq) != "Literal" or str(freq.value()) != "1":
+            raise _Unroutable("percentile with a frequency argument")
+        pe = args.apply(1)
+        while _cls(pe) == "Cast":
+            pe = pe.child()
+        if _cls(pe) != "Literal" or pe.value() is None:
+            raise _Unroutable("non-literal percentile percentage")
+        p = float(str(pe.value()))
+        if not 0.0 <= p <= 1.0:
+            raise _Unroutable("percentile percentage out of [0, 1]")
+        return ("pctl", _attr_name(args.apply(0)), p)
     head = _AGG_FNS.get(_cls(fn))
     if head is None:
         raise _Unroutable(f"aggregate {_cls(fn)}")
-    args = fn.children()
     if head == "count":
         if args.size() == 1 and _cls(args.apply(0)) == "Literal" \
                 and str(args.apply(0).value()) == "1":
@@ -2958,11 +2982,38 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # nn partial; columns referenced ONLY by count(col) never decode
         # (validity bitmaps)
         if any(spec[0] not in ("count", "sum", "avg", "min", "max",
-                               "nncount")
+                               "nncount", "pctl")
                for spec in aggs.values()):
             raise _Unroutable(
                 "grouped aggregate beyond count(*) + "
-                "count/sum/avg/min/max")
+                "count/sum/avg/min/max/percentile")
+    pctl_cols = {spec[1] for spec in aggs.values() if spec[0] == "pctl"}
+    if pctl_cols:
+        # exact percentile/median rides the composite kernel like
+        # count(distinct): the column joins the GROUP BY dimensions, and
+        # the finishing computes the weighted percentile over the
+        # O(groups x ndv) (value, count) combo rows — the compositions
+        # that would multiply combo rows stay named fallbacks
+        if len(pctl_cols) > 1:
+            raise _Unroutable("several percentile columns")
+        if orx_preds is not None:
+            raise _Unroutable("percentile under cross-column OR")
+        if gsets is not None:
+            raise _Unroutable("percentile under grouping sets")
+        if join is not None:
+            raise _Unroutable("percentile in a joined statement")
+        pcol = next(iter(pctl_cols))
+        vcols = {spec[1] for spec in aggs.values()
+                 if spec[0] in ("sum", "avg", "min", "max", "nncount")}
+        if pcol in group_cols or pcol in vcols:
+            # a kernel group dimension cannot double as an agg column
+            raise _Unroutable("percentile column reused")
+        if pcol in derived_outs:
+            raise _Unroutable(
+                "percentile source shadowed by a derived key name")
+        if pcol.startswith("__") or _PARTIAL_COL_RE.match(pcol):
+            raise _Unroutable(
+                "percentile column collides with a kernel column")
     if join is not None:
         if orx_preds is not None:
             # the inclusion-exclusion join composition and the dim join
@@ -3950,6 +4001,121 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                 sel.append(fin[kn("nn", aggs[name][1])].alias(name))
             else:  # sum
                 sel.append(fin[kn("sum", aggs[name][1])].alias(name))
+        sel += [F.expr(spec).alias(name)
+                for name, kind, spec in r["out_cols"] if kind == "gexpr"]
+        return _finish(_expr_finish(fin.select(*sel), r), r)
+    pctl_list = [(alias, spec) for alias, spec in aggs.items()
+                 if spec[0] == "pctl"]
+    if pctl_list:
+        # exact percentile / median (round-5 final stretch): the column
+        # rides the composite kernel as an extra GROUP BY dimension
+        # (exactly like count(distinct)), producing O(groups x ndv)
+        # (value, cnt) combo rows; the finishing computes Spark's own
+        # interpolated percentile over them — sort by value, cumulative
+        # counts, value-at-floor/ceil of p*(N-1), the identical
+        # double-arithmetic interpolation — so a 10^12-row median costs
+        # one metadata kernel pass. Other aggregates (on OTHER columns)
+        # re-aggregate from the same pass's partial quads
+        from pyspark.sql.window import Window as W
+
+        pcol = pctl_list[0][1][1]
+        other = {a: s for a, s in aggs.items() if s[0] != "pctl"}
+        pdims = [pcol] if pcol not in kcols else []
+        base, jmap = _grouped_partials(spark, out_dir, other,
+                                       gargs + pdims, kcols + pdims,
+                                       derived, preds)
+        base = _apply_derived(base, r)
+        wpart = (W.partitionBy(*[F.col(g) for g in group_cols])
+                 if group_cols else W.partitionBy(F.lit(0)))
+        nz = F.when(F.col(pcol).isNotNull(), F.col("cnt"))
+        base = base.withColumn("__ptot", F.sum(nz).over(wpart))
+        base = base.withColumn(
+            "__pcum",
+            F.sum(nz).over(
+                wpart.orderBy(F.col(pcol).asc_nulls_first())
+                .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        pmap: dict[str, str] = {}
+        for i, (alias, spec) in enumerate(pctl_list):
+            # Spark Percentile.getPercentile: position = p * (N - 1);
+            # lower/higher = floor/ceil; result = lowerKey when they
+            # meet, else (higher - position) * lowerKey +
+            # (position - lower) * higherKey, all in double — rebuilt
+            # term-for-term so rounding matches bit-for-bit. "value at
+            # count index i" = smallest value whose cumulative count
+            # exceeds i; SQL percentile skips NULL values
+            pos = (F.lit(float(spec[2]))
+                   * (F.col("__ptot") - 1).cast("double"))
+            lower = F.floor(pos)
+            higher = F.ceil(pos)
+            val = F.col(pcol)
+            lo = F.min(F.when(val.isNotNull()
+                              & (F.col("__pcum") > lower), val)).over(wpart)
+            hi = F.min(F.when(val.isNotNull()
+                              & (F.col("__pcum") > higher), val)).over(wpart)
+            res = F.when(
+                F.col("__ptot").isNull() | (F.col("__ptot") == 0),
+                F.lit(None).cast("double")
+            ).otherwise(
+                F.when(lower == higher, lo.cast("double"))
+                .otherwise(lo.cast("double")
+                           * (higher.cast("double") - pos)
+                           + hi.cast("double")
+                           * (pos - lower.cast("double"))))
+            cname = f"__pctl{i}"
+            pmap[alias] = cname
+            base = base.withColumn(cname, res)
+        src_list, value_cols = _agg_src_list(other)
+
+        def knp(kind: str, col: str) -> str:
+            return f"{kind}{jmap[col]}" if jmap is not None else kind
+
+        fin_aggs = [F.coalesce(F.sum("cnt"), F.lit(0))
+                    .cast("long").alias("cnt")]
+        for alias, cname in pmap.items():
+            # constant within each group — any picker works; min skips
+            # the NULLs a null-value combo row carries
+            fin_aggs.append(F.min(cname).alias(alias))
+        for col in src_list:
+            fin_aggs.append(F.sum(knp("nn", col))
+                            .cast("long").alias(knp("nn", col)))
+            if col in value_cols:
+                fin_aggs.append(F.sum(knp("sum", col))
+                                .cast("long").alias(knp("sum", col)))
+                fin_aggs.append(F.min(knp("mn", col))
+                                .cast("long").alias(knp("mn", col)))
+                fin_aggs.append(F.max(knp("mx", col))
+                                .cast("long").alias(knp("mx", col)))
+        fin = (base.groupBy(*group_cols).agg(*fin_aggs) if group_cols
+               else base.agg(*fin_aggs))
+        by_field = None
+        if any(spec[0] in ("min", "max") for spec in other.values()):
+            from pyspark.sql import types as T
+            meta = datasource._read_meta(out_dir)
+            by_field = {f.name: f.dataType for f in
+                        T.StructType.fromJson(meta["spark_schema"]).fields}
+        sel = []
+        for name, src, gcol in _augmented_out(r):
+            if src == "group":
+                sel.append(fin[gcol].alias(name))
+                continue
+            fn = aggs[name][0]
+            if fn == "pctl":
+                sel.append(fin[name])
+            elif fn == "count":
+                sel.append(fin["cnt"].alias(name))
+            elif fn == "avg":
+                col = aggs[name][1]
+                sel.append((fin[knp("sum", col)]
+                            / fin[knp("nn", col)]).alias(name))
+            elif fn in ("min", "max"):
+                col = aggs[name][1]
+                sel.append(_minmax_back(
+                    knp("mn" if fn == "min" else "mx", col),
+                    by_field[col]).alias(name))
+            elif fn == "nncount":
+                sel.append(fin[knp("nn", aggs[name][1])].alias(name))
+            else:  # sum
+                sel.append(fin[knp("sum", aggs[name][1])].alias(name))
         sel += [F.expr(spec).alias(name)
                 for name, kind, spec in r["out_cols"] if kind == "gexpr"]
         return _finish(_expr_finish(fin.select(*sel), r), r)
