@@ -185,10 +185,17 @@ def oracle_sql() -> dict[str, str]:
             f"AND {1_704_067_200_000_000 + 20 * 86_400_000_000}"
         ),
         # grouped SUM at the codec layer: dict code streams aggregate
-        # without materializing group values; oracle GROUP BYs the source
+        # without materializing group values; oracle GROUP BYs the source.
+        # share/rank exercise the late-round-5 window-over-aggregate route
+        # (both engines divide the same exactly-representable longs in
+        # double, so the shares hash identically)
         "store_group_sums": (
             "SELECT lang, count(*) AS cnt, "
-            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(count(*) AS DOUBLE) / "
+            "CAST(sum(count(*)) OVER () AS DOUBLE) AS share, "
+            "CAST(rank() OVER (ORDER BY count(*) DESC, lang) "
+            "AS INTEGER) AS rnk "
             "FROM documents GROUP BY lang"
         ),
         # SQL-text aggregate routing (flowforge/sqlagg.py): same semantics
@@ -245,10 +252,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click' ORDER BY ts DESC, event_id LIMIT 25"
         ),
         # OR + IS NULL pushdown (round 5) over a null-bearing derived store;
-        # the oracle derives the same null pattern inline
+        # the oracle derives the same null pattern inline. median exercises
+        # the late-round-5 combo-row percentile route (both engines
+        # interpolate adjacent order stats in double; the 6-decimal
+        # canonical compare absorbs formula-order ulps)
         "store_null_or": (
-            "SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM "
-            "(SELECT NULLIF(lang, 'en') AS lang FROM documents) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS cnt, "
+            "median(n_chars) AS med_chars FROM "
+            "(SELECT NULLIF(lang, 'en') AS lang, n_chars FROM documents) "
             "WHERE lang = 'de' OR lang IS NULL GROUP BY lang"
         ),
         # ORDER BY/LIMIT pushdown: the tie-break column makes the 25-row

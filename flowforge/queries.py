@@ -332,11 +332,25 @@ def q_store_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate ON THE PACKED CODE STREAM (bincount + np.add.at scatter) —
     lang values never materialize beyond the dictionary store, and the
     shuffle is O(buckets x ndv) partial rows, not O(rows). The per-language
-    token-totals shape of an LLM-corpus audit. Oracle GROUP BYs the
-    source."""
+    token-totals shape of an LLM-corpus audit. Late round 5: the statement
+    adds WINDOW FUNCTIONS OVER the routed aggregate — share-of-corpus
+    (count / sum(count) OVER ()) and volume rank — which rebuild with
+    Spark's own Window functions over the O(groups) routed frame
+    (sqlagg._route_window); the kernel pass underneath is unchanged.
+    Route assertions are explicit. Oracle GROUP BYs the source with the
+    same window clause."""
+    from . import sqlagg
+
     out = _ensure_store(spark, sf_dir, "documents", "doc_id")
-    return engine.group_agg_table(spark, out, "lang", "n_chars").select(
-        "lang", "cnt", F.col("sum").alias("sum_chars"))
+    sql = ("SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars, "
+           "count(*) / sum(count(*)) OVER () AS share, "
+           "rank() OVER (ORDER BY count(*) DESC, lang) AS rnk "
+           "FROM docs GROUP BY lang")
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
+    if r is None or not r.get("window"):
+        raise RuntimeError("store_group_sums: window statement failed "
+                           "to route through the aggregate kernels")
+    return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 
 def q_store_sqlagg_grouped_where(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,17 +606,23 @@ def q_store_null_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("or", [eq, isnull]) predicate spec — null counts in the chunk metas /
     commit records prune provably-null-free zones metadata-only, the row
     mask ORs the eq and is_null branches (Kleene), and nulls form a result
-    group. Route is asserted; soundness is hypothesis-pinned in
-    tests/test_predicate_properties.py."""
+    group. Late round 5: median(n_chars) rides the same kernel pass as a
+    composite dimension — the exact interpolated percentile finishes over
+    the (group, value, count) combo rows (sqlagg pctl route), composing
+    with the same-column OR. Route is asserted; soundness is
+    hypothesis-pinned in tests/test_predicate_properties.py."""
     from . import sqlagg
 
     out = _ensure_store_nulls(spark, sf_dir)
-    sql = ("SELECT lang, count(*) AS cnt FROM docs "
-           "WHERE lang = 'de' OR lang IS NULL GROUP BY lang")
+    sql = ("SELECT lang, count(*) AS cnt, median(n_chars) AS med_chars "
+           "FROM docs WHERE lang = 'de' OR lang IS NULL GROUP BY lang")
     r = sqlagg.route_agg_sql(spark, sql, {"docs": out})
     if r is None or r["predicates"].get("lang", ("",))[0] != "or":
         raise RuntimeError("store_null_or: statement failed to route with "
                            "an OR predicate spec")
+    if not any(spec[0] == "pctl" for spec in r["aggs"].values()):
+        raise RuntimeError("store_null_or: median did not take the "
+                           "combo-row percentile route")
     return sqlagg.store_agg_sql(spark, sql, {"docs": out})
 
 
