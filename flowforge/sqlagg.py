@@ -114,6 +114,11 @@ def _literal(e, domain: str | None = None):
 
 
 def _attr_name(e) -> str:
+    while _cls(e) == "TempResolvedColumn":
+        # HAVING BETWEEN keeps its aggregates inline, and their column
+        # operands arrive wrapped in the analyzer's TempResolvedColumn
+        # (resolved against the Aggregate's child — the store itself)
+        e = e.child()
     if _cls(e) != "AttributeReference":
         raise _Unroutable(f"not a plain column: {e.sql()}")
     return str(e.name())
@@ -1369,14 +1374,44 @@ def _store_view(node, stores) -> str:
     raise _Unroutable(f"relation path {path!r} is not a registered store")
 
 
+def _pure_project_child(node):
+    """Child of a Project that only re-selects store columns under their
+    own names (pure column pruning — ``FROM (SELECT n_chars FROM docs
+    WHERE ...)``); None when the node is not such a projection. Renames
+    and expressions stay unroutable here: the walk resolves columns by
+    NAME, and a renamed column would silently bind to the wrong store
+    column (or none)."""
+    if _cls(node) != "Project":
+        return None
+    pl = node.projectList()
+    for i in range(pl.size()):
+        if _cls(pl.apply(i)) != "AttributeReference":
+            return None
+    return node.child()
+
+
 def _filter_and_relation(node, stores) -> tuple[list, str]:
-    """[Filter] -> SubqueryAlias chain under an Aggregate/Distinct root ->
-    (constraints, view name)."""
+    """[Filter | SubqueryAlias | pure Project]* chain under an
+    Aggregate/Distinct root -> (constraints, view name). Filters at any
+    depth are WHERE conjuncts over store columns (filters commute with
+    pure column-pruning projections, so a projected subquery's inner
+    WHERE collects exactly like a top-level one)."""
     constraints: list = []
-    if _cls(node) == "Filter":
-        for leaf in _flatten_and(node.condition()):
-            constraints.append(_leaf_to_constraint(leaf))
-        node = node.child()
+    while True:
+        c = _cls(node)
+        if c == "Filter":
+            for leaf in _flatten_and(node.condition()):
+                constraints.append(_leaf_to_constraint(leaf))
+            node = node.child()
+            continue
+        if c == "SubqueryAlias":
+            node = node.child()
+            continue
+        ch = _pure_project_child(node)
+        if ch is not None:
+            node = ch
+            continue
+        break
     return constraints, _store_view(node, stores)
 
 
@@ -1551,7 +1586,11 @@ def _filter_join_relation(node, stores) -> tuple[list, str, dict | None]:
         constraints = ([_leaf_to_constraint(leaf)
                         for leaf in _flatten_and(fcond)]
                        if fcond is not None else [])
-        return constraints, _store_view(node, stores), None
+        # _filter_and_relation also peels pure-projection subqueries
+        # (FROM (SELECT cols FROM docs WHERE ...)) and collects their
+        # inner WHERE conjuncts
+        inner_cons, view = _filter_and_relation(node, stores)
+        return constraints + inner_cons, view, None
     join, view = _parse_join(node, stores)
     constraints = []
     if fcond is not None:
@@ -1684,6 +1723,18 @@ def _operand_spec(e, ids: dict[int, str]) -> list:
         if key not in ids:
             raise _Unroutable("HAVING references a non-output expression")
         return ["col", ids[key]]
+    if _cls(e) == "AggregateExpression":
+        # HAVING BETWEEN keeps its aggregates INLINE (the
+        # RuntimeReplaceable never goes through Catalyst's
+        # hidden-output hoisting) — bind by engine spec to an output
+        # that computes the identical aggregate
+        spec = _agg_spec_of(e)
+        by_spec = ids.get("__by_spec")
+        alias = (by_spec or {}).get(spec)
+        if alias is None:
+            raise _Unroutable(
+                "HAVING aggregate is not among the outputs")
+        return ["col", alias]
     v = _literal(e)
     dt = str(e.dataType().simpleString())
     if dt in ("timestamp", "timestamp_ntz", "date"):
@@ -1757,6 +1808,11 @@ def _cond_spec(c, operand) -> list:
     aggregates). Anything beyond and/or/not/in/null-tests/comparisons is
     unroutable."""
     name = _cls(c)
+    if name == "Cast" and str(c.dataType().simpleString()) == "boolean":
+        # HAVING x BETWEEN lo AND hi analyzes to
+        # cast(between(...) as boolean) — the RuntimeReplaceable keeps
+        # its boolean cast wrapper until optimization
+        return _cond_spec(c.child(), operand)
     if name in ("And", "Or"):
         return [name.lower(), _cond_spec(c.left(), operand),
                 _cond_spec(c.right(), operand)]
@@ -2897,7 +2953,10 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                      for b in brs]
         orx_signs = [1] * n_br
         if any(spec[0] in ("count", "nncount", "sum", "avg")
-               for spec in aggs.values()):
+               for spec in aggs.values()) or join is not None:
+            # a joined statement always takes the intersection passes:
+            # the dim-aggregate composition cnt-weights matched partials
+            # whether or not a store-side additive output is selected
             # additive outputs need the intersection passes: IE over n
             # branches takes every subset of size >= 2 with sign
             # (-1)^(|S|+1) — 2^n - 1 passes total, which is why the
@@ -3015,11 +3074,13 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             raise _Unroutable(
                 "percentile column collides with a kernel column")
     if join is not None:
-        if orx_preds is not None:
-            # the inclusion-exclusion join composition and the dim join
-            # are both per-group outer compositions — composing them is
-            # untested surface for a marginal shape
-            raise _Unroutable("cross-column OR in a joined statement")
+        if orx_preds is not None and dspecs:
+            # count(distinct) rides sign-weighted COMBO rows; composing
+            # those with dim-key multiplicity would need sign-aware
+            # value dedup per matched pair — stays a named fallback
+            raise _Unroutable(
+                "count(distinct) under cross-column OR in a joined "
+                "statement")
         # kernel pass dimensions: the store-side join keys plus the
         # store-side group keys (deduplicated — a key may be both);
         # TIME-derived store keys derive IN the kernel under their out
@@ -3084,8 +3145,14 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                    for s in srcs0):
                 raise _Unroutable(
                     "count(distinct) source collides with a kernel column")
-    having = (_having_spec(having_cond, ids)
-              if having_cond is not None else None)
+    having = None
+    if having_cond is not None:
+        # "__by_spec" lets HAVING BETWEEN's inline aggregates bind to
+        # outputs computing the identical spec (string key beside the
+        # int exprIds — never collides)
+        hids = dict(ids)
+        hids["__by_spec"] = {spec: alias for alias, spec in aggs.items()}
+        having = _having_spec(having_cond, hids)
     final = None
     if project is not None:
         final = []  # (source output name, final name)
@@ -3614,9 +3681,25 @@ def _exec_join(spark: SparkSession, r: dict):
     ddims = [s for s in dsrcs if s not in kcols]
     kgargs = list(jn.get("kernel_gargs") or kcols)
     derived = any(not isinstance(g, str) for g in kgargs)
-    base, jmap = _grouped_partials(spark, r["out_dir"], r["aggs"],
-                                   kgargs + ddims, kcols + ddims, derived,
-                                   r["predicates"] or None, merge=False)
+    if r.get("orx"):
+        # cross-column OR (late round 5): the inclusion-exclusion
+        # passes compose per kernel-key group BEFORE the dim join — the
+        # composed cnt/sum/nn/mn/mx partials are the true OR-matched
+        # per-group values, and the dim multiplicity weighting below is
+        # linear over them. The route guarantees the intersection
+        # passes exist (dim aggregates cnt-weight matched partials);
+        # "__orxjc" forces the cnt partial into the composed frame even
+        # when no store-side count output asked for it (a dict key
+        # only, never a column name)
+        r2 = dict(r)
+        r2["aggs"] = {**r["aggs"], "__orxjc": ("count",)}
+        base, jmap = _orx_grouped(spark, r2, kgargs + ddims,
+                                  kcols + ddims, derived)
+    else:
+        base, jmap = _grouped_partials(
+            spark, r["out_dir"], r["aggs"],
+            kgargs + ddims, kcols + ddims, derived,
+            r["predicates"] or None, merge=False)
     jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
         spark._jsparkSession, jn["plan"].jplan)
     dim = _DF(jdf, spark).toDF(*[f"__dim{i}" for i in range(jn["n_dim"])])

@@ -79,6 +79,27 @@ ROUTED = [
     "SELECT d.region AS region, count(*) AS cnt, sum(s.n) AS t, "
     "min(s.doc_id) AS md FROM docs s JOIN dim d ON s.lang = d.lang "
     "WHERE s.n > 100 GROUP BY d.region ORDER BY region",
+    # cross-column OR on the store side (round-5 final stretch): the
+    # inclusion-exclusion passes compose per kernel-key group BEFORE
+    # the broadcast dim join — additive, extremes, dim aggregates,
+    # outer joins, ungrouped, and three branches all compose
+    "SELECT d.region, count(*) AS c, sum(s.n) AS sn FROM docs s "
+    "JOIN dim d ON s.lang = d.lang WHERE s.n > 500 OR s.source = 'src1' "
+    "GROUP BY d.region",
+    "SELECT d.region, min(s.n) AS mn, max(s.n) AS mx FROM docs s "
+    "JOIN dim d ON s.lang = d.lang WHERE s.n > 900 OR s.doc_id < 50 "
+    "GROUP BY d.region",
+    "SELECT d.region, sum(d.w) AS sw, avg(d.w) AS aw, count(*) AS c "
+    "FROM docs s JOIN dim d ON s.lang = d.lang "
+    "WHERE s.n > 500 OR s.source = 'src1' GROUP BY d.region",
+    "SELECT count(*) AS c, sum(s.n) AS sn FROM docs s JOIN dim d "
+    "ON s.lang = d.lang WHERE s.n > 500 OR s.source = 'src1'",
+    "SELECT d.region, count(*) AS c FROM docs s LEFT JOIN dim d "
+    "ON s.lang = d.lang WHERE s.n > 500 OR s.source = 'src1' "
+    "GROUP BY d.region",
+    "SELECT d.region, s.lang, count(*) AS c FROM docs s JOIN dim d "
+    "ON s.lang = d.lang WHERE s.n > 500 OR s.source = 'src1' "
+    "OR s.doc_id < 20 GROUP BY d.region, s.lang",
     # store + dim keys mixed, HAVING + avg + ORDER BY
     "SELECT s.source, d.region, count(*) AS cnt, avg(s.n) AS a "
     "FROM docs s JOIN dim d ON s.lang = d.lang "
@@ -292,10 +313,12 @@ FALLBACK = [
     # grouping sets over a join
     ("SELECT d.region, count(*) AS c FROM docs s JOIN dim d "
      "ON s.lang = d.lang GROUP BY ROLLUP(d.region)", "relation Join"),
-    # cross-column OR on the store side of a join
-    ("SELECT count(*) AS c FROM docs s JOIN dim d ON s.lang = d.lang "
-     "WHERE s.n > 900 OR s.source = 'src1'",
-     "cross-column OR in a joined statement"),
+    # count(distinct) does not compose with OR inside a join (the
+    # sign-weighted combo union and dim multiplicity would interact)
+    ("SELECT d.region, count(DISTINCT s.source) AS ds FROM docs s "
+     "JOIN dim d ON s.lang = d.lang WHERE s.n > 900 OR s.source = 'src1' "
+     "GROUP BY d.region",
+     "count(distinct) under cross-column OR in a joined statement"),
 ]
 
 

@@ -70,9 +70,6 @@ ROUTABLE = [
 ]
 
 FALLBACK = [
-    # non-aggregate subquery (plain projection — single-level territory)
-    "SELECT avg(n_chars) AS a FROM "
-    "(SELECT n_chars FROM docs WHERE n_chars > 100)",
     # non-whitelisted outer aggregate
     "SELECT stddev(c) AS s FROM "
     "(SELECT count(*) AS c FROM docs GROUP BY lang)",
@@ -80,6 +77,49 @@ FALLBACK = [
     "SELECT avg(c * 2) AS a FROM "
     "(SELECT count(*) AS c FROM docs GROUP BY lang)",
 ]
+
+
+# pure-projection subqueries peel in the SINGLE-level walk (late round
+# 5): FROM (SELECT cols FROM docs WHERE ...) — column pruning commutes
+# with the filters, so inner WHERE conjuncts collect like top-level ones
+PROJECTED = [
+    "SELECT avg(n_chars) AS a FROM "
+    "(SELECT n_chars FROM docs WHERE n_chars > 100)",
+    "SELECT lang, count(*) AS c FROM (SELECT lang, n_chars FROM docs) "
+    "WHERE n_chars > 500 GROUP BY lang",
+    # filters both inside and outside the subquery AND-combine
+    "SELECT count(*) AS c FROM "
+    "(SELECT doc_id FROM docs WHERE lang = 'en') WHERE doc_id > 100",
+    "SELECT DISTINCT lang FROM "
+    "(SELECT lang FROM docs WHERE n_chars > 2000)",
+    "SELECT lang, median(n_chars) AS m FROM "
+    "(SELECT lang, n_chars FROM docs) GROUP BY lang",
+]
+
+PROJECTED_FALLBACK = [
+    # renames would bind by the wrong name in the walk — stay fallbacks
+    "SELECT avg(n) AS a FROM (SELECT n_chars AS n FROM docs)",
+    "SELECT avg(n2) AS a FROM (SELECT n_chars + 1 AS n2 FROM docs)",
+]
+
+
+@pytest.mark.parametrize("sql", PROJECTED)
+def test_projected_subquery_routes(spark, store, sql):
+    r = sqlagg.route_agg_sql(spark, sql, {"docs": store})
+    assert r is not None and r.get("kind") != "nested", sql
+    fast, slow = _both(spark, store, sql)
+    assert [f.dataType for f in fast.schema.fields] \
+        == [f.dataType for f in slow.schema.fields], sql
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
+
+
+@pytest.mark.parametrize("sql", PROJECTED_FALLBACK)
+def test_projected_subquery_fallbacks(spark, store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"docs": store}) is None
+    fast, slow = _both(spark, store, sql)
+    assert sorted(map(repr, map(tuple, fast.collect()))) \
+        == sorted(map(repr, map(tuple, slow.collect()))), sql
 
 
 def _both(spark, store, sql):

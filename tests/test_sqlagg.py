@@ -57,6 +57,19 @@ ROUTABLE = [
     "FROM docs GROUP BY lang, source",
     "SELECT lang, count(*) AS cnt FROM docs GROUP BY lang "
     "HAVING count(*) > 100 AND sum(n_chars) > 0",
+    # round-5 final stretch: HAVING BETWEEN (inline Cast(between(...))
+    # with TempResolvedColumn operands) routes — by output alias, by
+    # repeated aggregate, negated, and mixed with other conjuncts
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "HAVING count(*) BETWEEN 50 AND 100",
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang "
+    "HAVING c BETWEEN 50 AND 100",
+    "SELECT lang, sum(n_chars) AS s FROM docs GROUP BY lang "
+    "HAVING sum(n_chars) NOT BETWEEN 100000 AND 200000",
+    "SELECT lang, max(n_chars) AS m FROM docs GROUP BY lang "
+    "HAVING max(n_chars) BETWEEN 4000 AND 5000 AND count(*) > 10",
+    "SELECT lang, avg(n_chars) AS a FROM docs GROUP BY lang "
+    "HAVING avg(n_chars) BETWEEN 2000 AND 3000",
     "SELECT lang, source, count(*) AS cnt FROM docs WHERE n_chars > 500 "
     "GROUP BY lang, source HAVING cnt >= 10 ORDER BY lang, source",
     # round 5: COUNT(DISTINCT) via the composite group kernel
@@ -1272,18 +1285,21 @@ def test_having_over_time_outputs_routes(spark, time_store, sql):
         == sorted(map(repr, map(tuple, slow.collect()))), sql
 
 
-HAVING_TIME_FALLBACK = [
+HAVING_TIME_BETWEEN = [
     # HAVING x BETWEEN analyzes to an INLINE Cast(between(max(
-    # TempResolvedColumn(...)))) — no reference to the aggregate output —
-    # a shape the router cannot bind; falls back row-identically
+    # TempResolvedColumn(...)))) — round-5 final stretch: the boolean
+    # cast unwraps, the inline aggregate binds by engine spec to the
+    # output computing it, and the between rewrites to >= AND <= with
+    # TYPED time literals — so the last HAVING-over-time fallback routes
     "SELECT lang, max(ts) AS mx FROM ev GROUP BY lang "
     "HAVING max(ts) BETWEEN timestamp'2024-01-01' AND timestamp'2030-01-01'",
 ]
 
 
-@pytest.mark.parametrize("sql", HAVING_TIME_FALLBACK)
-def test_having_over_time_outputs_fallbacks(spark, time_store, sql):
-    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) is None, sql
+@pytest.mark.parametrize("sql", HAVING_TIME_BETWEEN)
+def test_having_time_between_routes(spark, time_store, sql):
+    assert sqlagg.route_agg_sql(spark, sql, {"ev": time_store}) \
+        is not None, sql
     fast = sqlagg.store_agg_sql(spark, sql, {"ev": time_store})
     slow = spark.sql(sql)
     assert sorted(map(repr, map(tuple, fast.collect()))) \
