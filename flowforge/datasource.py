@@ -112,6 +112,38 @@ def _load(spark: SparkSession, out_dir: str, columns: list[str] | None,
     return reader.load()
 
 
+def max_store_refs(analyzed) -> int:
+    """Max number of references to any single chunk-store path in an
+    ANALYZED plan. A statement referencing one pushdown view twice with
+    different filters (self-union, self-join) is unsafe: Spark 4.1.2's
+    python-data-source execution reuses one reader state for identical
+    relations, so one branch silently reads the other's pruned rows —
+    callers re-register pushdown-free views when this returns > 1.
+    Subquery expressions don't appear in children(); a conservative
+    string probe over the plan text covers them (a false positive only
+    costs pushdown, never correctness)."""
+    counts: dict[str, int] = {}
+
+    def walk(n):
+        if n.getClass().getSimpleName() == "DataSourceV2Relation":
+            try:
+                if str(n.table().name()) == ChunkStoreDataSource.name():
+                    p = str(n.options().get("path"))
+                    counts[p] = counts.get(p, 0) + 1
+            except Exception:  # pragma: no cover - defensive py4j surface
+                pass
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(analyzed)
+    m = max(counts.values(), default=0)
+    total = str(analyzed.toString()).count(f" {ChunkStoreDataSource.name()}")
+    if total > sum(counts.values()):
+        m = max(m, 2)
+    return m
+
+
 def store_sql(spark: SparkSession, sql: str, stores: dict[str, str],
               columns: dict[str, list[str]] | None = None):
     """Run one SQL statement over chunk stores with FULL filter pushdown.
@@ -130,7 +162,17 @@ def store_sql(spark: SparkSession, sql: str, stores: dict[str, str],
     for name, out_dir in stores.items():
         cols = (columns or {}).get(name)
         _load(spark, out_dir, cols, pushdown=True).createOrReplaceTempView(name)
-    return spark.sql(sql)
+    df = spark.sql(sql)
+    if max_store_refs(df._jdf.queryExecution().analyzed()) > 1:
+        # self-union / self-join over one store: pushdown reader state
+        # would be shared across the scans (see max_store_refs) — fall
+        # back to the always-correct full-decode relations
+        for name, out_dir in stores.items():
+            cols = (columns or {}).get(name)
+            _load(spark, out_dir, cols,
+                  pushdown=False).createOrReplaceTempView(name)
+        return spark.sql(sql)
+    return df
 
 
 def store_sql_view(spark: SparkSession, out_dir: str, name: str,

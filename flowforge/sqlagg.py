@@ -2496,6 +2496,41 @@ def _route_nested(node, having_cond, project, order, limit_k,
             "limit": limit_k}
 
 
+def _route_union(node, order, limit_k, stores: dict[str, str]):
+    """UNION [ALL] of routable statements — the period-comparison /
+    tagged-counts audit (``SELECT 'big' AS tag, count(*) ... UNION ALL
+    SELECT 'recent', count(*) ...``). Returns None when ``node`` is not
+    a Union (caller continues). Each branch routes independently with
+    its own pruning stack; the results union POSITIONALLY (Spark's
+    Union semantics — first branch's names win; the analyzer inserts
+    cast projections when branch types differ, and those fall back
+    through the branch recursion, so only type-identical branches
+    route). Plain UNION adds Spark's own distinct() over the combined
+    O(groups) frame."""
+    distinct = False
+    if _cls(node) == "Distinct" and _cls(node.child()) == "Union":
+        distinct, node = True, node.child()
+    if _cls(node) != "Union":
+        return None
+    kids = node.children()
+    subs = [_route(kids.apply(i), stores) for i in range(kids.size())]
+    for s in subs:
+        if s.get("kind") == "topk":
+            raise _Unroutable("top-k branch under a UNION")
+    ids: dict[int, str] = {}
+    out = node.output()
+    for i in range(out.size()):
+        a = out.apply(i)
+        ids[int(a.exprId().id())] = str(a.name())
+    return {"kind": "union",
+            "subs": subs,
+            "distinct": distinct,
+            "out_dir": subs[0]["out_dir"],
+            "having": None, "final": None, "final_after_order": False,
+            "order": _resolve_order(order, ids),
+            "limit": limit_k}
+
+
 def _win_below(proj) -> bool:
     """True when a Project chain has a Window under it (the window-route
     shape) — used to recognize a window subquery under an outer
@@ -2550,6 +2585,11 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         wr = _route_window(node, order, limit_k, stores)
         if wr is not None:
             return wr
+    if _cls(node) == "Union" or (_cls(node) == "Distinct"
+                                 and _cls(node.child()) == "Union"):
+        ur = _route_union(node, order, limit_k, stores)
+        if ur is not None:
+            return ur
     if _cls(node) == "Distinct":
         # SELECT DISTINCT cols analyzes as Distinct(Project([cols])) —
         # same engine answer as GROUP BY those cols with the counts
@@ -3813,6 +3853,16 @@ def _exec_join(spark: SparkSession, r: dict):
 
 
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
+    if r.get("kind") == "union":
+        # positional union of the independently routed branches — the
+        # first branch's names win, exactly Spark's Union; plain UNION
+        # dedupes with Spark's own distinct over the O(groups) frame
+        df = _execute_route(spark, r["subs"][0])
+        for s in r["subs"][1:]:
+            df = df.union(_execute_route(spark, s))
+        if r["distinct"]:
+            df = df.distinct()
+        return _finish(df, r)
     if r.get("kind") == "nested":
         # two-level aggregation: the routed inner frame is O(groups)
         # rows; the outer aggregation is pyspark's own groupBy().agg()
@@ -4326,6 +4376,18 @@ def route_pruning_stats(r: dict | None) -> dict | None:
     if r.get("kind") == "nested":
         # the store work is entirely the inner route's
         return route_pruning_stats(r["inner"])
+    if r.get("kind") == "union":
+        # each branch pays its own reads — sum across branches (totals
+        # sum too: two branches over one store scan its buckets twice)
+        acc = {"buckets_total": 0, "buckets_read": 0,
+               "buckets_full": 0, "buckets_masked": 0,
+               "passes": len(r["subs"])}
+        for s in r["subs"]:
+            st = route_pruning_stats(s)
+            for k in ("buckets_total", "buckets_read",
+                      "buckets_full", "buckets_masked"):
+                acc[k] += st.get(k, 0)
+        return acc
     if r.get("kind") == "topk":
         return engine.topk_plan(
             r["out_dir"], r["order_col"], r["k"],
@@ -4412,11 +4474,22 @@ def store_agg_sql(spark: SparkSession, sql: str, stores: dict[str, str],
         datasource._load(spark, out_dir, cols,
                          pushdown=True).createOrReplaceTempView(name)
     df = spark.sql(sql)
+    analyzed = df._jdf.queryExecution().analyzed()
     try:
-        r = _route(df._jdf.queryExecution().analyzed(), stores)
+        r = _route(analyzed, stores)
         return _execute_route(spark, r)
     except (_Unroutable, ValueError):
         # ValueError = an engine-side planning restriction the router did
         # not pre-check (e.g. a column name colliding with a kernel output
         # alias); the statement is still valid SQL, so execute it normally
+        if datasource.max_store_refs(analyzed) > 1:
+            # self-union / self-join over one store: the pushdown reader
+            # state is shared across identical relations at execution
+            # (Spark 4.1.2), so one branch would silently read the
+            # other's pruned rows — re-register full-decode views
+            for name, out_dir in stores.items():
+                cols = (columns or {}).get(name)
+                datasource._load(spark, out_dir, cols,
+                                 pushdown=False).createOrReplaceTempView(name)
+            return spark.sql(sql)
         return df
