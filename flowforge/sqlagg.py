@@ -1028,6 +1028,38 @@ def _parse_agg_fn(named) -> tuple[str, tuple]:
 def _agg_spec_of(ae) -> tuple:
     """AggregateExpression -> engine agg spec tuple (shared by plain
     select items and aggregates embedded in arithmetic expressions)."""
+    if ae.filter().isDefined():
+        # count(*) FILTER (WHERE ...) — the per-aggregate filter is NOT
+        # part of the spec; routing without it silently drops the
+        # condition (live bug found round 5: the filtered count returned
+        # the unfiltered total). Plain select items route through
+        # _parse_filtered_agg instead; everywhere else falls back.
+        raise _Unroutable("FILTER clause on an aggregate")
+    return _agg_spec_core(ae)
+
+
+def _parse_filtered_agg(e) -> tuple[str, tuple, list]:
+    """Alias(AggregateExpression with a FILTER clause) ->
+    (alias, inner engine spec, filter constraints). The filter condition
+    references STORE columns (never aggregate outputs), so it parses
+    with the same constraint machinery as WHERE; at execution the
+    aggregate runs as its own predicate pass (statement WHERE AND the
+    filter), composed back onto the base group frame."""
+    if _cls(e) != "Alias":
+        raise _Unroutable(f"unaliased select item {e.sql()}")
+    alias = str(e.name())
+    ae = e.child()
+    cons = [_leaf_to_constraint(leaf)
+            for leaf in _flatten_and(ae.filter().get())]
+    if any(c[0] == "orx" for c in cons):
+        raise _Unroutable("cross-column OR inside a FILTER clause")
+    inner = _agg_spec_core(ae)
+    if inner[0] in ("cntd", "cntde", "pctl"):
+        raise _Unroutable(f"FILTER clause on a {inner[0]} aggregate")
+    return alias, inner, cons
+
+
+def _agg_spec_core(ae) -> tuple:
     if ae.isDistinct():
         fn = ae.aggregateFunction()
         args = fn.children()
@@ -1552,6 +1584,8 @@ def _dim_agg_spec(ae, join: dict) -> tuple:
     dim aggregates embedded in arithmetic expressions."""
     if ae.isDistinct():
         raise _Unroutable("distinct aggregate over the dim side of a join")
+    if ae.filter().isDefined():
+        raise _Unroutable("FILTER clause on a dim-side aggregate")
     fn = ae.aggregateFunction()
     head = _AGG_FNS.get(_cls(fn))
     if head is None:
@@ -2159,6 +2193,8 @@ def _parse_window_node(win, ids: dict[int, str], used: set) -> list:
         if c == "AggregateExpression":
             if fn.isDistinct():
                 raise _Unroutable("DISTINCT window aggregate")
+            if fn.filter().isDefined():
+                raise _Unroutable("FILTER clause on a window aggregate")
             af = fn.aggregateFunction()
             ac = _cls(af)
             pyfn = _WIN_AGG.get(ac)
@@ -2439,6 +2475,8 @@ def _route_nested(node, having_cond, project, order, limit_k,
             aggs.append([out_name, "group",
                          ids_in[int(expr.exprId().id())], False])
         elif _cls(expr) == "AggregateExpression":
+            if expr.filter().isDefined():
+                raise _Unroutable("FILTER clause on an outer aggregate")
             af = expr.aggregateFunction()
             ac = _cls(af)
             pyfn = _NESTED_AGG.get(ac)
@@ -2757,6 +2795,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                                  for src, tr in parsed]
 
     aggs: dict[str, tuple] = {}
+    faggs: dict[str, tuple] = {}  # alias -> (inner spec, filter constraints)
     # (output name, "group"|"agg"|"expr", group col name | expr spec | None)
     out_cols: list[tuple[str, str, object]] = []
     hidden: list[str] = []  # generated aliases for expression-embedded aggs
@@ -2794,6 +2833,13 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                 # post-broadcast finishing, never in the kernels
                 alias = _parse_dim_agg(e, join)
                 out_cols.append((alias, "agg", None))
+            elif named.filter().isDefined() and join is None:
+                # count(*) FILTER (WHERE ...) — its own predicate pass
+                alias, fspec, fcons = _parse_filtered_agg(e)
+                if alias in aggs or alias in faggs:
+                    raise _Unroutable(f"duplicate output alias {alias!r}")
+                faggs[alias] = (fspec, fcons)
+                out_cols.append((alias, "fagg", None))
             else:
                 alias, spec = _parse_agg_fn(e)
                 if join is not None:
@@ -2804,7 +2850,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
                         # sum(store.w)
                         raise _Unroutable(
                             "aggregate over the dim side of a join")
-                if alias in aggs:
+                if alias in aggs or alias in faggs:
                     raise _Unroutable(f"duplicate output alias {alias!r}")
                 aggs[alias] = spec
                 out_cols.append((alias, "agg", None))
@@ -2891,7 +2937,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # evaluate upper over the derived DATE, not the raw string)
         raise _Unroutable(
             "derived key output name shadows a raw source column")
-    if not aggs and not group_cols \
+    if not aggs and not faggs and not group_cols \
             and not (join is not None and join.get("dim_aggs")):
         raise _Unroutable("no aggregate outputs")
     # group-by with no aggregates is how Spark analyzes SELECT DISTINCT col
@@ -2902,7 +2948,8 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     from pyspark.sql import types as T
     by_type = {f.name: f.dataType.simpleString()
                for f in T.StructType.fromJson(meta["spark_schema"]).fields}
-    for alias, spec in aggs.items():
+    for alias, spec in list(aggs.items()) \
+            + [(a, sp) for a, (sp, _) in faggs.items()]:
         if spec[0] == "cntd":
             if spec[1] not in by_type:
                 raise _Unroutable(f"count(distinct) over unknown {spec[1]!r}")
@@ -3113,6 +3160,23 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if pcol.startswith("__") or _PARTIAL_COL_RE.match(pcol):
             raise _Unroutable(
                 "percentile column collides with a kernel column")
+    faggs_route = None
+    if faggs:
+        # FILTER (WHERE ...) aggregates: each runs as its own predicate
+        # pass (statement WHERE AND the filter — conflicting bounds
+        # raise here and the statement falls back), composed onto the
+        # base group frame by null-safe left joins
+        if orx_preds is not None:
+            raise _Unroutable("FILTER clause under cross-column OR")
+        if gsets is not None:
+            raise _Unroutable("FILTER clause under grouping sets")
+        if any(n == "_fprobe" for n, _, _ in out_cols):
+            # the execution may inject a probe count under this name
+            raise _Unroutable("output name collides with the filter "
+                              "probe column")
+        faggs_route = {
+            a: [list(sp), _constraints_to_predicates(plain_cons + fcons)]
+            for a, (sp, fcons) in faggs.items()}
     if join is not None:
         if orx_preds is not None and dspecs:
             # count(distinct) rides sign-weighted COMBO rows; composing
@@ -3216,6 +3280,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         "group_cols": group_cols,
         "group_specs": group_specs,
         "aggs": aggs,
+        "faggs": faggs_route,
         "predicates": predicates,
         "orx": orx_preds,
         "orx_signs": orx_signs,
@@ -3895,6 +3960,66 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             predicates=r.get("predicates") or None)
     out_dir, group_cols = r["out_dir"], r["group_cols"]
     aggs, preds = r["aggs"], r["predicates"]
+    if r.get("faggs"):
+        # FILTER (WHERE ...) aggregates (round-5 final stretch): the
+        # base pass computes the group frame + unfiltered outputs under
+        # the statement WHERE (SQL groups form from WHERE-matching rows
+        # regardless of per-aggregate filters); each filtered aggregate
+        # runs its own kernel pass under WHERE AND filter — pruning per
+        # pass — and left-joins back null-safely, so a group whose
+        # filter matches nothing keeps count 0 / sum NULL, exactly
+        # Spark's semantics
+        gouts = [(n, g) for n, k, g in r["out_cols"] if k == "group"]
+        base_r = dict(r)
+        base_r["faggs"] = None
+        base_r["having"] = None
+        base_r["final"] = None
+        base_r["order"] = None
+        base_r["limit"] = None
+        base_r["window"] = None
+        base_r["out_cols"] = [e for e in r["out_cols"] if e[1] != "fagg"]
+        base_r["aggs"] = dict(aggs)
+        probe = False
+        if not base_r["aggs"] and not (r.get("hidden") or []) \
+                and not any(k in ("expr", "gexpr")
+                            for _, k, _ in base_r["out_cols"]) \
+                and not group_cols:
+            # ungrouped statement whose every aggregate is filtered —
+            # the base pass needs one output to execute
+            probe = True
+            base_r["aggs"] = {"_fprobe": ("count",)}
+            base_r["out_cols"] = (base_r["out_cols"]
+                                  + [("_fprobe", "agg", None)])
+        df = _execute_route(spark, base_r)
+        if probe:
+            df = df.drop("_fprobe")
+        for alias, (inner, fpreds) in r["faggs"].items():
+            sub = dict(base_r)
+            sub["aggs"] = {alias: tuple(inner)}
+            sub["predicates"] = fpreds
+            sub["out_cols"] = ([(n, "group", g) for n, g in gouts]
+                               + [(alias, "agg", None)])
+            sub["hidden"] = []
+            fdf = _execute_route(spark, sub)
+            if not gouts:
+                df = df.crossJoin(fdf)
+            else:
+                names = [n for n, _ in gouts]
+                fdf = fdf.select(
+                    *[fdf[n].alias(f"{n}__f") for n in names],
+                    fdf[alias])
+                cond = None
+                for n in names:
+                    c = df[n].eqNullSafe(fdf[f"{n}__f"])
+                    cond = c if cond is None else (cond & c)
+                df = df.join(fdf, cond, "left") \
+                       .drop(*[f"{n}__f" for n in names])
+            if inner[0] in ("count", "nncount"):
+                # count over an unmatched group is 0, never NULL
+                df = df.withColumn(
+                    alias, F.coalesce(F.col(alias), F.lit(0)))
+        df = df.select(*[F.col(n) for n, _, _ in r["out_cols"]])
+        return _finish(df, r)
     # engine-facing group args: plain names, (src, transform, out_name)
     # triples for derived time keys, or the RAW source columns for
     # derived scalar keys — those group raw in the kernels and derive +
