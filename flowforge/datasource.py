@@ -121,7 +121,12 @@ def max_store_refs(analyzed) -> int:
     callers re-register pushdown-free views when this returns > 1.
     Subquery expressions don't appear in children(); a conservative
     string probe over the plan text covers them (a false positive only
-    costs pushdown, never correctness)."""
+    costs pushdown, never correctness). The probe runs FIRST — one py4j
+    call — so the common single-reference statement skips the
+    node-by-node plan walk entirely."""
+    total = str(analyzed.toString()).count(f" {ChunkStoreDataSource.name()}")
+    if total < 2:
+        return total  # at most one store reference anywhere in the plan
     counts: dict[str, int] = {}
 
     def walk(n):
@@ -138,8 +143,8 @@ def max_store_refs(analyzed) -> int:
 
     walk(analyzed)
     m = max(counts.values(), default=0)
-    total = str(analyzed.toString()).count(f" {ChunkStoreDataSource.name()}")
     if total > sum(counts.values()):
+        # references hiding in subquery expressions — be conservative
         m = max(m, 2)
     return m
 

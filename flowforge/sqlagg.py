@@ -2307,8 +2307,10 @@ def _route_window(outer, order, limit_k, stores: dict[str, str]):
         # single-projection shape: the one Project plays the mid role
         mid, outer = outer, None
     r = _route(ch, stores)
-    if r.get("kind") == "topk":
-        raise _Unroutable("window over a top-k route")
+    if r.get("kind") is not None:
+        # topk/nested/union route dicts carry no out_cols to bind the
+        # window operands against — fall back rather than crash
+        raise _Unroutable(f"window over a {r['kind']} route")
     # frame columns after _expr_finish: the child's declared outputs
     # (plus hidden slots, which the mid select never references)
     ids: dict[int, str] = {}
@@ -2394,7 +2396,7 @@ _NESTED_AGG = {"Sum": "sum", "Min": "min", "Max": "max", "Count": "count",
 
 
 def _route_nested(node, having_cond, project, order, limit_k,
-                  stores: dict[str, str]):
+                  stores: dict[str, str], final_after_order=False):
     """Two-level aggregation — the aggregate-of-an-aggregate audit:
     ``SELECT avg(c) FROM (SELECT count(*) AS c FROM docs GROUP BY lang)``
     ("average docs per language"), group-size maxima, "how many groups
@@ -2487,6 +2489,9 @@ def _route_nested(node, having_cond, project, order, limit_k,
                 raise _Unroutable("multi-argument outer aggregate")
             arg = fch.apply(0)
             if ac == "Count" and _cls(arg) == "Literal":
+                if expr.isDistinct():
+                    # count(DISTINCT <literal>) is NOT count(*)
+                    raise _Unroutable("outer DISTINCT count of a literal")
                 aggs.append([out_name, "countstar", None, False])
             else:
                 if _cls(arg) != "AttributeReference" \
@@ -2508,6 +2513,13 @@ def _route_nested(node, having_cond, project, order, limit_k,
         raise _Unroutable("output names differ only by case")
     if not any(fn != "group" for _, fn, _, _ in aggs):
         raise _Unroutable("outer aggregate with no aggregate outputs")
+    gset = {g.casefold() for g in groups}
+    if any(fn != "group" and out.casefold() in gset
+           for out, fn, _, _ in aggs):
+        # a non-group outer output named like a groupBy key would make
+        # the post-agg frame's name-based select ambiguous (e.g.
+        # `SELECT c AS n, count(*) AS c ... GROUP BY c`)
+        raise _Unroutable("outer alias collides with a group column")
     final = None
     if project is not None:
         final = []
@@ -2529,7 +2541,9 @@ def _route_nested(node, having_cond, project, order, limit_k,
             "out_dir": ri["out_dir"],
             "having": having,
             "final": final,
-            "final_after_order": False,
+            # ORDER BY a hidden outer aggregate (Project(Sort(...)))
+            # sorts BEFORE the projection drops it — the caller's flag
+            "final_after_order": bool(final_after_order),
             "order": _resolve_order(order, ids_out),
             "limit": limit_k}
 
@@ -2734,7 +2748,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     if _cls(node) != "Aggregate":
         raise _Unroutable(f"root {_cls(node)}")
     nested = _route_nested(node, having_cond, project, order, limit_k,
-                           stores)
+                           stores, final_after_order)
     if nested is not None:
         return nested
     gsets = None
@@ -3170,6 +3184,12 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
             raise _Unroutable("FILTER clause under cross-column OR")
         if gsets is not None:
             raise _Unroutable("FILTER clause under grouping sets")
+        sel_groups = {g for _, k, g in out_cols if k == "group"}
+        if not sel_groups >= set(group_cols):
+            # the composition joins the filtered passes back on the
+            # SELECTED group outputs; an unselected GROUP BY key would
+            # leave the join keyed on a partial group (row multiplication)
+            raise _Unroutable("FILTER clause with an unselected group key")
         if any(n == "_fprobe" for n, _, _ in out_cols):
             # the execution may inject a probe count under this name
             raise _Unroutable("output name collides with the filter "

@@ -82,6 +82,13 @@ FALLBACK = [
     ("SELECT lang, count(*) FILTER (WHERE n_chars > 100) AS c "
      "FROM docs GROUP BY ROLLUP(lang)",
      "FILTER clause under grouping sets"),
+    # unselected GROUP BY keys: the composition joins on SELECTED group
+    # outputs only, so these would multiply rows if routed (review fix)
+    ("SELECT count(*) FILTER (WHERE n_chars > 2000) AS big FROM docs "
+     "GROUP BY lang", "FILTER clause with an unselected group key"),
+    ("SELECT lang, count(*) FILTER (WHERE n_chars > 2000) AS big "
+     "FROM docs GROUP BY lang, source",
+     "FILTER clause with an unselected group key"),
     # FILTER on a window aggregate is rejected by Spark's own analyzer,
     # so the defensive window-parse guard has no SQL-reachable case
 ]

@@ -67,6 +67,10 @@ ROUTABLE = [
     # inner composite key + derived scalar key
     "SELECT avg(c) AS a FROM (SELECT substring(source, 1, 4) AS s4, "
     "count(*) AS c FROM docs GROUP BY substring(source, 1, 4))",
+    # ORDER BY a hidden outer aggregate (Project(Sort(Aggregate)) peel
+    # flows through — review fix: final_after_order threads to _finish)
+    "SELECT c FROM (SELECT lang, count(*) AS c FROM docs GROUP BY lang) "
+    "GROUP BY c ORDER BY count(*) DESC, c LIMIT 3",
 ]
 
 FALLBACK = [
@@ -76,6 +80,16 @@ FALLBACK = [
     # outer aggregate over an expression of inner outputs
     "SELECT avg(c * 2) AS a FROM "
     "(SELECT count(*) AS c FROM docs GROUP BY lang)",
+    # review fixes: window over a nested child (no out_cols to bind),
+    # count(DISTINCT literal) is not count(*), and an outer alias
+    # shadowing a groupBy column would make the finishing ambiguous
+    "SELECT c, count(*) AS langs, rank() OVER (ORDER BY count(*) DESC) "
+    "AS r FROM (SELECT lang, count(*) AS c FROM docs GROUP BY lang) "
+    "GROUP BY c",
+    "SELECT count(DISTINCT 1) AS d FROM "
+    "(SELECT lang, count(*) AS c FROM docs GROUP BY lang)",
+    "SELECT c AS n, count(*) AS c FROM "
+    "(SELECT lang, count(*) AS c FROM docs GROUP BY lang) GROUP BY c",
 ]
 
 
