@@ -2962,6 +2962,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
     from pyspark.sql import types as T
     by_type = {f.name: f.dataType.simpleString()
                for f in T.StructType.fromJson(meta["spark_schema"]).fields}
+    str_mm: set[str] = set()  # string-typed min/max columns (combo route)
     for alias, spec in list(aggs.items()) \
             + [(a, sp) for a, (sp, _) in faggs.items()]:
         if spec[0] == "cntd":
@@ -2993,6 +2994,14 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         # the round-4 conservative fallback is gone.
         if spec[0] in ("min", "max") \
                 and a_type in ("timestamp", "timestamp_ntz", "date"):
+            continue
+        if spec[0] in ("min", "max") and a_type == "string":
+            # routes through the composite kernel as a combo dimension
+            # (like count(distinct)/percentile) — "alphabetically first
+            # source per group" finishes as F.min over the combo rows
+            if alias in faggs:
+                raise _Unroutable("FILTER clause on a string min/max")
+            str_mm.add(spec[1])
             continue
         raise _Unroutable(
             f"{spec[0]}({spec[1]}) over type {a_type}")
@@ -3174,6 +3183,35 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         if pcol.startswith("__") or _PARTIAL_COL_RE.match(pcol):
             raise _Unroutable(
                 "percentile column collides with a kernel column")
+    strmm = None
+    if str_mm:
+        # string MIN/MAX rides the composite kernel as a combo dimension;
+        # the compositions that would multiply combo rows stay fallbacks
+        # (mirrors the percentile guards — the two share one dimension
+        # slot, and string vs integral typing makes them exclusive)
+        if len(str_mm) > 1:
+            raise _Unroutable("several string min/max columns")
+        if pctl_cols:
+            raise _Unroutable("string min/max beside percentile")
+        if dspecs:
+            raise _Unroutable("string min/max beside count(distinct)")
+        if orx_preds is not None:
+            raise _Unroutable("string min/max under cross-column OR")
+        if gsets is not None:
+            raise _Unroutable("string min/max under grouping sets")
+        if join is not None:
+            raise _Unroutable("string min/max in a joined statement")
+        strmm = next(iter(str_mm))
+        svcols = {spec[1] for spec in aggs.values()
+                  if spec[0] in ("sum", "avg", "nncount")}
+        if strmm in svcols:
+            raise _Unroutable("string min/max column reused")
+        if strmm in derived_outs:
+            raise _Unroutable(
+                "string min/max source shadowed by a derived key name")
+        if strmm.startswith("__") or _PARTIAL_COL_RE.match(strmm):
+            raise _Unroutable(
+                "string min/max column collides with a kernel column")
     faggs_route = None
     if faggs:
         # FILTER (WHERE ...) aggregates: each runs as its own predicate
@@ -3301,6 +3339,7 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         "group_specs": group_specs,
         "aggs": aggs,
         "faggs": faggs_route,
+        "strmm": strmm,
         "predicates": predicates,
         "orx": orx_preds,
         "orx_signs": orx_signs,
@@ -4015,6 +4054,7 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
             df = df.drop("_fprobe")
         for alias, (inner, fpreds) in r["faggs"].items():
             sub = dict(base_r)
+            sub["strmm"] = None  # filtered specs are never string min/max
             sub["aggs"] = {alias: tuple(inner)}
             sub["predicates"] = fpreds
             sub["out_cols"] = ([(n, "group", g) for n, g in gouts]
@@ -4284,7 +4324,11 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         return _finish(_expr_finish(fin.select(*sel), r), r)
     pctl_list = [(alias, spec) for alias, spec in aggs.items()
                  if spec[0] == "pctl"]
-    if pctl_list:
+    strmm = r.get("strmm")
+    smm_list = ([(alias, spec) for alias, spec in aggs.items()
+                 if spec[0] in ("min", "max") and spec[1] == strmm]
+                if strmm else [])
+    if pctl_list or smm_list:
         # exact percentile / median (round-5 final stretch): the column
         # rides the composite kernel as an extra GROUP BY dimension
         # (exactly like count(distinct)), producing O(groups x ndv)
@@ -4296,8 +4340,11 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         # re-aggregate from the same pass's partial quads
         from pyspark.sql.window import Window as W
 
-        pcol = pctl_list[0][1][1]
-        other = {a: s for a, s in aggs.items() if s[0] != "pctl"}
+        pcol = pctl_list[0][1][1] if pctl_list else strmm
+        other = {a: s for a, s in aggs.items()
+                 if s[0] != "pctl"
+                 and not (strmm and s[0] in ("min", "max")
+                          and s[1] == strmm)}
         pdims = [pcol] if pcol not in kcols else []
         base, jmap = _grouped_partials(spark, out_dir, other,
                                        gargs + pdims, kcols + pdims,
@@ -4305,13 +4352,14 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
         base = _apply_derived(base, r)
         wpart = (W.partitionBy(*[F.col(g) for g in group_cols])
                  if group_cols else W.partitionBy(F.lit(0)))
-        nz = F.when(F.col(pcol).isNotNull(), F.col("cnt"))
-        base = base.withColumn("__ptot", F.sum(nz).over(wpart))
-        base = base.withColumn(
-            "__pcum",
-            F.sum(nz).over(
-                wpart.orderBy(F.col(pcol).asc_nulls_first())
-                .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        if pctl_list:
+            nz = F.when(F.col(pcol).isNotNull(), F.col("cnt"))
+            base = base.withColumn("__ptot", F.sum(nz).over(wpart))
+            base = base.withColumn(
+                "__pcum",
+                F.sum(nz).over(
+                    wpart.orderBy(F.col(pcol).asc_nulls_first())
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)))
         pmap: dict[str, str] = {}
         for i, (alias, spec) in enumerate(pctl_list):
             # Spark Percentile.getPercentile: position = p * (N - 1);
@@ -4349,10 +4397,21 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
 
         fin_aggs = [F.coalesce(F.sum("cnt"), F.lit(0))
                     .cast("long").alias("cnt")]
+        # finished combo outputs carry INTERNAL names in the fin frame —
+        # a user alias like "mn" would be ambiguous beside the kernel
+        # partial of the same name; the finishing select re-aliases
+        fin_map: dict[str, str] = {}
         for alias, cname in pmap.items():
             # constant within each group — any picker works; min skips
             # the NULLs a null-value combo row carries
-            fin_aggs.append(F.min(cname).alias(alias))
+            fin_map[alias] = f"__fin{len(fin_map)}"
+            fin_aggs.append(F.min(cname).alias(fin_map[alias]))
+        for alias, spec in smm_list:
+            # string MIN/MAX over the combo values: Spark's own
+            # null-skipping extremes, already the column's type
+            f = F.min if spec[0] == "min" else F.max
+            fin_map[alias] = f"__fin{len(fin_map)}"
+            fin_aggs.append(f(F.col(strmm)).alias(fin_map[alias]))
         for col in src_list:
             fin_aggs.append(F.sum(knp("nn", col))
                             .cast("long").alias(knp("nn", col)))
@@ -4377,8 +4436,9 @@ def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
                 sel.append(fin[gcol].alias(name))
                 continue
             fn = aggs[name][0]
-            if fn == "pctl":
-                sel.append(fin[name])
+            if fn == "pctl" \
+                    or (fn in ("min", "max") and aggs[name][1] == strmm):
+                sel.append(fin[fin_map[name]].alias(name))
             elif fn == "count":
                 sel.append(fin["cnt"].alias(name))
             elif fn == "avg":
