@@ -2562,19 +2562,23 @@ def _route_union(node, order, limit_k, stores: dict[str, str]):
     distinct = False
     if _cls(node) == "Distinct" and _cls(node.child()) == "Union":
         distinct, node = True, node.child()
-    if _cls(node) != "Union":
+    cls = _cls(node)
+    if cls not in ("Union", "Except", "Intersect"):
         return None
+    is_all = bool(node.isAll()) if cls in ("Except", "Intersect") else True
     kids = node.children()
     subs = [_route(kids.apply(i), stores) for i in range(kids.size())]
     for s in subs:
         if s.get("kind") == "topk":
-            raise _Unroutable("top-k branch under a UNION")
+            raise _Unroutable(f"top-k branch under a {cls.upper()}")
     ids: dict[int, str] = {}
     out = node.output()
     for i in range(out.size()):
         a = out.apply(i)
         ids[int(a.exprId().id())] = str(a.name())
     return {"kind": "union",
+            "setop": cls.lower(),
+            "all": is_all,
             "subs": subs,
             "distinct": distinct,
             "out_dir": subs[0]["out_dir"],
@@ -2637,8 +2641,9 @@ def _route(analyzed, stores: dict[str, str]) -> dict:
         wr = _route_window(node, order, limit_k, stores)
         if wr is not None:
             return wr
-    if _cls(node) == "Union" or (_cls(node) == "Distinct"
-                                 and _cls(node.child()) == "Union"):
+    if _cls(node) in ("Union", "Except", "Intersect") \
+            or (_cls(node) == "Distinct"
+                and _cls(node.child()) == "Union"):
         ur = _route_union(node, order, limit_k, stores)
         if ur is not None:
             return ur
@@ -3978,12 +3983,22 @@ def _exec_join(spark: SparkSession, r: dict):
 
 def _execute_route(spark: SparkSession, r: dict) -> DataFrame:
     if r.get("kind") == "union":
-        # positional union of the independently routed branches — the
-        # first branch's names win, exactly Spark's Union; plain UNION
-        # dedupes with Spark's own distinct over the O(groups) frame
+        # positional set operation over the independently routed
+        # branches — the first branch's names win, and the combining op
+        # is Spark's own (union/subtract/exceptAll/intersect/
+        # intersectAll), so bag/set semantics match the fallback exactly
         df = _execute_route(spark, r["subs"][0])
+        setop = r.get("setop", "union")
         for s in r["subs"][1:]:
-            df = df.union(_execute_route(spark, s))
+            other = _execute_route(spark, s)
+            if setop == "union":
+                df = df.union(other)
+            elif setop == "except":
+                df = (df.exceptAll(other) if r.get("all")
+                      else df.subtract(other))
+            else:  # intersect
+                df = (df.intersectAll(other) if r.get("all")
+                      else df.intersect(other))
         if r["distinct"]:
             df = df.distinct()
         return _finish(df, r)

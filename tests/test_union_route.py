@@ -67,6 +67,19 @@ ROUTABLE = [
     "GROUP BY lang UNION ALL "
     "SELECT lang, count(*) FROM docs WHERE n_chars <= 2000 "
     "GROUP BY lang ORDER BY c DESC, lang LIMIT 4",
+    # EXCEPT / INTERSECT ride the same per-branch routing; the combining
+    # op is Spark's own subtract/exceptAll/intersect/intersectAll
+    "SELECT lang FROM docs WHERE n_chars > 2000 GROUP BY lang EXCEPT "
+    "SELECT lang FROM docs WHERE source LIKE 'src1%' GROUP BY lang",
+    "SELECT DISTINCT lang FROM docs INTERSECT "
+    "SELECT DISTINCT lang FROM docs WHERE n_chars > 4000",
+    "SELECT lang, count(*) AS c FROM docs GROUP BY lang EXCEPT ALL "
+    "SELECT lang, count(*) AS c FROM docs WHERE n_chars >= 0 "
+    "GROUP BY lang",
+    "SELECT DISTINCT source FROM docs WHERE lang = 'en' INTERSECT ALL "
+    "SELECT DISTINCT source FROM docs WHERE lang = 'de'",
+    "SELECT lang FROM docs GROUP BY lang EXCEPT SELECT lang FROM docs "
+    "WHERE n_chars > 100 GROUP BY lang ORDER BY lang LIMIT 3",
 ]
 
 FALLBACK = [
