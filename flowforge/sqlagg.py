@@ -4634,6 +4634,21 @@ def route_pruning_stats(r: dict | None) -> dict | None:
                 "buckets_read": n_full + n_masked,
                 "buckets_full": n_full,
                 "buckets_masked": n_masked}
+    if r.get("faggs"):
+        # base pass + one pass per filtered aggregate — each pays its
+        # own reads (mirrors the orx report: counts SUM across passes)
+        n_full = n_masked = n_pass = 0
+        for p in [r["predicates"]] + [fp for _, fp in r["faggs"].values()]:
+            preds = engine._normalize_predicates(p, by_name)
+            full, partial, _ = engine._classify_records(nonempty, preds)
+            n_full += len(full)
+            n_masked += len(partial)
+            n_pass += 1
+        return {"buckets_total": len(nonempty),
+                "passes": n_pass,
+                "buckets_read": n_full + n_masked,
+                "buckets_full": n_full,
+                "buckets_masked": n_masked}
     preds = engine._normalize_predicates(r["predicates"], by_name)
     full, partial, pruned = engine._classify_records(nonempty, preds)
     return {"buckets_total": len(nonempty),

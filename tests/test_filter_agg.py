@@ -143,3 +143,6 @@ def test_filter_agg_passes_prune_independently(spark, store):
     assert inner == ["count"]
     assert fpreds["n_chars"][0] == 4001  # intersected lower bound
     assert r["predicates"]["n_chars"][0] == 101
+    stats = sqlagg.route_pruning_stats(r)
+    assert stats["passes"] == 2  # base + one per filtered aggregate
+    assert stats["buckets_total"] >= 1
